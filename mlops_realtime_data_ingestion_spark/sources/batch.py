@@ -1,0 +1,66 @@
+"""Batch parquet sources over the driver's synthetic tables.
+
+Equivalent of the reference's offline-store scans: Athena
+``SELECT * FROM "<fg_table>"`` at pipelines/blockchain/preprocess.py:77-87
+becomes ``spark.read.parquet`` — Catalyst gives predicate pushdown and
+column pruning for free, which the reference's full-scan-into-pandas
+never had (SURVEY.md §4).
+
+At 100 TB these parquet paths are partitioned tables; nothing in this
+module changes — the scan node prunes partitions/row-groups from the
+same declarative plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
+# nanosecond longs under spark.sql.legacy.parquet.nanosAsLong (set in
+# session.get_spark). Converted to TimestampType here with floor
+# division to microseconds — the same truncation DuckDB applies, so
+# oracle comparisons see identical values.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable; needed when the caller (e.g. the driver's
+        # harness) built the session without this legacy flag.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
