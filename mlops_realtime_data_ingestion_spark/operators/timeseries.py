@@ -1,0 +1,145 @@
+"""Time-series preparation operators (SURVEY.md §2.5, §2.4 A8).
+
+The reference's training pipeline materializes an ordered 1-minute
+series, slices train/test/validation windows off the end, and
+serializes DeepAR JSONL (pipelines/blockchain/preprocess.py:93-167).
+Those pandas idioms become window-function plans here — no driver
+materialization, order defined by explicit sort keys.
+
+Scale note: a global ``row_number`` (no partition) is a single-task
+funnel. These operators accept ``series_cols`` so that at 100 TB the
+rank runs per series key (the realistic layout: many series, each of
+bounded length). With no key they still work for the reference's
+single-series case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ordered_rank",
+    "tail_split",
+    "expanding_windows",
+    "dynamic_split_sizing",
+    "forecast_index",
+    "ordered_gather",
+]
+
+
+def _window(series_cols: list[str], order: list[Column]):
+    return Window.partitionBy(*series_cols).orderBy(*order)
+
+
+def ordered_rank(
+    df: DataFrame, order: list[Column], series_cols: list[str] | None = None
+) -> DataFrame:
+    """Adds ``__rn`` (1-based from the start) and ``__rn_end``
+    (1-based from the end) — the primitives behind every reference
+    slice ``df[:-k]`` / ``df[-k:]`` (preprocess.py:119-121)."""
+    series_cols = series_cols or []
+    w = _window(series_cols, order)
+    n = F.count("*").over(Window.partitionBy(*series_cols))
+    return df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__rn_end", n - F.col("__rn") + 1
+    )
+
+
+def tail_split(
+    df: DataFrame,
+    order: list[Column],
+    test_length: int,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """W1: train/test split — last ``test_length`` points are 'test'
+    (preprocess.py:119-121: df[-test_length:] / df[:-test_length])."""
+    ranked = ordered_rank(df, order, series_cols)
+    return ranked.withColumn(
+        "split",
+        F.when(F.col("__rn_end") <= test_length, F.lit("test")).otherwise("train"),
+    ).drop("__rn", "__rn_end")
+
+
+def expanding_windows(
+    df: DataFrame,
+    order: list[Column],
+    n_windows: int,
+    window_length: int,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """W2: expanding validation windows (preprocess.py:129-146): for
+    k = 1..N the prefix df[0 : len - (N-k)*L], each tagged with k.
+    One shuffle for the rank, then a lateral fan-out — no N-pass scan.
+    """
+    ranked = ordered_rank(df, order, series_cols)
+    series_cols = series_cols or []
+    n_total = Window.partitionBy(*series_cols)
+    ranked = ranked.withColumn("__n", F.count("*").over(n_total))
+    ks = F.explode(F.sequence(F.lit(1), F.lit(n_windows))).alias("k")
+    return (
+        ranked.select("*", ks)
+        .filter(F.col("__rn") <= F.col("__n") - (F.lit(n_windows) - F.col("k")) * window_length)
+        .drop("__rn", "__rn_end", "__n")
+    )
+
+
+def dynamic_split_sizing(
+    n_points: int,
+    prediction_length: int = 5,
+    context_length: int = 120,
+    n_validation_windows: int = 10,
+) -> tuple[int, int]:
+    """W3 (driver-side scalars, preprocess.py:104-115): if the series
+    is too short for context + (N+1) prediction windows, shrink the
+    prediction length to 5% of points and the context to match."""
+    if n_points < context_length + prediction_length * (n_validation_windows + 1):
+        prediction_length = max(1, int(n_points * 0.05))
+        context_length = prediction_length * 2
+    return prediction_length, context_length
+
+
+def forecast_index(
+    df: DataFrame,
+    ts_col: str,
+    periods: int,
+    step: str = "1 minute",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """W4: future timestamp index — pd.date_range(last+freq, periods)
+    (data_collection/utils.py:86-88) as sequence() + explode."""
+    series_cols = series_cols or []
+    last = df.groupBy(*series_cols).agg(F.max(ts_col).alias("__last"))
+    return last.select(
+        *series_cols,
+        F.explode(
+            F.sequence(
+                F.col("__last") + F.expr(f"INTERVAL {step}"),
+                F.col("__last") + F.expr(f"INTERVAL {step}") * periods,
+                F.expr(f"INTERVAL {step}"),
+            )
+        ).alias("forecast_ts"),
+    )
+
+
+def ordered_gather(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """A8: full ordered series as one array per key — the DeepAR
+    ``target`` array (preprocess.py:123-155 list(df[target_col])).
+
+    sort_array(collect_list(struct(order..., value))) keeps ordering
+    deterministic without a pre-shuffle sort. Bounded by series
+    length, not table size — safe when each series fits an executor
+    (SURVEY.md §7 risk register calls out the unbounded case).
+    """
+    series_cols = series_cols or []
+    packed = F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("__v"))
+    return df.groupBy(*series_cols).agg(
+        F.transform(F.sort_array(F.collect_list(packed)), lambda s: s["__v"]).alias(
+            "target"
+        )
+    )

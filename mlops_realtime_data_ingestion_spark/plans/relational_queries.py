@@ -1,0 +1,388 @@
+"""Relational operator surface (SURVEY.md §2.3, §2.4, §2.6):
+join family, aggregation family (distinct/rollup/cube/grouping
+sets/pivot), sorts/limits/top-k, set operations.
+
+The reference has no relational joins in code; these queries exercise
+the full Spark surface a reference user would expect from the engine
+(SURVEY.md §2.3 note), on the TPC-H-ish synthetic tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import broadcast_dim_join, positional_zip, top_k
+from ..sources.batch import load_table
+from .determinism import davg, davg_sql, dsum, dsum_sql
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------- aggregations (A-family generalized) ----------
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan->filter->agg pipeline.
+    Filter pushes to the parquet scan; map-side partial aggregation
+    means the shuffle carries 6 groups, not 600k rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')}                                        AS sum_qty,
+       {dsum_sql('l_extendedprice')}                                   AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)}             AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {davg_sql('l_quantity')}                                        AS avg_qty,
+       {davg_sql('l_extendedprice')}                                   AS avg_price,
+       {davg_sql('l_discount', 6)}                                     AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (SURVEY.md §2.4 note: absent from the
+    reference, Spark-native)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)                AS n_parts,
+       count(DISTINCT (l_suppkey, l_partkey))   AS n_supp_part,
+       count(*)                                 AS n_rows
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+    )
+
+
+AGG_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via Spark SQL (same Catalyst plan as the
+    DataFrame rollup/cube variants)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — conditional aggregation under the hood; explicit value
+    list so no extra distinct-values job runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
+AGG_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ---------- joins (J-family generalized) ----------
+
+def join_orders_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join: orders (fact) x customer (dim) -> revenue
+    per market segment. Customer is broadcast: no shuffle of orders."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = broadcast_dim_join(
+        orders, customer, orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+JOIN_SEGMENT_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def join_3way_brand_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x part x supplier x nation — multi-dim star join; all
+    dims broadcast, single pass over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+JOIN_3WAY_ORACLE = f"""
+SELECT p_brand, n_name,
+       count(*) AS n,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no (matching) orders;
+    count(o_orderkey) ignores the null-extended rows."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_big_orders"),
+        dsum("o_totalprice").alias("big_order_value"),
+    )
+
+
+JOIN_LEFT_ORACLE = f"""
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS n_big_orders,
+       {dsum_sql('o_totalprice')} AS big_order_value
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+       ON c_custkey = o_custkey
+GROUP BY 1, 2
+"""
+
+
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one order
+    above 450k. Semi joins short-circuit — no fan-out on duplicates."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+def join_anti_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the J1 dedup-ledger shape
+    (stream_processing/main.py:47-59) as a batch operator."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+def j2_positional_zip_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 positional zip, output = aligned pairs + position."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").alias("n_click"))
+        .select("m", "n_click")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").alias("n_view"))
+        .select(F.col("m").alias("m2"), "n_view")
+    )
+    zipped = positional_zip(clicks, views, [F.col("m")], [F.col("m2")])
+    return zipped.select(
+        F.row_number().over(Window.orderBy("m")).alias("pos"),
+        "n_click",
+        "n_view",
+    )
+
+
+J2_ORACLE = """
+WITH clicks AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), views AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS n_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT row_number() OVER (ORDER BY m) AS pos, n_click FROM clicks
+), v AS (
+  SELECT row_number() OVER (ORDER BY m) AS pos, n_view FROM views
+)
+SELECT c.pos AS pos, n_click, n_view
+FROM c JOIN v USING (pos)
+"""
+
+
+# ---------- sorts / limits / set ops (O-family) ----------
+
+def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-10 orders by value — TakeOrderedAndProject, no global
+    sort (preprocess.py:119 tail-N analogue)."""
+    orders = _t(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+O2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def set_ops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (SURVEY.md §2.6: absent from the
+    reference, engine-native). Cohorts: users seen in the first vs
+    second half of the month."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16")
+    first = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    second = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    both = first.intersect(second).select(F.lit("both").alias("cohort"), "user_id")
+    only_first = first.exceptAll(second).select(F.lit("only_first").alias("cohort"), "user_id")
+    anyhalf = first.union(second).distinct().select(F.lit("any").alias("cohort"), "user_id")
+    return both.unionAll(only_first).unionAll(anyhalf)
+
+
+SET_OPS_ORACLE = """
+WITH first_half AS (
+  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+), second_half AS (
+  SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+)
+SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)
+UNION ALL
+SELECT 'only_first', user_id FROM (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)
+UNION ALL
+SELECT 'any', user_id FROM (SELECT user_id FROM first_half UNION SELECT user_id FROM second_half)
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(tpch_q1_pricing_summary, TPCH_Q1_ORACLE, "A2-A4 generalized"),
+    "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_ORACLE, "§2.4 distinct"),
+    "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_ORACLE, "§2.4 rollup"),
+    "agg_cube": QuerySpec(agg_cube, AGG_CUBE_ORACLE, "§2.4 cube"),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_ORACLE, "§2.4 grouping sets"),
+    "agg_pivot": QuerySpec(agg_pivot, AGG_PIVOT_ORACLE, "§2.4 pivot"),
+    "join_orders_customer_segment": QuerySpec(join_orders_customer_segment, JOIN_SEGMENT_ORACLE, "§2.3 inner/broadcast"),
+    "join_3way_brand_nation": QuerySpec(join_3way_brand_nation, JOIN_3WAY_ORACLE, "§2.3 star join"),
+    "join_left_order_counts": QuerySpec(join_left_order_counts, JOIN_LEFT_ORACLE, "§2.3 left outer"),
+    "join_semi_big_spenders": QuerySpec(join_semi_big_spenders, JOIN_SEMI_ORACLE, "§2.3 semi"),
+    "join_anti_no_big_orders": QuerySpec(join_anti_no_big_orders, JOIN_ANTI_ORACLE, "§2.3 anti, J1"),
+    "j2_positional_zip": QuerySpec(j2_positional_zip_simple, J2_ORACLE, "J2"),
+    "o2_topk_orders": QuerySpec(o2_topk_orders, O2_ORACLE, "O2"),
+    "set_ops_user_cohorts": QuerySpec(set_ops_user_cohorts, SET_OPS_ORACLE, "§2.6 set ops"),
+}

@@ -1,0 +1,372 @@
+"""Time-series / ML-prep / monitoring queries (SURVEY.md §2.5, A8,
+A10-A12, §3.3): ordered splits, expanding windows, forecast index,
+ordered gather, RMSE + weighted quantile loss, consecutive-breach
+alarm, threshold update rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import consecutive_islands
+from ..operators.timeseries import (
+    expanding_windows,
+    forecast_index,
+    ordered_gather,
+    tail_split,
+)
+from ..sources.batch import load_table
+from .determinism import davg, davg_sql
+from .spec import QuerySpec
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def w1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: last 100 points per user series tagged 'test'
+    (preprocess.py:119-121), partitioned per series key."""
+    ev = _events(spark, sf_dir)
+    return tail_split(
+        ev.select("user_id", "ts", "event_id", "value"),
+        [F.col("ts"), F.col("event_id")],
+        test_length=100,
+        series_cols=["user_id"],
+    )
+
+
+W1_ORACLE = """
+SELECT user_id, ts, event_id, value,
+       CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 100
+            THEN 'test' ELSE 'train' END AS split
+FROM events
+"""
+
+
+def w2_expanding_validation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: N=3 expanding cutoffs of each user's series
+    (preprocess.py:129-146), L=50; returns per-(user,k) sizes so the
+    result is compact at any SF."""
+    ev = _events(spark, sf_dir)
+    exp = expanding_windows(
+        ev.select("user_id", "ts", "event_id", "value"),
+        [F.col("ts"), F.col("event_id")],
+        n_windows=3,
+        window_length=50,
+        series_cols=["user_id"],
+    )
+    return exp.groupBy("user_id", "k").agg(
+        F.count("*").alias("n_points"),
+        davg("value").alias("avg_value"),
+    )
+
+
+W2_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)    OVER (PARTITION BY user_id) AS n
+  FROM events
+), fanned AS (
+  SELECT user_id, value, rn, n, k
+  FROM ranked, (SELECT unnest(range(1, 4)) AS k) ks
+  WHERE rn <= n - (3 - k) * 50
+)
+SELECT user_id, CAST(k AS INTEGER) AS k,
+       count(*) AS n_points,
+       {davg_sql('value')} AS avg_value
+FROM fanned
+GROUP BY 1, 2
+"""
+
+
+def w4_forecast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: next-5-minute forecast index per user series
+    (data_collection/utils.py:86-88)."""
+    ev = _events(spark, sf_dir)
+    return forecast_index(ev, "ts", periods=5, step="1 minute", series_cols=["user_id"])
+
+
+W4_ORACLE = """
+SELECT user_id,
+       max_ts + INTERVAL 1 MINUTE * s.i AS forecast_ts
+FROM (SELECT user_id, max(ts) AS max_ts FROM events GROUP BY 1) m,
+     (SELECT unnest(range(1, 6)) AS i) s
+"""
+
+
+def a8_ordered_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the DeepAR target array — full ordered value series per
+    user (preprocess.py:123-155), serialized to a comparable string."""
+    ev = _events(spark, sf_dir)
+    gathered = ordered_gather(
+        ev, order_cols=["ts", "event_id"], value_col="value", series_cols=["user_id"]
+    )
+    return gathered.select(
+        "user_id",
+        F.concat_ws(
+            ",", F.transform(F.col("target"), lambda v: F.round(v, 2).cast("string"))
+        ).alias("series"),
+        F.size("target").alias("series_len"),
+    )
+
+
+A8_ORACLE = """
+SELECT user_id,
+       string_agg(CAST(round(value, 2) AS VARCHAR), ',' ORDER BY ts, event_id) AS series,
+       count(*) AS series_len
+FROM events
+GROUP BY 1
+"""
+
+
+def wf_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window functions (SURVEY.md §2.5 note: absent
+    from the reference, engine-native surface)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(wv).alias("id_rank"),
+        F.dense_rank().over(wv).alias("id_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WF_RANK_ORACLE = """
+SELECT user_id, event_id, value,
+       row_number() OVER w AS rn,
+       lag(value)   OVER w AS prev_value,
+       lead(value)  OVER w AS next_value,
+       rank()       OVER (PARTITION BY user_id ORDER BY event_id) AS id_rank,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY event_id) AS id_dense_rank,
+       ntile(4)     OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def wf_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregation over event time — decimal-backed so the
+    prefix sums are exact (see plans/determinism)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+WF_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+       count(*) OVER w AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def metrics_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-A12: the reference's forecast evaluation (evaluate.py:73-91)
+    against a persistence forecast: per-minute total value, prediction
+    = previous minute's total, quantile band = prediction * 0.9/1.0/1.1
+    (confidence 90 -> alpha 0.05/0.5/0.95, pipeline.py:269-275).
+    Single-row metrics report (S15 shape).
+
+    Determinism: everything stays in exact DECIMAL arithmetic via
+    integer-scaled quantile losses until the final division —
+    casting *derived* doubles to decimal is engine-divergent near
+    rounding ties (see plans/determinism), so no double is ever
+    re-quantized here. With t,p exact 4dp decimals and X=10t-9p,
+    Y=t-p, Z=10t-11p:
+      200*ql_0.05 = X>0 ? X   : 19*(-X)
+        2*ql_0.5  = |Y|
+      200*ql_0.95 = Z>0 ? 19Z : -Z
+    and wQL_a = 2*sum(ql_a)/sum(|t|).
+    """
+    ev = _events(spark, sf_dir)
+    t = F.sum(F.col("value").cast("decimal(18,4)")).alias("t")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(t)
+    w = Window.orderBy("m")
+    d = (
+        per_min.withColumn("p", F.lag("t").over(w))
+        .filter(F.col("p").isNotNull())
+        .withColumn("x", (F.lit(10) * F.col("t") - F.lit(9) * F.col("p")).cast("decimal(28,4)"))
+        .withColumn("y", (F.col("t") - F.col("p")).cast("decimal(28,4)"))
+        .withColumn("z", (F.lit(10) * F.col("t") - F.lit(11) * F.col("p")).cast("decimal(28,4)"))
+    )
+    se = (F.col("y").cast("decimal(18,4)") * F.col("y").cast("decimal(18,4)")).alias("se")
+    agg = d.select(
+        "t",
+        "x",
+        "y",
+        "z",
+        se,
+        F.when(F.col("x") > 0, F.col("x")).otherwise(F.lit(-19) * F.col("x")).cast("decimal(28,4)").alias("ql05x200"),
+        F.abs("y").cast("decimal(28,4)").alias("ql50x2"),
+        F.when(F.col("z") > 0, F.lit(19) * F.col("z")).otherwise(-F.col("z")).cast("decimal(28,4)").alias("ql95x200"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("se").cast("double").alias("sse"),
+        F.sum(F.abs("t")).cast("double").alias("sabs"),
+        F.sum("ql05x200").cast("double").alias("s05"),
+        F.sum("ql50x2").cast("double").alias("s50"),
+        F.sum("ql95x200").cast("double").alias("s95"),
+    )
+    return agg.select(
+        F.sqrt(F.col("sse") / F.col("n")).alias("rmse"),
+        (F.col("s05") / (100 * F.col("sabs"))).alias("wql_0_05"),
+        (F.col("s50") / F.col("sabs")).alias("wql_0_5"),
+        (F.col("s95") / (100 * F.col("sabs"))).alias("wql_0_95"),
+        (
+            (
+                F.col("s05") / (100 * F.col("sabs"))
+                + F.col("s50") / F.col("sabs")
+                + F.col("s95") / (100 * F.col("sabs"))
+            )
+            / 3
+        ).alias("wql_mean"),
+    )
+
+
+METRICS_ORACLE = """
+WITH per_min AS (
+  SELECT date_trunc('minute', ts) AS m,
+         sum(CAST(value AS DECIMAL(18,4))) AS t
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT t, lag(t) OVER (ORDER BY m) AS p
+  FROM per_min
+  QUALIFY p IS NOT NULL
+), scaled AS (
+  SELECT t,
+         CAST(10 * t - 9  * p AS DECIMAL(28,4)) AS x,
+         CAST(t - p           AS DECIMAL(28,4)) AS y,
+         CAST(10 * t - 11 * p AS DECIMAL(28,4)) AS z
+  FROM lagged
+), terms AS (
+  SELECT t,
+         CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4)) AS se,
+         CAST(CASE WHEN x > 0 THEN x ELSE -19 * x END AS DECIMAL(28,4)) AS ql05x200,
+         CAST(abs(y) AS DECIMAL(28,4))                                  AS ql50x2,
+         CAST(CASE WHEN z > 0 THEN 19 * z ELSE -z END AS DECIMAL(28,4)) AS ql95x200
+  FROM scaled
+), sums AS (
+  SELECT count(*)                    AS n,
+         CAST(sum(se) AS DOUBLE)     AS sse,
+         CAST(sum(abs(t)) AS DOUBLE) AS sabs,
+         CAST(sum(ql05x200) AS DOUBLE) AS s05,
+         CAST(sum(ql50x2) AS DOUBLE)   AS s50,
+         CAST(sum(ql95x200) AS DOUBLE) AS s95
+  FROM terms
+)
+SELECT sqrt(sse / n)        AS rmse,
+       s05 / (100 * sabs)   AS wql_0_05,
+       s50 / sabs           AS wql_0_5,
+       s95 / (100 * sabs)   AS wql_0_95,
+       (s05 / (100 * sabs) + s50 / sabs + s95 / (100 * sabs)) / 3 AS wql_mean
+FROM sums
+"""
+
+
+def monitoring_consecutive_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 alarm query: hourly event volume; breach when the hour's
+    count exceeds 1.2x the overall hourly mean; alarm islands of >= 3
+    consecutive breached hours (model-monitor-template.yml:786-795
+    Period=3600, DatapointsToAlarm=ConsecutiveBreachToAlarm)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    # mean over integer counts is exact in any engine
+    mean_n = hourly.agg((F.sum("n") / F.count("*")).alias("m"))
+    flagged = hourly.crossJoin(mean_n).withColumn(
+        "breach", F.col("n") > 1.2 * F.col("m")
+    )
+    islands = consecutive_islands(flagged, order_col="h", flag_col="breach")
+    return islands.filter(F.col("island_len") >= 3).select(
+        "island_start", "island_end", "island_len"
+    )
+
+
+MONITORING_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1
+), flagged AS (
+  SELECT h, n, n > 1.2 * (SELECT sum(n)::DOUBLE / count(*) FROM hourly) AS breach
+  FROM hourly
+), grouped AS (
+  SELECT h, breach,
+         row_number() OVER (ORDER BY h)
+       - row_number() OVER (PARTITION BY breach ORDER BY h) AS island
+  FROM flagged
+)
+SELECT min(h) AS island_start, max(h) AS island_end, count(*) AS island_len
+FROM grouped
+WHERE breach
+GROUP BY island
+HAVING count(*) >= 3
+"""
+
+
+def threshold_update_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold updater (update_monitoring_threshold.py:80-101):
+    ``new_threshold = new_wql + |new_wql - old_threshold| * rate`` when
+    the model improved. Demonstrated over per-event-type wQL stand-ins
+    (avg value as the metric, 0.5 update rate vs a fixed old
+    threshold)."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(davg("value").alias("new_metric"))
+    old_threshold = F.lit(60.0)
+    rate = F.lit(0.5)
+    return per_type.select(
+        "event_type",
+        "new_metric",
+        F.when(
+            F.col("new_metric") < old_threshold,
+            F.col("new_metric") + F.abs(F.col("new_metric") - old_threshold) * rate,
+        )
+        .otherwise(old_threshold)
+        .alias("new_threshold"),
+    )
+
+
+THRESHOLD_ORACLE = f"""
+WITH per_type AS (
+  SELECT event_type, {davg_sql('value')} AS new_metric
+  FROM events GROUP BY 1
+)
+SELECT event_type, new_metric,
+       CASE WHEN new_metric < 60.0
+            THEN new_metric + abs(new_metric - 60.0) * 0.5
+            ELSE 60.0 END AS new_threshold
+FROM per_type
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "w1_train_test_split": QuerySpec(w1_train_test_split, W1_ORACLE, "W1"),
+    "w2_expanding_validation_windows": QuerySpec(w2_expanding_validation_windows, W2_ORACLE, "W2"),
+    "w4_forecast_index": QuerySpec(w4_forecast_index, W4_ORACLE, "W4"),
+    "a8_ordered_gather": QuerySpec(a8_ordered_gather, A8_ORACLE, "A8,S13"),
+    "wf_rank_lag_lead": QuerySpec(wf_rank_lag_lead, WF_RANK_ORACLE, "§2.5 ranking"),
+    "wf_running_sum": QuerySpec(wf_running_sum, WF_RUNNING_ORACLE, "§2.5 frames"),
+    "metrics_rmse_wql": QuerySpec(metrics_rmse_wql, METRICS_ORACLE, "A10-A12"),
+    "monitoring_consecutive_breach": QuerySpec(monitoring_consecutive_breach, MONITORING_ORACLE, "§3.3 alarm"),
+    "threshold_update_rule": QuerySpec(threshold_update_rule, THRESHOLD_ORACLE, "§2.10 threshold"),
+}
