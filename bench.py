@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced end-to-end through Spark's noop sink — full
+materialization of every output row on the executors, no driver-side
+collect distorting the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: the reference's production query + one
+# representative per operator family (scan-agg, star join, window
+# functions, series prep, metrics, dedup, similarity, text).
+HEADLINE = [
+    "flagship_tx_window_1min",
+    "tpch_q1_pricing_summary",
+    "join_3way_brand_nation",
+    "p1_dedup_keep_first",
+    "wf_rank_lag_lead",
+    "a8_ordered_gather",
+    "metrics_rmse_wql",
+    "w1_train_test_split",
+    # extension families (present from the round they land)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_search_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+    from mlops_realtime_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # warm the JVM/session on a trivial plan so query 1 isn't charged
+    # for startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
