@@ -1,0 +1,139 @@
+"""Engine-independent deterministic hashing for fuzzy dedup /
+fingerprinting.
+
+Spark's builtin hash functions (murmur3 ``hash``, ``xxhash64``) have
+no DuckDB equivalent, so every hashed operator here is built from a
+31-base polynomial fold mod p = 1e9+7 — pure BIGINT arithmetic that
+any engine computes bit-identically. Each primitive has a Spark SQL
+spelling and a DuckDB spelling generated from the same template, so
+oracle queries replicate the exact computation.
+
+Verified equivalences (see tests/test_extensions.py):
+  fold('the') = 114801 in both engines.
+
+Scale note: all of this stays inside whole-stage codegen on the Spark
+side (higher-order functions over arrays, no Python). A production
+deployment could swap the fold for ``xxhash64`` for speed — the
+polynomial fold is the cross-engine-verifiable spelling of the same
+plan shape.
+"""
+
+from __future__ import annotations
+
+P = 1_000_000_007  # fold modulus
+K_SIG = 16         # minhash signature length
+N_BANDS = 4        # LSH bands (r = 4 rows/band)
+# fixed odd multipliers/offsets for the k permutations (public
+# random-looking constants; any fixed values < P work)
+MINHASH_A = [
+    1007563541, 849284693, 1137522359, 670114721, 541529747, 910989333,
+    1251739111, 777777773, 433494437, 982451653, 141650963, 715225741,
+    993319271, 257885161, 618258799, 370248451,
+]
+MINHASH_B = [
+    15485863, 32452843, 49979687, 67867967, 86028121, 104395301,
+    122949823, 141650939, 160481183, 179424673, 198491317, 217645177,
+    236887691, 256203161, 275604541, 295075147,
+]
+# normalize a*x+b into [0,P): a reduced mod P first so a*h < 9.2e18
+MINHASH_A = [a % P for a in MINHASH_A]
+MINHASH_B = [b % P for b in MINHASH_B]
+
+
+# ---------- tokens ----------
+
+def spark_tokens(col: str) -> str:
+    return f"filter(split(lower(trim({col})), '\\\\s+'), x -> x != '')"
+
+
+def duck_tokens(col: str) -> str:
+    return f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), x -> x != '')"
+
+
+# ---------- char-fold hash of a string expression ----------
+
+def spark_str_hash(s: str) -> str:
+    codes = f"transform(sequence(1, length({s})), i -> cast(ascii(substr({s}, i, 1)) as bigint))"
+    return f"aggregate({codes}, 0L, (acc, c) -> (acc * 31 + c) % {P})"
+
+
+def duck_str_hash(s: str) -> str:
+    codes = f"list_transform(range(1, length({s}) + 1), i -> CAST(ascii(substring({s}, i, 1)) AS BIGINT))"
+    return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (acc, c) -> (acc * 31 + c) % {P})"
+
+
+# ---------- token-hash arrays ----------
+
+def spark_token_hashes(col: str) -> str:
+    return f"transform({spark_tokens(col)}, t -> {spark_str_hash('t')})"
+
+
+def duck_token_hashes(col: str) -> str:
+    return f"list_transform({duck_tokens(col)}, t -> {duck_str_hash('t')})"
+
+
+# ---------- word n-gram shingle hashes from a token-hash array ----------
+
+def _chain(terms: list[str]) -> str:
+    """((t0*31 + t1) % P * 31 + t2) % P ..."""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * 31 + {t}) % {P}"
+    return expr
+
+
+def spark_shingle_hashes(h_arr: str, n: int) -> str:
+    """Guarded: Spark sequence(1, 0) yields a DESCENDING sequence, so
+    short docs must short-circuit to an empty array."""
+    terms = [f"element_at(h, i + {j})" for j in range(n)]
+    return (
+        f"case when size({h_arr}) < {n} then array() "
+        f"else transform(sequence(1, size({h_arr}) - {n - 1}), i -> {_chain(terms)}) end"
+    )
+
+
+def duck_shingle_hashes(h_arr: str, n: int) -> str:
+    terms = [f"h[i + {j}]" for j in range(n)]
+    return (
+        f"list_transform(range(1, greatest(len({h_arr}) - {n - 2}, 1)), i -> {_chain(terms)})"
+    )
+
+
+# NOTE: both spellings reference the token-hash array as a plain
+# column named `h` inside the lambda — callers materialize the token
+# hashes as a column aliased `h` first (keeps the generated SQL
+# readable and evaluates the token fold once).
+
+
+# ---------- minhash signature / LSH band keys from shingle hashes ----------
+
+def _perm(j: int, x: str) -> str:
+    return f"({MINHASH_A[j]} * {x} + {MINHASH_B[j]}) % {P}"
+
+
+def spark_minhash_sigs(s_arr: str) -> str:
+    sigs = ", ".join(f"array_min(transform({s_arr}, x -> {_perm(j, 'x')}))" for j in range(K_SIG))
+    return f"array({sigs})"
+
+
+def duck_minhash_sigs(s_arr: str) -> str:
+    sigs = ", ".join(f"list_min(list_transform({s_arr}, x -> {_perm(j, 'x')}))" for j in range(K_SIG))
+    return f"[{sigs}]"
+
+
+def spark_band_keys(sig_arr: str) -> str:
+    r = K_SIG // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        terms = [f"element_at({sig_arr}, {b * r + j + 1})" for j in range(r)]
+        bands.append(_chain(terms))
+    return f"array({', '.join(bands)})"
+
+
+def duck_band_keys(sig_arr: str) -> str:
+    r = K_SIG // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        terms = [f"{sig_arr}[{b * r + j + 1}]" for j in range(r)]
+        bands.append(_chain(terms))
+    return f"[{', '.join(bands)}]"

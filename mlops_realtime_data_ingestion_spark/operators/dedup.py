@@ -1,0 +1,293 @@
+"""Document deduplication at scale: exact, n-gram Jaccard,
+MinHash+LSH, SimHash (north-star extension, SURVEY.md §7 step 8).
+
+These are the operators a 100 TB training-data pipeline runs on the
+``documents`` table. Candidate generation and verification are
+DataFrame-native (joins, aggregations, no driver collects); the hash
+computation itself runs as Arrow-batched numpy (pandas UDF) by
+default because Spark evaluates higher-order-function lambdas
+interpreted — the SQL spelling of the identical integer math is kept
+under ``impl="sql"`` and IS the DuckDB oracle, with bit-equality
+asserted in tests.
+
+Scale design:
+- candidate generation is always BLOCKED (length-band blocking for
+  plain Jaccard, band-bucket join for MinHash-LSH, byte-band join for
+  SimHash): the all-pairs comparison never materializes. Shuffle
+  volume = docs x small-constant (bands), never docs^2.
+- the shingle/token hashing is REPARTITIONED first and PERSISTED:
+  higher-order-function lambdas evaluate interpreted (outside
+  whole-stage codegen), so the fold is the dominant cost — it must
+  run once per document across all cores, not once per plan
+  reference. (Measured: 5000 docs on one partition = 44 s; spread
+  and cached = ~1 s.)
+- pair verification joins carry only (id, shingle-hash array).
+- the LSH band join is a plain shuffle equi-join; AQE splits skewed
+  buckets (boilerplate-heavy corpora produce hot bands).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions import hashing as H
+from ..functions import hashing_pandas as HP
+
+__all__ = [
+    "with_shingle_hashes",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+]
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    extra_cols: tuple[str, ...] = (),
+    impl: str = "pandas",
+) -> DataFrame:
+    """(id, sh [, extra]): distinct word-n-gram shingle hashes per
+    document, spread across cores before hashing.
+
+    impl="pandas" (default): Arrow-batched numpy — same integer math,
+    ~20x faster than the interpreted higher-order-function spelling
+    (impl="sql", kept as the oracle-documented reference; bit-equality
+    asserted in tests).
+    """
+    spark = df.sparkSession
+    src = df.select(id_col, text_col, *extra_cols).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    if impl == "sql":
+        return (
+            src.withColumn("h", F.expr(H.spark_token_hashes(text_col)))
+            .withColumn("sh", F.array_distinct(F.expr(H.spark_shingle_hashes("h", n))))
+            .select(F.col(id_col).alias("id"), "sh", *extra_cols)
+        )
+
+    @F.pandas_udf("array<long>")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return HP.shingle_series(texts, n)
+
+    return src.withColumn("sh", sh_udf(F.col(text_col))).select(
+        F.col(id_col).alias("id"), "sh", *extra_cols
+    )
+
+
+def _jaccard(a: str, b: str):
+    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
+    union = F.size(F.array_union(F.col(a), F.col(b)))
+    return inter / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = (),
+    length_band: int | None = 50,
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over blocked candidate pairs.
+
+    Blocking = equal ``block_cols`` + same length band (near-dups have
+    near-equal length; pairs straddling a band boundary are missed by
+    construction — documented contract; the no-length-assumption
+    variant is minhash_lsh_pairs).
+    """
+    extra = tuple(block_cols) + ((length_col,) if length_band is not None else ())
+    shingled = with_shingle_hashes(df, id_col, text_col, n, extra_cols=extra)
+    if length_band is not None:
+        shingled = shingled.withColumn(
+            "__band", F.floor(F.col(length_col) / length_band).cast("int")
+        ).drop(length_col)
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    keys = list(block_cols) + (["__band"] if length_band is not None else [])
+    right = shingled.select(
+        *[F.col(c) for c in keys],
+        F.col("id").alias("id2"),
+        F.col("sh").alias("sh2"),
+    )
+    pairs = shingled.join(right, keys).filter(F.col("id") < F.col("id2"))
+    return (
+        pairs.withColumn("jaccard", _jaccard("sh", "sh2"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash (k=16) + LSH (4 bands x 4 rows) candidate generation,
+    exact-Jaccard verification.
+
+    shingle -> minhash signature -> band keys -> explode ->
+    bucket self-join on ids only -> distinct pairs -> re-join the
+    cached shingle sets -> verify jaccard >= threshold.
+
+    Collision probability at true Jaccard s is 1-(1-s^4)^4 (~0.96 at
+    s=0.8, ~0.22 at s=0.4): candidates are a thin superset of real
+    dups, so verification work ~ output size, not corpus size.
+    """
+    shingled = (
+        with_shingle_hashes(df, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    @F.pandas_udf("array<long>")
+    def bands_udf(sh: pd.Series) -> pd.Series:
+        return HP.sig_band_series(sh)
+
+    banded = shingled.withColumn("bands", bands_udf(F.col("sh"))).select(
+        "id", F.posexplode("bands").alias("band_id", "band_key")
+    )
+    rhs = banded.select(
+        "band_id", "band_key", F.col("id").alias("id2")
+    )
+    candidates = (
+        banded.join(rhs, ["band_id", "band_key"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2")
+        .dropDuplicates(["id", "id2"])
+    )
+    lhs_sh = shingled.select(F.col("id"), F.col("sh"))
+    rhs_sh = shingled.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        candidates.join(lhs_sh, "id")
+        .join(rhs_sh, "id2")
+        .withColumn("jaccard", _jaccard("sh", "sh2"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            "jaccard",
+        )
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48, n: int = 2, impl: str = "pandas"
+) -> DataFrame:
+    """SimHash fingerprint per document over word-n-gram shingle
+    hashes (relational formulation).
+
+    Shingles, not unigrams: with a small vocabulary (boilerplate-heavy
+    or synthetic corpora) unigram bit-votes converge to the corpus
+    frequency profile and everything collides; n-gram votes are
+    order-sensitive and discriminative. 48 bits sidesteps BIGINT sign
+    issues while keeping byte-banding natural (6 bands).
+
+    Instead of a nested fold with an array accumulator (which DuckDB's
+    lambda surface can't mirror), the bit-vote sum is a plain
+    explode -> groupBy: doc x shingle x bit -> per-bit vote sum ->
+    packed integer. Shuffles key on (doc, bit) — linear scale.
+    """
+    src = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    # docs with < n tokens have no shingles and no fingerprint (the
+    # relational spelling drops them via explode; mirror that here)
+    src = src.filter(F.size(F.expr(H.spark_tokens(text_col))) >= n)
+    if impl == "sql":
+        sh = (
+            src.withColumn("h", F.expr(H.spark_token_hashes(text_col)))
+            .withColumn("shs", F.expr(H.spark_shingle_hashes("h", n)))
+            .select(F.col(id_col).alias("id"), F.explode("shs").alias("th"))
+        )
+        # th < 2^30 (mod 1e9+7), so a plain bit-index only reaches 30
+        # bits: vote on bit (i % 30) of a per-position re-permuted hash
+        votes = sh.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "th",
+        ).withColumn(
+            "vote",
+            F.expr(
+                f"CASE WHEN (((th * (1 + 2 * bit) + bit * 97) % {H.P}) >> (bit % 30)) & 1 = 1 "
+                "THEN 1 ELSE -1 END"
+            ),
+        )
+        bitsum = votes.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+        return bitsum.groupBy("id").agg(
+            F.sum(F.expr("CASE WHEN v >= 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias(
+                "simhash"
+            )
+        )
+
+    @F.pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return HP.simhash_series(texts, n, bits)
+
+    return src.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 48,
+    n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, byte-band blocked:
+    hashes within hamming <= (bands-1) share at least one byte band
+    (pigeonhole: 6 bands at 48 bits covers hamming <= 5)."""
+    sh = simhash_fingerprints(df, id_col, text_col, bits, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_bytes = bits // 8
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {8 * k}) & 255")
+                    for k in range(n_bytes)
+                ]
+            )
+        ).alias("band_id", "band_byte"),
+    )
+    rhs = banded.select(
+        "band_id",
+        "band_byte",
+        F.col("id").alias("id2"),
+        F.col("simhash").alias("simhash2"),
+    )
+    pairs = (
+        banded.join(rhs, ["band_id", "band_byte"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2", "simhash", "simhash2")
+        .dropDuplicates(["id", "id2"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            "hamming",
+        )
+    )

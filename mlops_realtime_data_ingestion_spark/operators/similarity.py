@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY.md §7 step 8).
+
+Brute-force cosine top-k is the exact baseline; IVF (coarse-quantizer
+bucketing, probe the nearest cells) is the scale path. Both are pure
+DataFrame plans: dot products via ``zip_with``/``aggregate`` (JVM
+codegen, no Python), ranking via window functions.
+
+Scale design:
+- brute force: queries x corpus is a broadcast nested-loop on the
+  (tiny) query side — the corpus is scanned ONCE, never shuffled.
+  Fine for ad-hoc k-NN; O(Q*N) overall.
+- IVF: corpus is bucketed by nearest centroid (one pass), a query
+  probes only `nprobe` cells — O(Q * N * nprobe / C). Centroids come
+  from any assignment column (label here, k-means in production);
+  the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "cosine_topk", "ivf_topk", "centroids_by"]
+
+
+def cosine(a: str, b: str):
+    """Cosine similarity of two array<float/double> columns, computed
+    in doubles with a sequential fold (deterministic order)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.col(b), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-match excluded).
+
+    Rank on the 6dp-rounded similarity with id tiebreak so ordering is
+    reproducible across engines and runs (raw float ranking is
+    ULP-fragile between near-duplicate vectors).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def centroids_by(
+    corpus: DataFrame, assign_col: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean vector per cell: posexplode -> avg per (cell, dim) ->
+    re-assemble. One shuffle keyed (cell, dim); no driver collect."""
+    exploded = corpus.select(
+        F.col(assign_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x")
+    )
+    per_dim = exploded.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    assign_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest cells only.
+
+    corpus is pre-bucketed by ``assign_col`` (its coarse quantizer);
+    each query ranks centroids, keeps nprobe cells, and scans just
+    those buckets. Recall < 1 by construction; the exactness gap is
+    the price of the N/C * nprobe scan reduction.
+    """
+    cents = centroids_by(corpus, assign_col, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # rank cells per query on the (broadcast) centroid table
+    cell_scores = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim", F.round(cosine("qv", "centroid"), 6)
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    probed = (
+        cell_scores.withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    c = corpus.select(
+        F.col(assign_col).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

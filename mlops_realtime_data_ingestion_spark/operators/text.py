@@ -1,0 +1,129 @@
+"""Text analysis operators (north-star extension, SURVEY.md §7
+step 8): quality scoring, language ID, token counting, document
+fingerprinting. All built-in-function plans (no Python UDFs), all
+cross-engine deterministic (ratios are int/int divisions; hashes are
+the functions/hashing polynomial fold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+__all__ = [
+    "STOPWORDS",
+    "LANG_PROFILES",
+    "quality_score",
+    "language_id",
+    "token_counts",
+    "fingerprint",
+]
+
+# public, fixed word lists — the heuristic's profile, not learned
+STOPWORDS = (
+    "the a an of to in and is are was were be been it this that with "
+    "for on as at by from or not".split()
+)
+
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": "the a of and to in is that it for".split(),
+    "de": "der die das und ist nicht ein zu mit von".split(),
+    "es": "el la de que y en un ser no por".split(),
+    "fr": "le la de et un être que pour dans ce".split(),
+    "zh": "的 是 不 了 在 人 有 我 他 这".split(),
+}
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single other
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word / stopword / punctuation heuristics — the usual
+    pre-training quality gates. ``quality_ok`` mirrors C4-style
+    filters (min length, min words, bounded stopword ratio)."""
+    toks = F.expr(H.spark_tokens(text_col))
+    n_words = F.size(toks)
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9\\s]", "")
+    )
+    out = df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_m"),
+        n_words.alias("n_words"),
+        (F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_words).alias("avg_word_len"),
+        (n_stop / n_words).alias("stopword_ratio"),
+        (n_punct / F.length(text_col)).alias("punct_ratio"),
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_chars_m") >= 100)
+        & (F.col("n_words") >= 20)
+        & (F.col("stopword_ratio") >= 0.01),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language scoring: fraction of tokens matching
+    each language profile, argmax with lexicographic tiebreak.
+    Relational formulation (explode profiles -> score -> rank) so the
+    oracle replicates it verbatim."""
+    spark = df.sparkSession
+    profiles = spark.createDataFrame(
+        [(lang, words) for lang, words in sorted(LANG_PROFILES.items())],
+        "lang_cand string, profile array<string>",
+    )
+    toks = df.select(
+        "doc_id", F.expr(H.spark_tokens(text_col)).alias("toks")
+    ).withColumn("n_words", F.size("toks"))
+    scored = toks.crossJoin(F.broadcast(profiles)).withColumn(
+        "score",
+        F.size(F.filter(F.col("toks"), lambda t: F.array_contains(F.col("profile"), t)))
+        / F.col("n_words"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang_cand").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("lang_cand").alias("lang_pred"), "score")
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count (letter runs /
+    digit runs / single symbols) — the cheap proxy for tokenizer cost
+    budgeting."""
+    return df.select(
+        "doc_id",
+        F.size(F.expr(H.spark_tokens(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
+    """Rolling polynomial hash of the normalized text (lowercased,
+    whitespace collapsed) — a content fingerprint for exact-dup
+    detection across formatting variants.
+
+    Default impl is the vectorized numpy fold (bit-identical to the
+    SQL spelling — see functions/hashing_pandas); impl="sql" keeps the
+    interpreted expression for oracle documentation."""
+    if impl == "sql":
+        norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+        return df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        ).select("doc_id", F.expr(H.spark_str_hash(norm)).alias("fp"))
+
+    from ..functions import hashing_pandas as HP
+
+    @F.pandas_udf("long")
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return HP.fingerprint_series(texts)
+
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        "doc_id", fp_udf(F.col(text_col)).alias("fp")
+    )

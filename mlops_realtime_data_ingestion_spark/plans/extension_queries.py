@@ -1,0 +1,376 @@
+"""North-star extension queries (SURVEY.md §7 step 8): fuzzy dedup,
+similarity search, text analysis, multimodal plumbing — the operators
+a 100 TB training-data pipeline needs, each oracle-matched where the
+semantics are SQL-expressible.
+
+Oracles replicate the engine's exact integer hashing
+(functions/hashing) and sequential-fold float math, so hashes match
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..operators.multimodal import attach_binary, decode_features, sniff_format
+from ..operators.similarity import cosine, cosine_topk, ivf_topk
+from ..operators.text import fingerprint, language_id, quality_score, token_counts
+from ..sources.batch import load_table
+from .spec import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------- shared oracle fragments ----------
+
+_DUCK_H = H.duck_token_hashes("text")
+_DUCK_SH2 = H.duck_shingle_hashes("h", 2)  # word-bigram shingles
+_DUCK_JACCARD = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+# sequential left-fold dot product / norms: bitwise-identical to
+# Spark's aggregate() fold
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),"
+    " (acc, v) -> acc + v)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+    " (acc, v) -> acc + v))"
+)
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ')"
+_DUCK_TEXT_FP = H.duck_str_hash(_NORM_TEXT)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_NORM.format(a=a)
+    nb = _DUCK_NORM.format(a=b)
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+# ---------- dedup ----------
+
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: groups sharing the same
+    normalized-text hash; keeps the min doc_id as canonical."""
+    fp = fingerprint(_docs(spark, sf_dir))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT {_DUCK_TEXT_FP} AS fp,
+       min(doc_id) AS canonical_doc_id,
+       count(*)    AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard >= 0.5 over (lang, length-band)-blocked
+    pairs."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        threshold=0.5,
+        block_cols=("lang",),
+        length_band=50,
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS band,
+         list_distinct({_DUCK_SH2}) AS sh
+  FROM base
+)
+SELECT doc_id_1, doc_id_2, jaccard FROM (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, {_DUCK_JACCARD} AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) candidates, verified Jaccard >= 0.5 —
+    the no-length-assumption scale path."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=2, threshold=0.5
+    )
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SH2}) AS sh FROM base
+  WHERE len(list_distinct({_DUCK_SH2})) > 0
+), sig AS (
+  SELECT doc_id, sh, {H.duck_minhash_sigs('sh')} AS sig FROM sh
+), banded AS (
+  SELECT doc_id, sh,
+         unnest(range(0, {H.N_BANDS})) AS band_id,
+         unnest({H.duck_band_keys('sig')}) AS band_key
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2, jaccard FROM (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, {_DUCK_JACCARD} AS jaccard
+  FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48) over word-bigram shingles, hamming <= 3, byte-band
+    blocked (6 bands)."""
+    return simhash_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3, bits=48, n=2
+    )
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h FROM documents
+), shl AS (
+  SELECT doc_id, unnest({_DUCK_SH2}) AS th FROM base
+), votes AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (((th * (1 + 2 * bit) + bit * 97) % {H.P}) >> (bit % 30)) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM shl, (SELECT unnest(range(0, 48)) AS bit) b
+), bitsum AS (
+  SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY 1, 2
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY 1
+), banded AS (
+  SELECT doc_id, simhash, k AS band_id, (simhash >> (8 * k)) & 255 AS band_byte
+  FROM sh, (SELECT unnest(range(0, 6)) AS k) ks
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS s1, b.simhash AS s2
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2, hamming FROM (
+  SELECT id1 AS doc_id_1, id2 AS doc_id_2, bit_count(xor(s1, s2)) AS hamming FROM cand
+) WHERE hamming <= 3
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates: intra-label pairs with cosine >=
+    0.4 (label = the coarse blocking key; the testdata plants no true
+    vector dups, so the threshold sits at the top of the intra-cluster
+    distribution)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("label"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("label"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("sim", F.round(cosine("e1", "e2"), 6))
+        .filter(F.col("sim") >= 0.4)
+        .select(F.col("id1").alias("vec_id_1"), F.col("id2").alias("vec_id_2"), "sim")
+    )
+
+
+DEDUP_EMB_ORACLE = f"""
+SELECT vec_id_1, vec_id_2, sim FROM (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE sim >= 0.4
+"""
+
+
+# ---------- similarity search ----------
+
+def sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 5."""
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+SIM_TOPK_ORACLE = f"""
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({_duck_cosine('q.embedding', 'c.embedding')}, 6) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+"""
+
+
+def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label as coarse quantizer, probe 2 cells.
+    Approximate by construction -> rows-only check; accuracy asserted
+    against brute force in tests/test_extensions.py."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), assign_col="label", k=5, nprobe=2)
+
+
+# ---------- text analysis ----------
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+from ..operators.text import STOPWORDS as _STOPWORDS  # noqa: E402
+
+_SW = "', '".join(_STOPWORDS)
+
+TEXT_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {H.duck_tokens('text')} AS toks FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(toks)    AS n_words,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) AS avg_word_len,
+       CAST(len(list_filter(toks, x -> list_contains(['{_SW}'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       length(text) >= 100 AND len(toks) >= 20
+         AND CAST(len(list_filter(toks, x -> list_contains(['{_SW}'], x))) AS DOUBLE) / len(toks) >= 0.01 AS quality_ok
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _lang_profile_values() -> str:
+    from ..operators.text import LANG_PROFILES
+
+    rows = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        arr = "', '".join(words)
+        rows.append(f"('{lang}', ['{arr}'])")
+    return ", ".join(rows)
+
+
+TEXT_LANG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {H.duck_tokens('text')} AS toks FROM documents
+), profiles(lang_cand, profile) AS (
+  VALUES {_lang_profile_values()}
+), scored AS (
+  SELECT doc_id, lang_cand,
+         CAST(len(list_filter(toks, x -> list_contains(profile, x))) AS DOUBLE) / len(toks) AS score
+  FROM t, profiles
+)
+SELECT doc_id, lang_cand AS lang_pred, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_cand) = 1
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+TEXT_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len({H.duck_tokens('text')}) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+TEXT_FP_ORACLE = f"""
+SELECT doc_id,
+       {_DUCK_TEXT_FP} AS fp
+FROM documents
+"""
+
+
+# ---------- embeddings stats / multimodal ----------
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats. min/max over per-row identical doubles
+    is order-independent, so no decimal machinery needed."""
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return (
+        emb.withColumn("norm", F.round(norm, 6))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )
+
+
+EMB_STATS_ORACLE = f"""
+SELECT label, count(*) AS n,
+       min(round({_DUCK_NORM.format(a='embedding')}, 6)) AS min_norm,
+       max(round({_DUCK_NORM.format(a='embedding')}, 6)) AS max_norm
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach payload -> JVM-side format sniff
+    -> Arrow-batched mapInPandas decode stub. Python in the plan =>
+    rows-only check; plumbing is asserted in tests."""
+    docs = attach_binary(_docs(spark, sf_dir))
+    sniffed = sniff_format(docs)
+    feats = decode_features(sniffed, target_partitions=8)
+    return feats.select("doc_id", "payload_len", "n_chunks", F.round("mean_byte", 6).alias("mean_byte"))
+
+
+SPECS: dict[str, QuerySpec] = {
+    "dedup_exact_fingerprint": QuerySpec(dedup_exact_fingerprint, DEDUP_EXACT_ORACLE, "dedup-exact"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "dedup-jaccard"),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "dedup-minhash-lsh"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE, "dedup-simhash"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
+    "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
+    "sim_search_ivf_topk": QuerySpec(sim_search_ivf_topk, None, "ann-ivf (approx)"),
+    "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_ORACLE, "text-quality"),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ORACLE, "text-langid"),
+    "text_token_count": QuerySpec(text_token_count, TEXT_TOKENS_ORACLE, "text-tokens"),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
+    "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),
+    "multimodal_decode": QuerySpec(multimodal_decode, None, "multimodal (mapInPandas)"),
+}

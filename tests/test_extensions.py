@@ -1,0 +1,127 @@
+"""Extension-operator tests: pandas/SQL hash bit-equality, LSH
+recall vs exact, IVF accuracy vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_realtime_data_ingestion_spark.functions import hashing as H
+from mlops_realtime_data_ingestion_spark.functions import hashing_pandas as HP
+from mlops_realtime_data_ingestion_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    with_shingle_hashes,
+)
+from mlops_realtime_data_ingestion_spark.operators.multimodal import (
+    attach_binary,
+    decode_features,
+    sniff_format,
+)
+from mlops_realtime_data_ingestion_spark.operators.similarity import cosine_topk, ivf_topk
+from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+
+def test_pandas_sql_hash_bit_equality(spark, sf_dir):
+    """The vectorized numpy hashing must equal the interpreted SQL
+    spelling bit-for-bit — this is what licenses the fast path against
+    the DuckDB oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = with_shingle_hashes(docs, "doc_id", "text", n=2, impl="pandas")
+    b = with_shingle_hashes(docs, "doc_id", "text", n=2, impl="sql")
+    merged = a.alias("a").join(b.alias("b"), "id").select(
+        "id",
+        (F.col("a.sh") == F.sort_array(F.col("b.sh"))).alias("eq_sorted"),
+    )
+    bad = merged.filter(~F.col("eq_sorted")).count()
+    assert bad == 0
+
+    sa = simhash_fingerprints(docs, "doc_id", "text", impl="pandas")
+    sb = simhash_fingerprints(docs, "doc_id", "text", impl="sql")
+    diff = (
+        sa.alias("a")
+        .join(sb.alias("b"), "id")
+        .filter(F.col("a.simhash") != F.col("b.simhash"))
+        .count()
+    )
+    assert diff == 0
+    assert sa.count() == sb.count()
+
+
+def test_scalar_hash_reference_values():
+    # cross-checked against both engines' fold in plans oracles
+    assert HP.str_hash("the") == 114801
+    assert HP.str_hash("") == 0
+    th = HP.token_hashes("  The fast  dog ")
+    assert list(th) == [HP.str_hash("the"), HP.str_hash("fast"), HP.str_hash("dog")]
+    sh = HP.shingle_hashes(np.array([1, 2, 3], dtype=np.int64), 2)
+    assert list(sh) == [(1 * 31 + 2) % H.P, (2 * 31 + 3) % H.P]
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """Every blocked-Jaccard pair must also be found by MinHash-LSH
+    (the planted near-dups have jaccard ~0.99 => band-collision
+    probability ~1-(1-0.99^4)^4 ~ 1.0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, block_cols=("lang",)
+        ).collect()
+    }
+    lsh = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert exact <= lsh
+    assert len(lsh) >= len(exact)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF contract: probing all cells IS brute force; fewer cells
+    trades recall for an nprobe/n_cells scan reduction. (The testdata
+    labels are weak clusters — true neighbors spread across labels —
+    so partial-probe recall is genuinely modest here.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    full = ivf_topk(emb, queries, assign_col="label", k=5, nprobe=10).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert full_set == exact_set  # nprobe = n_cells => exact
+
+    approx = ivf_topk(emb, queries, assign_col="label", k=5, nprobe=3).collect()
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert 0.1 <= recall <= 1.0, f"IVF recall {recall}"
+    assert len(approx) == len(exact)  # k answers per query regardless
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    with_bin = attach_binary(docs)
+    sniffed = sniff_format(with_bin)
+    rows = sniffed.select("doc_id", "payload_len", "format").collect()
+    assert all(r["payload_len"] > 0 for r in rows)
+    assert all(r["format"] == "unknown" for r in rows)  # utf-8 text, no magic
+
+    feats = decode_features(sniffed, target_partitions=4).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_chunks"] == -(-r["payload_len"] // 64)
+        assert len(r["feature"]) == r["n_chunks"]
+        assert 0 <= r["mean_byte"] <= 255
+
+
+def test_magic_byte_sniff(spark):
+    payloads = [
+        (1, bytes.fromhex("89504e470d0a1a0a") + b"xxxx"),
+        (2, bytes.fromhex("ffd8ffe0") + b"jfif"),
+        (3, b"plain text"),
+    ]
+    df = spark.createDataFrame(payloads, "id int, payload binary")
+    got = {r["id"]: r["format"] for r in sniff_format(df).collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "unknown"}
