@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The headline set: the reference's production query + one
@@ -49,9 +51,23 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
-    # warm the JVM/session on a trivial plan so query 1 isn't charged
-    # for startup
+    # Warm the session so no query is charged for one-time machinery:
+    # JVM codegen, the Python worker pool (pandas UDFs fork ~1 worker
+    # per core on first use), and Arrow serialization paths.
+    from pyspark.sql import functions as F
+
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    @F.pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(10000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id")
+    ).selectExpr("sum(`_warm(id)`)").collect()
+    spark.range(100).selectExpr(
+        "aggregate(sequence(1, 50), 0L, (a, x) -> a + x)"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

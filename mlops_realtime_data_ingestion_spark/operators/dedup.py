@@ -147,29 +147,51 @@ def minhash_lsh_pairs(
     s=0.8, ~0.22 at s=0.4): candidates are a thin superset of real
     dups, so verification work ~ output size, not corpus size.
     """
-    shingled = (
-        with_shingle_hashes(df, id_col, text_col, n)
+    import numpy as np
+
+    @F.pandas_udf("struct<sh: array<long>, bands: array<long>>")
+    def shb_udf(texts: pd.Series) -> pd.DataFrame:
+        sh = texts.map(lambda t: np.unique(HP.shingle_hashes(HP.token_hashes(t or ""), n)))
+        bands = sh.map(
+            lambda s: HP.band_keys(HP.minhash_sigs(s))
+            if len(s)
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"sh": sh, "bands": bands})
+
+    spark = df.sparkSession
+    base = (
+        df.select(id_col, text_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), shb_udf(F.col(text_col)).alias("r"))
+        .select("id", F.col("r.sh").alias("sh"), F.col("r.bands").alias("bands"))
         .filter(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    @F.pandas_udf("array<long>")
-    def bands_udf(sh: pd.Series) -> pd.Series:
-        return HP.sig_band_series(sh)
-
-    banded = shingled.withColumn("bands", bands_udf(F.col("sh"))).select(
-        "id", F.posexplode("bands").alias("band_id", "band_key")
-    )
-    rhs = banded.select(
-        "band_id", "band_key", F.col("id").alias("id2")
-    )
+    # Pair generation per bucket via collect_list + combination
+    # expansion: one shuffle instead of self-join + dropDuplicates.
+    # Assumes LSH-sized buckets (r=4 rows keeps them small); a corpus
+    # with adversarial hot bands would switch back to a distributed
+    # band self-join, trading two extra shuffles for per-task bounds.
+    banded = base.select("id", F.posexplode("bands").alias("band_id", "band_key"))
     candidates = (
-        banded.join(rhs, ["band_id", "band_key"])
-        .filter(F.col("id") < F.col("id2"))
-        .select("id", "id2")
-        .dropDuplicates(["id", "id2"])
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(least(x, y) AS id, greatest(x, y) AS id2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id", "p.id2")
+        .distinct()
     )
-    lhs_sh = shingled.select(F.col("id"), F.col("sh"))
-    rhs_sh = shingled.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    lhs_sh = base.select(F.col("id"), F.col("sh"))
+    rhs_sh = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     return (
         candidates.join(lhs_sh, "id")
         .join(rhs_sh, "id2")

@@ -40,56 +40,131 @@ LANG_PROFILES: dict[str, list[str]] = {
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
     """Length / word / stopword / punctuation heuristics — the usual
     pre-training quality gates. ``quality_ok`` mirrors C4-style
-    filters (min length, min words, bounded stopword ratio)."""
-    toks = F.expr(H.spark_tokens(text_col))
-    n_words = F.size(toks)
-    sw = F.array([F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n_punct = F.length(text_col) - F.length(
-        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9\\s]", "")
+    filters (min length, min words, bounded stopword ratio).
+
+    Default impl is a single-pass Arrow-batched UDF (integer counts +
+    IEEE int/int divisions — identical values to the SQL spelling,
+    which is kept under impl="sql" and mirrored by the oracle)."""
+    if impl == "sql":
+        toks = F.expr(H.spark_tokens(text_col))
+        n_words = F.size(toks)
+        sw = F.array([F.lit(w) for w in STOPWORDS])
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        n_punct = F.length(text_col) - F.length(
+            F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9\\s]", "")
+        )
+        out = df.select(
+            "doc_id",
+            F.length(text_col).cast("long").alias("n_chars_m"),
+            n_words.cast("long").alias("n_words"),
+            (F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_words).alias("avg_word_len"),
+            (n_stop / n_words).alias("stopword_ratio"),
+            (n_punct / F.length(text_col)).alias("punct_ratio"),
+        )
+        return out.withColumn(
+            "quality_ok",
+            (F.col("n_chars_m") >= 100)
+            & (F.col("n_words") >= 20)
+            & (F.col("stopword_ratio") >= 0.01),
+        )
+
+    sw_set = frozenset(STOPWORDS)
+    schema = (
+        "struct<n_chars_m: bigint, n_words: bigint, avg_word_len: double,"
+        " stopword_ratio: double, punct_ratio: double, quality_ok: boolean>"
     )
-    out = df.select(
-        "doc_id",
-        F.length(text_col).alias("n_chars_m"),
-        n_words.alias("n_words"),
-        (F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_words).alias("avg_word_len"),
-        (n_stop / n_words).alias("stopword_ratio"),
-        (n_punct / F.length(text_col)).alias("punct_ratio"),
-    )
-    return out.withColumn(
-        "quality_ok",
-        (F.col("n_chars_m") >= 100)
-        & (F.col("n_words") >= 20)
-        & (F.col("stopword_ratio") >= 0.01),
+
+    @F.pandas_udf(schema)
+    def q_udf(texts: pd.Series) -> pd.DataFrame:
+        import re
+
+        rows = []
+        for t in texts:
+            t = t or ""
+            toks = t.lower().strip().split()
+            nw = len(toks)
+            nc = len(t)
+            n_stop = sum(1 for x in toks if x in sw_set)
+            no_ws = len(re.sub(r"\s+", "", t))
+            n_punct = nc - len(re.sub(r"[^a-zA-Z0-9\s]", "", t))
+            swr = n_stop / nw if nw else None
+            rows.append(
+                (
+                    nc,
+                    nw,
+                    no_ws / nw if nw else None,
+                    swr,
+                    n_punct / nc if nc else None,
+                    bool(nc >= 100 and nw >= 20 and swr is not None and swr >= 0.01),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_chars_m",
+                "n_words",
+                "avg_word_len",
+                "stopword_ratio",
+                "punct_ratio",
+                "quality_ok",
+            ],
+        )
+
+    src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return src.select("doc_id", q_udf(F.col(text_col)).alias("q")).select(
+        "doc_id", "q.*"
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> DataFrame:
     """Stopword-profile language scoring: fraction of tokens matching
-    each language profile, argmax with lexicographic tiebreak.
-    Relational formulation (explode profiles -> score -> rank) so the
-    oracle replicates it verbatim."""
-    spark = df.sparkSession
-    profiles = spark.createDataFrame(
-        [(lang, words) for lang, words in sorted(LANG_PROFILES.items())],
-        "lang_cand string, profile array<string>",
-    )
-    toks = df.select(
-        "doc_id", F.expr(H.spark_tokens(text_col)).alias("toks")
-    ).withColumn("n_words", F.size("toks"))
-    scored = toks.crossJoin(F.broadcast(profiles)).withColumn(
-        "score",
-        F.size(F.filter(F.col("toks"), lambda t: F.array_contains(F.col("profile"), t)))
-        / F.col("n_words"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang_cand").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("doc_id", F.col("lang_cand").alias("lang_pred"), "score")
+    each language profile, argmax with lexicographic tiebreak. The
+    relational spelling (impl="sql": explode profiles -> score ->
+    rank) is what the oracle replicates; the default is a single-pass
+    UDF computing identical integer counts."""
+    if impl == "sql":
+        spark = df.sparkSession
+        profiles = spark.createDataFrame(
+            [(lang, words) for lang, words in sorted(LANG_PROFILES.items())],
+            "lang_cand string, profile array<string>",
+        )
+        toks = df.select(
+            "doc_id", F.expr(H.spark_tokens(text_col)).alias("toks")
+        ).withColumn("n_words", F.size("toks"))
+        scored = toks.crossJoin(F.broadcast(profiles)).withColumn(
+            "score",
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(F.col("profile"), t)))
+            / F.col("n_words"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang_cand").asc())
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("doc_id", F.col("lang_cand").alias("lang_pred"), "score")
+        )
+
+    prof_sets = [(lang, frozenset(words)) for lang, words in sorted(LANG_PROFILES.items())]
+
+    @F.pandas_udf("struct<lang_pred: string, score: double>")
+    def lang_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = (t or "").lower().strip().split()
+            nw = len(toks)
+            best_lang, best_score = None, None
+            for lang, words in prof_sets:  # lexicographic order => ties keep first
+                score = (sum(1 for x in toks if x in words) / nw) if nw else None
+                if score is not None and (best_score is None or score > best_score):
+                    best_lang, best_score = lang, score
+            rows.append((best_lang, best_score))
+        return pd.DataFrame(rows, columns=["lang_pred", "score"])
+
+    src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return src.select("doc_id", lang_udf(F.col(text_col)).alias("r")).select(
+        "doc_id", "r.lang_pred", "r.score"
     )
 
 
@@ -99,8 +174,8 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     budgeting."""
     return df.select(
         "doc_id",
-        F.size(F.expr(H.spark_tokens(text_col))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+        F.size(F.expr(H.spark_tokens(text_col))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).cast("long").alias("bpe_tokens"),
     )
 
 

@@ -177,7 +177,7 @@ WITH base AS (
     ON a.band_id = b.band_id AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id
 )
 SELECT doc_id_1, doc_id_2, hamming FROM (
-  SELECT id1 AS doc_id_1, id2 AS doc_id_2, bit_count(xor(s1, s2)) AS hamming FROM cand
+  SELECT id1 AS doc_id_1, id2 AS doc_id_2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming FROM cand
 ) WHERE hamming <= 3
 """
 

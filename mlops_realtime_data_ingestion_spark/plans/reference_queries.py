@@ -109,7 +109,7 @@ def f6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
-        F.length("props").alias("props_len"),
+        F.length("props").cast("long").alias("props_len"),
     )
 
 

@@ -298,7 +298,7 @@ def j2_positional_zip_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zipped = positional_zip(clicks, views, [F.col("m")], [F.col("m2")])
     return zipped.select(
-        F.row_number().over(Window.orderBy("m")).alias("pos"),
+        F.row_number().over(Window.orderBy("m")).cast("long").alias("pos"),
         "n_click",
         "n_view",
     )

@@ -109,7 +109,7 @@ def a8_ordered_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform(F.col("target"), lambda v: F.round(v, 2).cast("string"))
         ).alias("series"),
-        F.size("target").alias("series_len"),
+        F.size("target").cast("long").alias("series_len"),
     )
 
 
@@ -132,12 +132,12 @@ def wf_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        F.rank().over(wv).alias("id_rank"),
-        F.dense_rank().over(wv).alias("id_dense_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(wv).cast("long").alias("id_rank"),
+        F.dense_rank().over(wv).cast("long").alias("id_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
