@@ -35,4 +35,10 @@ def all_specs() -> dict[str, QuerySpec]:
         specs.update(extension_queries.SPECS)
     except ImportError:
         pass
+    try:
+        from . import streaming_queries
+
+        specs.update(streaming_queries.SPECS)
+    except ImportError:
+        pass
     return specs

@@ -166,6 +166,29 @@ GROUP BY 1
 """
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (§2.4 note: the reference's
+    quantile work happens in numpy; the engine exposes SQL
+    percentile). Both engines linearly interpolate over identical
+    doubles -> identical results."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
 # ---------- joins (J-family generalized) ----------
 
 def join_orders_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +400,7 @@ SPECS: dict[str, QuerySpec] = {
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_ORACLE, "§2.4 cube"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_ORACLE, "§2.4 grouping sets"),
     "agg_pivot": QuerySpec(agg_pivot, AGG_PIVOT_ORACLE, "§2.4 pivot"),
+    "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_ORACLE, "§2.4 quantiles, A12"),
     "join_orders_customer_segment": QuerySpec(join_orders_customer_segment, JOIN_SEGMENT_ORACLE, "§2.3 inner/broadcast"),
     "join_3way_brand_nation": QuerySpec(join_3way_brand_nation, JOIN_3WAY_ORACLE, "§2.3 star join"),
     "join_left_order_counts": QuerySpec(join_left_order_counts, JOIN_LEFT_ORACLE, "§2.3 left outer"),
