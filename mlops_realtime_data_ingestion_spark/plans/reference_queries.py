@@ -170,6 +170,52 @@ FROM lineitem
 """
 
 
+def f4_base64_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: the delivery-Lambda decode path — base64-wrapped JSON
+    record -> decode -> field extraction (delivery_stream_to_
+    featurestore/main.py:34-35 does base64.b64decode + json.loads).
+    The base64 wrap is applied in-query to emulate the Kinesis record
+    encoding."""
+    ev = _events(spark, sf_dir)
+    b64 = F.base64(F.encode("props", "UTF-8"))
+    return ev.select(
+        "event_id",
+        b64.alias("record_b64"),
+        F.get_json_object(
+            F.decode(F.unbase64(b64), "UTF-8"), "$.k"
+        ).cast("int").alias("k_decoded"),
+    )
+
+
+F4_ORACLE = """
+SELECT event_id,
+       to_base64(encode(props)) AS record_b64,
+       CAST(json_extract_string(decode(from_base64(to_base64(encode(props)))), '$.k') AS INTEGER) AS k_decoded
+FROM events
+"""
+
+
+def f5_json_encode_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/S3: JSON encoding + entry-size accounting (the poller
+    serializes {txs:[...]} and sizes entries, ingestion-worker
+    lib.js:15-33,102,125)."""
+    ev = _events(spark, sf_dir)
+    j = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    return ev.select(
+        "event_id",
+        j.alias("entry_json"),
+        F.length(j).cast("long").alias("entry_size"),
+    )
+
+
+F5_ORACLE = """
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id, user_id := user_id, event_type := event_type))::VARCHAR AS entry_json,
+       length(to_json(struct_pack(event_id := event_id, user_id := user_id, event_type := event_type))::VARCHAR) AS entry_size
+FROM events
+"""
+
+
 def a7_minmax_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: series span anchors (preprocess.py:101-103 df.index.min/max)."""
     ev = _events(spark, sf_dir)
@@ -255,6 +301,8 @@ SPECS: dict[str, QuerySpec] = {
     "s10_latest_per_key": QuerySpec(s10_latest_per_key, S10_ORACLE, "S10,W5"),
     "f6_json_extract": QuerySpec(f6_json_extract, F6_ORACLE, "F4,F6"),
     "f1_epoch_roundtrip": QuerySpec(f1_epoch_roundtrip, F1_ORACLE, "F1,F3,F9,P5"),
+    "f4_base64_json": QuerySpec(f4_base64_json, F4_ORACLE, "F4"),
+    "f5_json_encode_size": QuerySpec(f5_json_encode_size, F5_ORACLE, "F5,S3"),
     "f7_f8_scalar_math": QuerySpec(f7_f8_scalar_math, F7_ORACLE, "F7,F8"),
     "a7_minmax_span": QuerySpec(a7_minmax_span, A7_ORACLE, "A7"),
     "sliding_window_agg": QuerySpec(sliding_window_agg, SLIDING_ORACLE, "T3-family"),
