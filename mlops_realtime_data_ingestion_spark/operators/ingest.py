@@ -32,6 +32,7 @@ __all__ = [
     "with_tx_time",
     "dedup_exact",
     "dedup_keep_first",
+    "chunk_greedy",
 ]
 
 
@@ -60,6 +61,52 @@ def explode_envelope(envelopes: DataFrame) -> DataFrame:
 def with_tx_time(txs: DataFrame, epoch_col: str = "time") -> DataFrame:
     """P4: epoch seconds -> event-time timestamp."""
     return txs.withColumn("tx_time", F.to_timestamp(F.from_unixtime(F.col(epoch_col))))
+
+
+def chunk_greedy(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[str],
+    size_col: str,
+    max_bytes: int = 256_000,
+) -> DataFrame:
+    """S2: the poller's 256 KB event-bus batching (ingestion-worker
+    lib.js:95-176) as an operator — greedy size packing per group.
+
+    Within each group (e.g. poll id), rows are packed in order into
+    batches whose cumulative ``size_col`` stays <= max_bytes; a single
+    row over the limit is dropped (the reference drops oversized txs,
+    lib.js:139-146). Greedy packing is inherently sequential per
+    group, so it runs as ``applyInPandas`` per group key — groups are
+    the parallel unit, exactly like the reference's per-poll batches.
+    Output: input columns + ``batch_id`` (0-based within group).
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    schema += ", batch_id int"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        batch_ids = []
+        keep = []
+        current, bid = 0, 0
+        for sz in pdf[size_col]:
+            if sz > max_bytes:
+                keep.append(False)
+                batch_ids.append(-1)
+                continue
+            if current + sz > max_bytes:
+                bid += 1
+                current = 0
+            current += sz
+            keep.append(True)
+            batch_ids.append(bid)
+        pdf["batch_id"] = pd.Series(batch_ids, dtype="int32")
+        return pdf[pd.Series(keep)]
+
+    return df.groupBy(*group_cols).applyInPandas(pack, schema)
 
 
 def dedup_exact(df: DataFrame, keys: list[str]) -> DataFrame:

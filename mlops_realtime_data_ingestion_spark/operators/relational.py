@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["broadcast_dim_join", "top_k", "positional_zip", "consecutive_islands"]
+__all__ = [
+    "broadcast_dim_join",
+    "top_k",
+    "positional_zip",
+    "consecutive_islands",
+    "asof_join",
+]
 
 
 def broadcast_dim_join(
@@ -60,6 +66,73 @@ def positional_zip(
     lhs = left.withColumn("__pos", F.row_number().over(lw))
     rhs = right.withColumn("__pos", F.row_number().over(rw))
     return lhs.join(rhs, "__pos", "inner").drop("__pos")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` per key (Spark has no native ASOF JOIN —
+    this is the union-sort-carry-forward composition).
+
+    Plan: tag both sides, union, one window sorted by (key, ts, side)
+    with ``last(value, ignorenulls)`` carrying the most recent right
+    value forward onto left rows. ONE shuffle on the key — no range
+    join explosion, no per-row probe. At 100 TB this is the only
+    shape that scales: a naive ``left.ts >= right.ts`` range join is
+    O(n*m) within key.
+
+    ``tolerance``: optional max staleness ("30 minutes") — matches are
+    nulled when the carried value is older than the window.
+    """
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c) for c in lcols if c not in key_cols],
+    )
+    tagged_r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in key_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_cols = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
+        for c in value_cols
+    ]
+    carried_ts = F.last(
+        F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w).alias("__carried_ts")
+    unioned = tagged_l.unionByName(tagged_r).select("*", *carried_cols, carried_ts)
+    out = unioned.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = F.col("__carried_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        sel_vals = [
+            F.when(fresh, F.col(f"__carried_{c}")).alias(c) for c in value_cols
+        ]
+    else:
+        sel_vals = [F.col(f"__carried_{c}").alias(c) for c in value_cols]
+    return out.select(
+        *key_cols,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in key_cols and c != left_ts],
+        *sel_vals,
+    )
 
 
 def consecutive_islands(

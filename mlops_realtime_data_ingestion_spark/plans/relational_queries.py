@@ -344,6 +344,49 @@ FROM c JOIN v USING (pos)
 """
 
 
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks native ASOF): each
+    'click' event annotated with the user's latest 'purchase' value at
+    or before the click. Oracle uses DuckDB's native ASOF JOIN.
+    Right side deduped to unique (user_id, ts) for determinism."""
+    from ..operators.ingest import dedup_keep_first
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = dedup_keep_first(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        ["user_id", "ts"],
+        [F.col("value").asc()],
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "user_id", "ts", "event_id", F.col("value").alias("last_purchase_value")
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value) = 1
+)
+SELECT c.user_id, c.ts, c.event_id, p.value AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 # ---------- sorts / limits / set ops (O-family) ----------
 
 def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,6 +450,7 @@ SPECS: dict[str, QuerySpec] = {
     "join_semi_big_spenders": QuerySpec(join_semi_big_spenders, JOIN_SEMI_ORACLE, "§2.3 semi"),
     "join_anti_no_big_orders": QuerySpec(join_anti_no_big_orders, JOIN_ANTI_ORACLE, "§2.3 anti, J1"),
     "j2_positional_zip": QuerySpec(j2_positional_zip_simple, J2_ORACLE, "J2"),
+    "asof_join_last_purchase": QuerySpec(asof_join_last_purchase, ASOF_ORACLE, "custom asof join"),
     "o2_topk_orders": QuerySpec(o2_topk_orders, O2_ORACLE, "O2"),
     "set_ops_user_cohorts": QuerySpec(set_ops_user_cohorts, SET_OPS_ORACLE, "§2.6 set ops"),
 }

@@ -101,6 +101,24 @@ class FeatureStore:
             .drop("__rn")
         )
 
+    def as_of(self, spark: SparkSession, event_time_cutoff: float) -> DataFrame:
+        """Point-in-time view: latest record per key with event_time <=
+        cutoff — the offline store's time-travel / point-in-time-correct
+        join input (SageMaker offline stores are queried this way to
+        avoid feature leakage; here it is one filter + the same
+        latest-per-key window)."""
+        df = self.offline(spark).filter(
+            F.col(self.event_time_col) <= F.lit(event_time_cutoff)
+        )
+        w = Window.partitionBy(self.key_col).orderBy(
+            F.col(self.event_time_col).desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def get_record(self, spark: SparkSession, key_value) -> list:
         """S10: online point-read (read_feature_store.ipynb cell 6)."""
         return (
