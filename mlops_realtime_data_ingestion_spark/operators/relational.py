@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "broadcast_dim_join",
     "top_k",
+    "global_rank",
     "positional_zip",
     "consecutive_islands",
     "asof_join",
@@ -45,27 +46,68 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def global_rank(
+    df: DataFrame, order: list[Column], rank_col: str = "__pos", partitions: int | None = None
+) -> DataFrame:
+    """Distributed global row_number over a total order — the
+    scalable replacement for ``Window.orderBy(...)`` (which funnels
+    the whole table through ONE task).
+
+    Two-phase rank, the same scheme as RDD ``zipWithIndex`` but kept
+    in the DataFrame world:
+      1. ``repartitionByRange`` on the order keys — range partitioner
+         guarantees partition i's keys all precede partition i+1's.
+      2. per-partition counts -> tiny driver-side prefix sum ->
+         broadcast offset map.
+      3. ``row_number`` within each range partition + offset.
+    Every stage is partition-parallel; the only driver state is one
+    integer per partition. Requires ``order`` to be a total order
+    (include a unique tiebreaker) for deterministic ranks.
+    """
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order).withColumn(
+        "__gr_part", F.spark_partition_id()
+    )
+    # Cache: phase 2's count scan and phase 3's rank both consume it,
+    # and re-executing the range shuffle could re-sample boundaries.
+    ranged = ranged.localCheckpoint(eager=False)
+    counts = sorted(
+        (r["__gr_part"], r["cnt"])
+        for r in ranged.groupBy("__gr_part").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(offsets, "__gr_part int, __gr_off long")
+    w = Window.partitionBy("__gr_part").orderBy(*order)
+    return (
+        ranged.join(F.broadcast(off_df), "__gr_part")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("__gr_off")).cast("long"))
+        .drop("__gr_part", "__gr_off")
+    )
+
+
 def positional_zip(
     left: DataFrame,
     right: DataFrame,
     left_order: list[Column],
     right_order: list[Column],
+    keep_pos: bool = False,
 ) -> DataFrame:
     """J2: align two series by position (reference: targets vs
     prediction arrays zipped by index, evaluate.py:60-70). Both sides
-    get ``row_number`` over an explicit total order, then inner-join
-    on the index.
+    get a global position over an explicit total order, then
+    inner-join on the index (kept as ``__pos`` when ``keep_pos``).
 
-    Scale note: a global row_number (no partition key) funnels through
-    one task — correct but serial. Callers at 100 TB should zip within
-    a partition key (e.g. per series id); this recipe is for the
-    reference's per-series alignment where one series fits a task.
-    """
-    lw = Window.orderBy(*left_order)
-    rw = Window.orderBy(*right_order)
-    lhs = left.withColumn("__pos", F.row_number().over(lw))
-    rhs = right.withColumn("__pos", F.row_number().over(rw))
-    return lhs.join(rhs, "__pos", "inner").drop("__pos")
+    Positions come from :func:`global_rank` (two-phase range rank), so
+    neither side funnels through a single task; the join shuffles on
+    ``__pos``, which is uniformly distributed by construction — no
+    skew."""
+    lhs = global_rank(left, left_order)
+    rhs = global_rank(right, right_order)
+    out = lhs.join(rhs, "__pos", "inner")
+    return out if keep_pos else out.drop("__pos")
 
 
 def asof_join(

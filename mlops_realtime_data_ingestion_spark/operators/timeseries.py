@@ -25,6 +25,7 @@ __all__ = [
     "dynamic_split_sizing",
     "forecast_index",
     "ordered_gather",
+    "lag_bucketed",
 ]
 
 
@@ -120,6 +121,51 @@ def forecast_index(
             )
         ).alias("forecast_ts"),
     )
+
+
+def lag_bucketed(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket: Column,
+    out_col: str = "__lag",
+) -> DataFrame:
+    """Scalable ``lag(value) OVER (ORDER BY order_col)`` — the global
+    window version moves the whole frame through ONE task; this one
+    partitions by a coarse bucket that is monotone in ``order_col``
+    (e.g. ``date_trunc('day', m)`` for minute rows) and repairs the
+    one boundary row per bucket from a tiny driver-side map.
+
+    Plan: per-bucket lag (parallel) + broadcast join of
+    {bucket -> previous bucket's last value} (|buckets| rows on the
+    driver — days-of-data cardinality, trivially small at any SF).
+    """
+    b = df.withColumn("__bkt", bucket)
+    w = Window.partitionBy("__bkt").orderBy(order_col)
+    lagged = b.withColumn(out_col, F.lag(value_col).over(w)).withColumn(
+        "__first", F.row_number().over(w) == 1
+    )
+    # last value of each bucket, keyed by the NEXT bucket it feeds
+    last_rows = (
+        b.groupBy("__bkt")
+        .agg(F.max(F.struct(F.col(order_col), F.col(value_col).alias("__v"))).alias("__s"))
+        .select(F.col("__bkt"), F.col("__s.__v").alias("__prev_last"))
+        .collect()
+    )
+    ordered_buckets = sorted((r["__bkt"], r["__prev_last"]) for r in last_rows)
+    spark = df.sparkSession
+    prev_map = [
+        (ordered_buckets[i + 1][0], ordered_buckets[i][1])
+        for i in range(len(ordered_buckets) - 1)
+    ]
+    if prev_map:
+        schema = lagged.select(F.col("__bkt"), F.col(out_col).alias("__prev_last")).schema
+        prev_df = spark.createDataFrame(prev_map, schema)
+        lagged = lagged.join(F.broadcast(prev_df), "__bkt", "left").withColumn(
+            out_col,
+            F.when(F.col("__first"), F.col("__prev_last")).otherwise(F.col(out_col)),
+        ).drop("__prev_last")
+    return lagged.drop("__bkt", "__first")
 
 
 def ordered_gather(

@@ -9,7 +9,7 @@ the full Spark surface a reference user would expect from the engine
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import broadcast_dim_join, positional_zip, top_k
@@ -319,12 +319,8 @@ def j2_positional_zip_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_view"))
         .select(F.col("m").alias("m2"), "n_view")
     )
-    zipped = positional_zip(clicks, views, [F.col("m")], [F.col("m2")])
-    return zipped.select(
-        F.row_number().over(Window.orderBy("m")).cast("long").alias("pos"),
-        "n_click",
-        "n_view",
-    )
+    zipped = positional_zip(clicks, views, [F.col("m")], [F.col("m2")], keep_pos=True)
+    return zipped.select(F.col("__pos").alias("pos"), "n_click", "n_view")
 
 
 J2_ORACLE = """

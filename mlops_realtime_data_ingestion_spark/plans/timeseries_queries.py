@@ -198,12 +198,14 @@ def metrics_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
       200*ql_0.95 = Z>0 ? 19Z : -Z
     and wQL_a = 2*sum(ql_a)/sum(|t|).
     """
+    from ..operators.timeseries import lag_bucketed
+
     ev = _events(spark, sf_dir)
     t = F.sum(F.col("value").cast("decimal(18,4)")).alias("t")
     per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(t)
-    w = Window.orderBy("m")
+    # lag partitioned by day bucket (monotone in m) — no global window
     d = (
-        per_min.withColumn("p", F.lag("t").over(w))
+        lag_bucketed(per_min, "m", "t", F.date_trunc("day", F.col("m")), out_col="p")
         .filter(F.col("p").isNotNull())
         .withColumn("x", (F.lit(10) * F.col("t") - F.lit(9) * F.col("p")).cast("decimal(28,4)"))
         .withColumn("y", (F.col("t") - F.col("p")).cast("decimal(28,4)"))
