@@ -30,6 +30,12 @@ def all_specs() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from . import tpch_queries
+
+        specs.update(tpch_queries.SPECS)
+    except ImportError:
+        pass
+    try:
         from . import extension_queries
 
         specs.update(extension_queries.SPECS)
