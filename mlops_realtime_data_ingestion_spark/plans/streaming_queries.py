@@ -70,6 +70,62 @@ def streaming_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_breach_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): the
+    reference's consecutive-breach alarm
+    (model-monitor-template.yml:786-795) evaluated over a replayed
+    metric stream. Metric series = hourly mean event value; threshold
+    chosen so the synthetic data produces both breaches and
+    recoveries. Rows-only check (keyed mutable state with reset is not
+    batch-SQL-expressible)."""
+    import tempfile
+
+    from ..streaming.stateful import consecutive_breach_alarm
+
+    tmp = tempfile.mkdtemp(prefix="spark_stream_alarm_")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+        .select(
+            F.lit("hourly_avg_value").alias("metric"),
+            F.unix_micros("ts").alias("ts_micros"),
+            "value",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(f"{tmp}/metrics")
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType()),
+            T.StructField("ts_micros", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(f"{tmp}/metrics")
+        .select("metric", F.timestamp_micros("ts_micros").alias("ts"), "value")
+    )
+    alarms = consecutive_breach_alarm(stream, threshold=50.5, n_breaches=3)
+    q = (
+        alarms.writeStream.format("memory")
+        .queryName("breach_alarm_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT metric, ts, value, consecutive, transition "
+        "FROM breach_alarm_sink ORDER BY ts"
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "streaming_pipeline_e2e": QuerySpec(streaming_pipeline_e2e, None, "§3.1,T1-T8 (stateful)"),
+    "streaming_breach_alarm": QuerySpec(streaming_breach_alarm, None, "§2.9 applyInPandasWithState, alarm"),
 }
