@@ -49,3 +49,39 @@ def test_q6_filters_pushed_and_pruned(spark, sf_dir):
 def test_q22_anti_join(spark, sf_dir):
     plan = _plan(tq.tpch_q22_dormant_customers(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_q2_no_second_lineitem_scan(spark, sf_dir):
+    # the min-cost join-back must reuse the aggregated cost table, not
+    # rescan lineitem: exactly one lineitem parquet scan in the plan
+    plan = _plan(tq.tpch_q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_part_filter_pushed(spark, sf_dir):
+    plan = _plan(tq.tpch_q9_product_profit(spark, sf_dir))
+    # the %red% family filter reaches the part scan (StringContains)
+    assert "StringContains(p_name,red)" in plan
+
+
+def test_q12_date_filters_pushed(spark, sf_dir):
+    plan = _plan(tq.tpch_q12_late_shipments(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q13_preserves_zero_order_customers(spark, sf_dir):
+    # the LEFT OUTER must survive optimization (an inner join would
+    # silently drop the c_count=0 bucket)
+    plan = _plan(tq.tpch_q13_customer_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan
+
+
+def test_q20_nested_semi_joins(spark, sf_dir):
+    plan = _plan(tq.tpch_q20_excess_shipments(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_q21_semi_and_anti_share_key(spark, sf_dir):
+    plan = _plan(tq.tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
