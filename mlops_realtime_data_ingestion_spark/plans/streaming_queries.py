@@ -125,7 +125,42 @@ def streaming_breach_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s1_http_poll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a real Spark source: the reference's HTTP poller
+    (ingestion-worker/lib.js:36-50) via the Python Data Source API
+    (sources/http_poll), batch-backfill mode — 8 deterministic polls
+    through the production pipeline shape (dedup → 1-min window).
+    Rows-only: the source is synthetic-poll-backed, not an sf table."""
+    from ..sources.http_poll import register
+
+    register(spark)
+    df = (
+        spark.read.format("blockchain_poll")
+        .option("num_polls", 8)
+        .option("per_poll", 100)
+        .load()
+    )
+    return (
+        df.dropDuplicates(["hash"])
+        .withColumn("tx_time", F.to_timestamp(F.from_unixtime("time")))
+        .groupBy(F.window("tx_time", "1 minute").alias("w"))
+        .agg(
+            F.count("hash").alias("total_nb_trx_1min"),
+            F.sum("fee").alias("total_fee_1min"),
+            F.avg("fee").alias("avg_fee_1min"),
+        )
+        .select(
+            F.col("w.start").alias("tx_minute"),
+            "total_nb_trx_1min",
+            "total_fee_1min",
+            "avg_fee_1min",
+        )
+        .orderBy("tx_minute")
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "streaming_pipeline_e2e": QuerySpec(streaming_pipeline_e2e, None, "§3.1,T1-T8 (stateful)"),
     "streaming_breach_alarm": QuerySpec(streaming_breach_alarm, None, "§2.9 applyInPandasWithState, alarm"),
+    "s1_http_poll_ingest": QuerySpec(s1_http_poll_ingest, None, "§2.1 S1 Python Data Source"),
 }
