@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MAGIC_PREFIXES", "sniff_format", "attach_binary", "decode_features"]
+__all__ = [
+    "MAGIC_PREFIXES",
+    "sniff_format",
+    "attach_binary",
+    "decode_features",
+    "frame_sample",
+    "resize_stub",
+]
 
 # (format, magic-byte hex prefix)
 MAGIC_PREFIXES = [
@@ -105,3 +112,98 @@ def decode_features(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hex", T.StringType()),
+        T.StructField("frame_len", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every_k: int = 3,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Video-style frame sampling: chop each binary payload into
+    fixed-size frames and keep every k-th — the 1→N fan-out batch
+    shape (one input row yields many output rows inside a single
+    Arrow batch; a real deployment swaps the byte-slicing for ffmpeg
+    keyframe extraction, the schema and fan-out stay). Frames are
+    emitted hex-encoded so the stage is oracle-comparable."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hexes, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                for i in range(0, -(-len(b) // frame_bytes)):
+                    if i % every_k:
+                        continue
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hexes.append(frame.hex())
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hex": pd.Series(hexes, dtype="object"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    target: int = 16,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: any-size payload → fixed-length float vector by
+    bucketed byte averaging (nearest-rank buckets, deterministic). A
+    real deployment replaces the body with PIL ``Image.resize`` /
+    librosa resample; the fixed-width array contract is what the
+    downstream (ANN index, feature store) depends on."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def one(payload) -> list[float]:
+        if payload is None or len(payload) == 0:
+            return [0.0] * target
+        b = bytes(payload)
+        n = len(b)
+        out = []
+        for t in range(target):
+            lo, hi = t * n // target, max((t + 1) * n // target, t * n // target + 1)
+            hi = min(hi, n)
+            seg = b[lo:hi] if lo < n else b[n - 1 :]
+            out.append(float(sum(seg)) / len(seg))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "resized": pdf["payload"].map(one)}
+            )
+
+    return src.mapInPandas(run, RESIZE_SCHEMA)

@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
-from ..operators.multimodal import attach_binary, decode_features, sniff_format
+from ..operators.multimodal import (
+    attach_binary,
+    decode_features,
+    frame_sample,
+    resize_stub,
+    sniff_format,
+)
 from ..operators.similarity import cosine, cosine_topk, ivf_topk
 from ..operators.text import fingerprint, language_id, quality_score, token_counts
 from ..sources.batch import load_table
@@ -359,6 +365,35 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "payload_len", "n_chunks", F.round("mean_byte", 6).alias("mean_byte"))
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame fan-out over binary payloads (every 3rd 64-byte
+    frame), Arrow-batched. Hex frames make the Python stage
+    byte-exactly oracle-comparable — the ONE mapInPandas extension
+    with a full value-hash check."""
+    docs = attach_binary(_docs(spark, sf_dir)).filter(F.col("text").isNotNull())
+    return frame_sample(docs, frame_bytes=64, every_k=3).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_FRAME_ORACLE = """
+SELECT doc_id, t.i AS frame_idx,
+       lower(substring(hex(encode(text)), t.i*128+1, 128)) AS frame_hex,
+       CAST(least(64, octet_length(encode(text)) - t.i*64) AS INT) AS frame_len
+FROM documents CROSS JOIN LATERAL (
+  SELECT unnest(generate_series(0,
+    CAST(ceil(octet_length(encode(text))/64.0) AS INT)-1)) AS i) t
+WHERE text IS NOT NULL AND t.i % 3 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width resize contract: payload → 16-float vector
+    (bucketed byte means). Rows-only (float vector math in Python);
+    the width invariant is asserted in tests."""
+    docs = attach_binary(_docs(spark, sf_dir))
+    return resize_stub(docs, target=16).orderBy("doc_id")
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact_fingerprint": QuerySpec(dedup_exact_fingerprint, DEDUP_EXACT_ORACLE, "dedup-exact"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "dedup-jaccard"),
@@ -373,4 +408,6 @@ SPECS: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),
     "multimodal_decode": QuerySpec(multimodal_decode, None, "multimodal (mapInPandas)"),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "multimodal frame fan-out"),
+    "multimodal_resize": QuerySpec(multimodal_resize, None, "multimodal resize contract"),
 }

@@ -125,3 +125,34 @@ def test_magic_byte_sniff(spark):
     df = spark.createDataFrame(payloads, "id int, payload binary")
     got = {r["id"]: r["format"] for r in sniff_format(df).collect()}
     assert got == {1: "png", 2: "jpeg", 3: "unknown"}
+
+
+def test_frame_sample_fanout_and_tail(spark):
+    from mlops_realtime_data_ingestion_spark.operators.multimodal import frame_sample
+
+    payloads = [(1, bytes(range(200))), (2, b"tiny"), (3, None)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = frame_sample(df, frame_bytes=64, every_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 200 B -> frames 0..3, sampled {0, 2}; tail frame 3 dropped
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 2]
+    assert by_doc[1][0]["frame_len"] == 64
+    assert by_doc[1][0]["frame_hex"] == bytes(range(64)).hex()
+    # doc 2: single short frame, exact tail length
+    assert by_doc[2][0]["frame_len"] == 4 and by_doc[2][0]["frame_hex"] == b"tiny".hex()
+    # doc 3: null payload contributes nothing
+    assert 3 not in by_doc
+
+
+def test_resize_fixed_width_contract(spark):
+    from mlops_realtime_data_ingestion_spark.operators.multimodal import resize_stub
+
+    payloads = [(1, bytes(range(256))), (2, b"ab"), (3, b""), (4, None)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r["resized"] for r in resize_stub(df, target=8).collect()}
+    assert all(len(v) == 8 for v in rows.values())  # fixed width, any input
+    # 256 evenly-spread bytes: bucket means are the 32-byte segment means
+    assert rows[1][0] == float(sum(range(32))) / 32
+    assert rows[3] == [0.0] * 8 and rows[4] == [0.0] * 8
