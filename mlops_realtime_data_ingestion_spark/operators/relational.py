@@ -29,6 +29,7 @@ __all__ = [
     "positional_zip",
     "consecutive_islands",
     "asof_join",
+    "range_join",
 ]
 
 
@@ -174,6 +175,55 @@ def asof_join(
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols if c not in key_cols and c != left_ts],
         *sel_vals,
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval-containment join (``start <= point < end``) that
+    scales: Spark plans a bare inequality join as
+    BroadcastNestedLoopJoin — O(n·m) probes and a broadcast of a
+    whole side. Instead each interval is exploded onto the time
+    buckets it covers and each point lands in exactly ONE bucket, so
+    the match becomes an equi shuffle join on the bucket key plus a
+    residual containment filter. Each qualifying (point, interval)
+    pair meets in exactly the point's bucket — no dedup needed.
+
+    Cost model: shuffle = |points| + |intervals| · (span/bucket + 1).
+    Pick ``bucket_seconds`` ≈ the median interval span so the
+    explosion factor stays ≈ 2; hot buckets (skewed days) are split
+    by AQE skew-join handling.
+
+    ``key_cols``: optional extra equi keys (same names on both sides,
+    e.g. a per-user attribution join) — they join alongside the
+    bucket, tightening the shuffle and the probe.
+
+    Output: all columns of ``points`` then ``intervals`` (non-key
+    names must be disjoint).
+    """
+    keys = key_cols or []
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"range_join requires disjoint columns, got {overlap}")
+    pb = (F.unix_timestamp(F.col(point_col)) / bucket_seconds).cast("long")
+    sb = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    eb = (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long")
+    p = points.withColumn("__bkt", pb)
+    iv = intervals.withColumn("__bkt", F.explode(F.sequence(sb, eb)))
+    return (
+        p.join(iv, ["__bkt", *keys])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bkt")
     )
 
 

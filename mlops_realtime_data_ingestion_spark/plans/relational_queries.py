@@ -383,6 +383,58 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (custom operator): every event inside the
+    6-hour attribution window that starts at each purchase of a
+    sampled user cohort, aggregated per purchase. A bare inequality
+    join is BroadcastNestedLoopJoin (O(n·m)); the operator turns it
+    into an equi shuffle join on (user_id, 6h-bucket) + residual
+    containment filter."""
+    from ..operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("user_id", "ts", "value")
+    intervals = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    joined = range_join(
+        points,
+        intervals,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=21600,
+        key_cols=["user_id"],
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("window_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+SELECT p.event_id AS purchase_id, count(*) AS n_events,
+       {dsum_sql('e.value')} AS window_value
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 6 HOUR
+WHERE p.event_type = 'purchase' AND p.user_id % 7 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------- sorts / limits / set ops (O-family) ----------
 
 def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +499,7 @@ SPECS: dict[str, QuerySpec] = {
     "join_anti_no_big_orders": QuerySpec(join_anti_no_big_orders, JOIN_ANTI_ORACLE, "§2.3 anti, J1"),
     "j2_positional_zip": QuerySpec(j2_positional_zip_simple, J2_ORACLE, "J2"),
     "asof_join_last_purchase": QuerySpec(asof_join_last_purchase, ASOF_ORACLE, "custom asof join"),
+    "range_join_attribution": QuerySpec(range_join_attribution, RANGE_JOIN_ORACLE, "custom range join"),
     "o2_topk_orders": QuerySpec(o2_topk_orders, O2_ORACLE, "O2"),
     "set_ops_user_cohorts": QuerySpec(set_ops_user_cohorts, SET_OPS_ORACLE, "§2.6 set ops"),
 }
