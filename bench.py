@@ -38,6 +38,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_search_cosine_topk",
     "text_quality_score",
+    # training-data pipeline stages
+    "decontam_ngram_overlap",
+    "doc_chunk_sliding",
+    "join_salted_skew",
+    "wf_rolling_time_range",
 ]
 
 

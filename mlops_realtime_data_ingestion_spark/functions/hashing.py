@@ -121,6 +121,54 @@ def duck_minhash_sigs(s_arr: str) -> str:
     return f"[{sigs}]"
 
 
+# ---------- random-hyperplane LSH bucket of a float vector ----------
+# Plane j's weight at (1-based) dim i is a pseudo-random double in
+# [-0.5, 0.5) derived from the same public constants:
+#   w(j, i) = ((A[j] * i + B[j]) % P) / P - 0.5
+# The bucket is the n-bit sign pattern of the plane dot products,
+# computed as a SEQUENTIAL ascending fold in both engines so the
+# doubles (and therefore the signs and the bucket) are bit-identical.
+
+
+def _spark_plane_dot(vec: str, j: int) -> str:
+    w = (
+        f"(cast((cast({MINHASH_A[j]} as bigint) * i + {MINHASH_B[j]}) % {P} as double)"
+        f" / cast({P} as double) - 0.5d)"
+    )
+    return (
+        f"aggregate(sequence(1, size({vec})), cast(0.0 as double),"
+        f" (acc, i) -> acc + cast(element_at({vec}, i) as double) * {w})"
+    )
+
+
+def _duck_plane_dot(vec: str, j: int) -> str:
+    w = (
+        f"(CAST((CAST({MINHASH_A[j]} AS BIGINT) * i + {MINHASH_B[j]}) % {P} AS DOUBLE)"
+        f" / CAST({P} AS DOUBLE) - 0.5)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len({vec}) + 1),"
+        f" i -> CAST({vec}[i] AS DOUBLE) * {w})), (acc, v) -> acc + v)"
+    )
+
+
+def spark_hyperplane_bucket(vec: str, n_planes: int) -> str:
+    bits = [
+        f"(case when {_spark_plane_dot(vec, j)} >= 0.0d then {1 << j} else 0 end)"
+        for j in range(n_planes)
+    ]
+    return f"cast({' + '.join(bits)} as int)"
+
+
+def duck_hyperplane_bucket(vec: str, n_planes: int) -> str:
+    bits = [
+        f"(CASE WHEN {_duck_plane_dot(vec, j)} >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return f"CAST({' + '.join(bits)} AS INTEGER)"
+
+
 def spark_band_keys(sig_arr: str) -> str:
     r = K_SIG // N_BANDS
     bands = []

@@ -101,6 +101,12 @@ def simhash(sh: np.ndarray, bits: int = 48) -> int:
 
 # ---------- pandas-UDF column transforms ----------
 
+def token_hash_series(texts: pd.Series) -> pd.Series:
+    """Per-row array of token hashes (== H.*_token_hashes order —
+    NOT deduplicated; chunking needs positional token order)."""
+    return texts.map(lambda t: token_hashes(t or ""))
+
+
 def shingle_series(texts: pd.Series, n: int = 2) -> pd.Series:
     return texts.map(
         lambda t: np.unique(shingle_hashes(token_hashes(t or ""), n))

@@ -30,6 +30,7 @@ __all__ = [
     "consecutive_islands",
     "asof_join",
     "range_join",
+    "salted_join",
 ]
 
 
@@ -39,6 +40,40 @@ def broadcast_dim_join(
     """Fact-to-dimension equi-join with an explicit broadcast of the
     dim side — zero shuffle on the fact table."""
     return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_src: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread each hot key of ``big``
+    across ``n_salts`` shuffle partitions.
+
+    The big side gets a deterministic salt derived from ``salt_src``
+    (any column that varies WITHIN a key — a row id, a timestamp);
+    the right side is replicated n_salts times; the join key becomes
+    (keys..., _salt). Row-level results are identical to the plain
+    join — salting only changes data placement, which is why the
+    registered query oracle is the UNSALTED SQL join.
+
+    Scale rationale: a hash join shuffles both sides on the key, so a
+    key holding 10% of 100 TB lands 10 TB on one task. AQE's skew
+    handling splits oversized REDUCER partitions, but only for
+    sort-merge joins after the fact; explicit salting also covers
+    aggregate-over-join pipelines and keeps the choice in the plan.
+    Cost: right side is materialized n_salts times — use for
+    moderate-size right sides that are too big to broadcast.
+    """
+    salt = F.pmod(F.crc32(F.col(salt_src).cast("string")), F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt.cast("int"))
+    right_s = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(right_s, [*keys, "_salt"], how).drop("_salt")
 
 
 def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:

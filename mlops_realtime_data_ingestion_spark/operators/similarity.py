@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "ivf_topk", "centroids_by"]
+from ..functions import hashing as H
+
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "ivf_topk",
+    "centroids_by",
+    "lsh_bucket_topk",
+]
 
 
 def cosine(a: str, b: str):
@@ -145,6 +153,62 @@ def centroids_by(
         F.transform(
             F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
         ).alias("centroid")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane-LSH ANN: bucket every vector by the sign
+    pattern of ``n_planes`` fixed pseudo-random hyperplane dot
+    products, then rank candidates ONLY within the query's bucket by
+    exact cosine.
+
+    Unlike IVF (data-dependent centroids, rows-only checkable), the
+    hyperplanes are fixed public constants and every float op is a
+    sequential fold — so the buckets, the candidate sets, and the
+    ranking are bit-deterministic across engines and this ANN variant
+    is fully DuckDB-oracle-checkable.
+
+    Scale: bucketing is one narrow pass over the corpus (2^n_planes
+    buckets cut the candidate scan by ~2^n_planes); the only join is
+    corpus ⋈ broadcast(queries) on bucket, shuffle-free on the big
+    side. Recall is tunable via n_planes (fewer planes = bigger
+    buckets = higher recall); multi-table OR-amplification composes
+    by unioning candidate sets from independent plane sets.
+    """
+    bucket = F.expr(H.spark_hyperplane_bucket(vec_col, n_planes))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.repartition(par)  # interpreted fold => spread the work
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            bucket.alias("bucket"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
     )
 
 

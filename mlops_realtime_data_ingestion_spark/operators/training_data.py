@@ -1,0 +1,325 @@
+"""Training-data pipeline operators (north-star extension, SURVEY.md
+§7 step 8): deterministic dataset splitting/sampling, benchmark
+decontamination, corpus statistics (heavy hitters, TF-IDF), sliding
+token chunking, and dedup-group resolution (connected components).
+
+The reference ends at "write a DeepAR training set"
+(pipelines/blockchain/preprocess.py:119-167); these operators are the
+corresponding stages a 100 TB LLM-training-data pipeline needs. All
+randomness is replaced by the cross-engine polynomial hash
+(functions/hashing) so every op is reproducible AND DuckDB-oracle
+checkable.
+
+Scale design notes per op are in the docstrings; the common rules:
+no driver collects (except the CC fixpoint counter), broadcast only
+provably-small sides (benchmark shingle sets, stratum rate tables),
+one shuffle per logical stage, partial aggregation everywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "decontaminate",
+    "heavy_hitters",
+    "chunk_tokens",
+    "tfidf_topk",
+    "connected_components",
+]
+
+
+def _id_hash(id_col: str):
+    """Deterministic per-row bucket hash: polynomial fold of the id's
+    decimal string, then one affine mix mod P — engine-portable (no
+    murmur3), stable across runs. The mix step matters: the raw fold
+    of SHORT strings is small and stride-patterned, so its low-order
+    residues are badly skewed; (a*h + b) % P spreads them uniformly."""
+    fold = H.spark_str_hash(f"cast({id_col} as string)")
+    return F.expr(f"({H.MINHASH_A[0]} * ({fold}) + {H.MINHASH_B[0]}) % {H.P}")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id-hash bucket.
+
+    The standard leakage-safe split for training corpora: membership
+    depends only on the id, so re-runs, backfills, and incremental
+    arrivals land in the same split (unlike ``df.randomSplit``).
+    Narrow (no shuffle): a pure projection the optimizer can pipeline
+    into the scan at any scale.
+    """
+    bucket = (_id_hash(id_col) % 100).cast("int")
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.select(id_col).withColumn("bucket", bucket).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``id_hash % 1000 < rate_permille(stratum)``.
+
+    ``strata`` is a tiny (stratum, rate_permille) table — broadcast,
+    so the plan is scan -> broadcast-hash-join -> filter with NO
+    shuffle of the big side; per-stratum rates rebalance a skewed
+    corpus (the usual language/source mixture reweighting) without a
+    sampleBy() randomness dependency.
+    """
+    keyed = df.withColumn("hb", (_id_hash(id_col) % 1000).cast("int"))
+    return (
+        keyed.join(F.broadcast(strata), stratum_col)
+        .filter(F.col("hb") < F.col("rate_permille"))
+        .select(id_col, stratum_col, "hb")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's word
+    ``n``-gram shingles that appear anywhere in the benchmark set
+    (rows matching ``bench_filter``).
+
+    The canonical n-gram-overlap decontamination check (GPT-3 appendix
+    C / PaLM style), engine-shaped: the benchmark's distinct shingle
+    hashes are a SMALL set (benchmarks are ~1e3-1e6 docs) -> broadcast
+    to a left join against the corpus's exploded shingles; matches
+    partial-aggregate per doc before the single doc_id shuffle. The
+    100 TB side is scanned once and never carries text past the hash
+    step. Shingling itself rides dedup.with_shingle_hashes — the
+    Arrow/numpy fast path, repartitioned across cores (the interpreted
+    HOF fold on one input partition measured 28 s vs ~1 s for the same
+    5000 docs).
+
+    Returns (id, n_shingles, n_matched, overlap_frac, contaminated);
+    docs with < n tokens have no shingles and are absent (nothing to
+    test overlap on).
+    """
+    from .dedup import with_shingle_hashes
+
+    bench_sh = (
+        with_shingle_hashes(df.filter(bench_filter), id_col, text_col, n)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_sh = with_shingle_hashes(
+        df.filter(~bench_filter), id_col, text_col, n
+    ).select(F.col("id").alias(id_col), F.explode("sh").alias("sh"))
+    agg = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_matched"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_matched",
+        (F.col("n_matched") / F.col("n_shingles")).alias("overlap_frac"),
+        (F.col("n_matched") / F.col("n_shingles") >= threshold).alias("contaminated"),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Exact global top-k tokens by frequency.
+
+    explode -> hash-aggregate (map-side partial combine shrinks the
+    shuffle to one row per (partition, token)) -> global top-k over
+    the VOCABULARY-sized count table. The final single-partition sort
+    touches |vocab| rows, not |corpus| — safe at 100 TB (natural-text
+    vocabularies are millions, not billions; for unbounded key spaces
+    swap in a count-min sketch + per-partition candidate top-k).
+    Ties break lexicographically so the cut is deterministic.
+    """
+    counts = (
+        df.select(F.explode(F.expr(H.spark_tokens(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "cnt")
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window packing step
+    of a training pipeline. Each doc yields
+    ``1 + ceil((n_tokens - chunk) / stride)`` overlapping chunks
+    (always >= 1; the tail chunk may be short).
+
+    Shuffle-free plan: tokenize once (Arrow/numpy fast path — the
+    interpreted per-char HOF fold is the dominant cost otherwise),
+    explode chunk indices, slice the per-doc token-hash array.
+    ``chunk_fp`` is the polynomial fold of the chunk's token hashes
+    (chunk-level exact-dup key, e.g. for cross-doc boilerplate
+    removal); folding <= ``chunk`` precomputed hashes per row is cheap
+    even interpreted.
+    """
+    from ..functions import hashing_pandas as HP
+
+    @F.pandas_udf("array<long>")
+    def th_udf(texts: pd.Series) -> pd.Series:
+        return HP.token_hash_series(texts)
+
+    fold = f"aggregate(ch, cast(0 as bigint), (acc, c) -> (acc * 31 + c) % {H.P})"
+    base = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(id_col, th_udf(F.col(text_col)).alias("h"))
+        .withColumn("n", F.size("h"))
+    )
+    n_chunks = F.when(F.col("n") <= chunk, F.lit(1)).otherwise(
+        ((F.col("n") - chunk + stride - 1) / stride).cast("int") + 1
+    )
+    idx = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    sliced = idx.withColumn(
+        "ch", F.slice(F.col("h"), F.col("chunk_idx") * stride + 1, chunk)
+    )
+    return sliced.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("ch").cast("long").alias("chunk_len"),
+        F.expr(fold).alias("chunk_fp"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF with the
+    BM25 idf: ``score = tf * ln((N - df + 0.5)/(df + 0.5) + 1)``.
+    All inputs to ln() are exact integer/half arithmetic, so the only
+    cross-engine hazard is libm's last ulp — absorbed by rounding the
+    score to 6 dp before ranking (tie-break: token asc).
+
+    Two shuffles total: (doc, token) tf aggregation, then token df
+    aggregation joined back (token-keyed; the df table is
+    vocabulary-sized so AQE broadcasts it in practice). N comes from a
+    declarative count — no driver collect.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.expr(H.spark_tokens(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    ndocs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df", "score")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup GROUPS: connected components
+    by iterative min-label propagation (each node repeatedly adopts
+    the smallest label among itself and its neighbors).
+
+    This is the canonical post-LSH step — pairs alone can't answer
+    "keep one doc per group" when dups chain (a~b, b~c). Iterations =
+    graph diameter; near-dup graphs are unions of near-cliques, so
+    2-3 rounds in practice. Each round is one shuffle keyed on node
+    id over the EDGE table only (the 100 TB corpus is not involved);
+    ``localCheckpoint`` truncates the growing lineage. For adversarial
+    long-chain graphs swap in large-star/small-star (O(log n) rounds,
+    same per-round plan shape).
+
+    Returns (doc_id, component_id) for every node appearing in an
+    edge, component_id = min doc_id reachable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))

@@ -235,6 +235,35 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 """
 
 
+def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: candidates restricted to the query's
+    sign-pattern bucket (4 fixed public hyperplanes => 16 buckets),
+    exact cosine rescoring. Fully deterministic — unlike IVF, this
+    ANN path is value-hash oracle-checked."""
+    from ..operators.similarity import lsh_bucket_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=5)
+
+
+_DUCK_BUCKET = H.duck_hyperplane_bucket("embedding", 4)
+
+SIM_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({_duck_cosine('q.embedding', 'c.embedding')}, 6) DESC, c.vec_id
+         ) AS rank
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+"""
+
+
 def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label as coarse quantizer, probe 2 cells.
     Approximate by construction -> rows-only check; accuracy asserted
@@ -355,6 +384,45 @@ GROUP BY 1
 """
 
 
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression for 100 TB storage: L2-normalize then
+    symmetric int8 quantization (x/norm * 127, round-half-away).
+    Purely per-row array math (narrow, zero shuffle); the q8 array
+    cuts vector storage 4x and is what a production ANN index would
+    ingest. Norm uses the sequential fold so both engines see
+    identical doubles; round(double) is half-away-from-zero in Spark
+    AND DuckDB, so the int8 codes match exactly."""
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    out = emb.withColumn("nrm", norm)
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("nrm") * 127).cast("int"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("nrm", 6).alias("norm"),
+        q8.alias("q8"),
+    )
+
+
+EMB_QUANT_ORACLE = f"""
+SELECT vec_id, round(nrm, 6) AS norm,
+       list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS INTEGER)) AS q8
+FROM (
+  SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+)
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach payload -> JVM-side format sniff
     -> Arrow-batched mapInPandas decode stub. Python in the plan =>
@@ -402,11 +470,13 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
     "sim_search_ivf_topk": QuerySpec(sim_search_ivf_topk, None, "ann-ivf (approx)"),
+    "sim_search_lsh_topk": QuerySpec(sim_search_lsh_topk, SIM_LSH_ORACLE, "ann-lsh (deterministic)"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_ORACLE, "text-quality"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ORACLE, "text-langid"),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKENS_ORACLE, "text-tokens"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),
+    "embedding_normalize_quantize": QuerySpec(embedding_normalize_quantize, EMB_QUANT_ORACLE, "int8 embedding compression"),
     "multimodal_decode": QuerySpec(multimodal_decode, None, "multimodal (mapInPandas)"),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "multimodal frame fan-out"),
     "multimodal_resize": QuerySpec(multimodal_resize, None, "multimodal resize contract"),

@@ -47,4 +47,10 @@ def all_specs() -> dict[str, QuerySpec]:
         specs.update(streaming_queries.SPECS)
     except ImportError:
         pass
+    try:
+        from . import training_queries
+
+        specs.update(training_queries.SPECS)
+    except ImportError:
+        pass
     return specs

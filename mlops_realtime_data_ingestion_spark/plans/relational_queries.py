@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.relational import broadcast_dim_join, positional_zip, top_k
+from ..operators.relational import (
+    broadcast_dim_join,
+    positional_zip,
+    salted_join,
+    top_k,
+)
 from ..sources.batch import load_table
 from .determinism import davg, davg_sql, dsum, dsum_sql
 from .spec import QuerySpec
@@ -484,6 +489,40 @@ SELECT 'any', user_id FROM (SELECT user_id FROM first_half UNION SELECT user_id 
 """
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-to-stats join under explicit salting. 75% of events
+    collapse onto skew_key 0 (the adversarial case for a keyed
+    shuffle); salted_join spreads that key across 8 salts. Row-level
+    output is provably placement-independent, so the oracle is the
+    plain unsalted SQL join."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "skew_key",
+        F.when(F.col("user_id") % 4 != 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    stats = ev.groupBy("skew_key").agg(
+        F.count("*").alias("key_events"),
+        dsum("value", 6).alias("key_value"),
+    )
+    return salted_join(
+        ev, stats, ["skew_key"], salt_src="event_id", n_salts=8
+    ).select("event_id", "skew_key", "key_events", "key_value")
+
+
+JOIN_SALTED_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 4 != 0 THEN 0 ELSE user_id END AS skew_key,
+         value
+  FROM events
+), s AS (
+  SELECT skew_key, count(*) AS key_events, {dsum_sql('value', 6)} AS key_value
+  FROM ev GROUP BY 1
+)
+SELECT event_id, ev.skew_key AS skew_key, key_events, key_value
+FROM ev JOIN s USING (skew_key)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(tpch_q1_pricing_summary, TPCH_Q1_ORACLE, "A2-A4 generalized"),
     "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_ORACLE, "§2.4 distinct"),
@@ -500,6 +539,7 @@ SPECS: dict[str, QuerySpec] = {
     "j2_positional_zip": QuerySpec(j2_positional_zip_simple, J2_ORACLE, "J2"),
     "asof_join_last_purchase": QuerySpec(asof_join_last_purchase, ASOF_ORACLE, "custom asof join"),
     "range_join_attribution": QuerySpec(range_join_attribution, RANGE_JOIN_ORACLE, "custom range join"),
+    "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_ORACLE, "skew-salted join"),
     "o2_topk_orders": QuerySpec(o2_topk_orders, O2_ORACLE, "O2"),
     "set_ops_user_cohorts": QuerySpec(set_ops_user_cohorts, SET_OPS_ORACLE, "§2.6 set ops"),
 }

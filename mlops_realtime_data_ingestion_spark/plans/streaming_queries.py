@@ -159,8 +159,94 @@ def s1_http_poll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks attributed to the views
+    they followed within 10 minutes, per user — watermarks on BOTH
+    sides bound the join state (Spark evicts view rows once the click
+    watermark passes view_ts + 10 min; unbounded without it).
+
+    Each side is drained as ONE micro-batch (single source file +
+    availableNow), so no row is ever late and the streaming result
+    equals the batch interval join — which is why this streaming query
+    CAN carry a SQL oracle, unlike the watermark-dropping pipeline.
+    """
+    tmp = tempfile.mkdtemp(prefix="spark_stream_join_")
+    ev = load_table(spark, sf_dir, "events")
+    for etype, sub in (("view", "views"), ("click", "clicks")):
+        (
+            ev.filter(F.col("event_type") == etype)
+            .select("event_id", F.unix_micros("ts").alias("ts_micros"), "user_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{tmp}/{sub}")
+        )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_micros", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .json(f"{tmp}/views")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.timestamp_micros("ts_micros").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    c = (
+        spark.readStream.schema(schema)
+        .json(f"{tmp}/clicks")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.timestamp_micros("ts_micros").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT user_id, view_id, click_id, gap_s FROM stream_join_sink")
+
+
+STREAM_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id AS user_id, view_id, click_id,
+       CAST(floor(epoch(c_ts)) - floor(epoch(v_ts)) AS BIGINT) AS gap_s
+FROM v JOIN c
+  ON v.user_id = c.user_id AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 10 MINUTE
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "streaming_pipeline_e2e": QuerySpec(streaming_pipeline_e2e, None, "§3.1,T1-T8 (stateful)"),
     "streaming_breach_alarm": QuerySpec(streaming_breach_alarm, None, "§2.9 applyInPandasWithState, alarm"),
     "s1_http_poll_ingest": QuerySpec(s1_http_poll_ingest, None, "§2.1 S1 Python Data Source"),
+    "streaming_stream_join": QuerySpec(streaming_stream_join, STREAM_JOIN_ORACLE, "stream-stream interval join"),
 }

@@ -180,6 +180,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
 """
 
 
+def wf_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 30-DAY order total — a RANGE (time-based)
+    frame, not a ROWS frame: the window is defined by event-time
+    distance, so gaps and same-timestamp peers behave correctly
+    (all peers of the current timestamp are included).
+
+    Spark's range frame needs a numeric order key -> epoch seconds.
+    Decimal-backed sum keeps the frame aggregate exact (frames are
+    sets; float summation order inside a frame is engine-private).
+    Scale: one shuffle on o_custkey; each partition streams its
+    ordered frame with a sliding two-pointer — no per-row rescans.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate").cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "epoch_s",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d_total"),
+        F.count("*").over(w).alias("rolling_30d_orders"),
+    )
+
+
+WF_ROLLING_RANGE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rolling_30d_total,
+       count(*) OVER w AS rolling_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def metrics_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10-A12: the reference's forecast evaluation (evaluate.py:73-91)
     against a persistence forecast: per-minute total value, prediction
@@ -368,6 +412,7 @@ SPECS: dict[str, QuerySpec] = {
     "a8_ordered_gather": QuerySpec(a8_ordered_gather, A8_ORACLE, "A8,S13"),
     "wf_rank_lag_lead": QuerySpec(wf_rank_lag_lead, WF_RANK_ORACLE, "§2.5 ranking"),
     "wf_running_sum": QuerySpec(wf_running_sum, WF_RUNNING_ORACLE, "§2.5 frames"),
+    "wf_rolling_time_range": QuerySpec(wf_rolling_time_range, WF_ROLLING_RANGE_ORACLE, "§2.5 time-range frame"),
     "metrics_rmse_wql": QuerySpec(metrics_rmse_wql, METRICS_ORACLE, "A10-A12"),
     "monitoring_consecutive_breach": QuerySpec(monitoring_consecutive_breach, MONITORING_ORACLE, "§3.3 alarm"),
     "threshold_update_rule": QuerySpec(threshold_update_rule, THRESHOLD_ORACLE, "§2.10 threshold"),

@@ -1,0 +1,249 @@
+"""Training-data pipeline queries: deterministic splits/sampling,
+benchmark decontamination, corpus statistics, context-window chunking,
+and dedup-group resolution. The stages a 100 TB pre-training corpus
+pipeline runs AFTER ingest/dedup and BEFORE the trainer reads the
+data — the reference stops at DeepAR JSONL materialization
+(pipelines/blockchain/preprocess.py:119-167); these generalize it.
+
+All pseudo-randomness is the cross-engine polynomial hash
+(functions/hashing), so every query here is DuckDB-oracle-matched —
+including the connected-components fixpoint, checked against a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.training_data import (
+    chunk_tokens,
+    connected_components,
+    decontaminate,
+    hash_split,
+    heavy_hitters,
+    stratified_sample,
+    tfidf_topk,
+)
+from ..sources.batch import load_table
+from .spec import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_DUCK_ID_HASH = (
+    f"({H.MINHASH_A[0]} * ({H.duck_str_hash('CAST(doc_id AS VARCHAR)')})"
+    f" + {H.MINHASH_B[0]}) % {H.P}"
+)
+_DUCK_H = H.duck_token_hashes("text")
+_DUCK_SH2 = H.duck_shingle_hashes("h", 2)
+_DUCK_SH5 = H.duck_shingle_hashes("h", 5)
+
+
+# ---------- deterministic split / sampling ----------
+
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(_docs(spark, sf_dir), train_pct=80, val_pct=10)
+
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, CAST({_DUCK_ID_HASH} % 100 AS INTEGER) AS bucket
+  FROM documents
+)
+"""
+
+# per-language keep rates (permille): downsample the dominant en,
+# keep the tail languages — the usual mixture-rebalancing shape
+_STRATA = [("en", 100), ("de", 500), ("es", 500), ("fr", 500), ("zh", 250)]
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    strata = spark.createDataFrame(_STRATA, "lang string, rate_permille int")
+    return stratified_sample(_docs(spark, sf_dir), strata, stratum_col="lang")
+
+
+_STRATA_VALUES = ", ".join(f"('{s}', {r})" for s, r in _STRATA)
+
+SAMPLE_ORACLE = f"""
+WITH strata(lang, rate_permille) AS (VALUES {_STRATA_VALUES}),
+keyed AS (
+  SELECT doc_id, lang, CAST({_DUCK_ID_HASH} % 1000 AS INTEGER) AS hb
+  FROM documents
+)
+SELECT doc_id, keyed.lang AS lang, hb
+FROM keyed JOIN strata ON keyed.lang = strata.lang
+WHERE hb < rate_permille
+"""
+
+
+# ---------- benchmark decontamination ----------
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with doc_id % 53 == 0 play the benchmark set; every other
+    doc reports its word-5-gram overlap with it."""
+    return decontaminate(
+        _docs(spark, sf_dir), F.col("doc_id") % 53 == 0, n=5, threshold=0.2
+    )
+
+
+DECONTAM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SH5})) AS sh FROM base
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0
+), agg AS (
+  SELECT c.doc_id, count(*) AS n_shingles, count(b.sh) AS n_matched
+  FROM (SELECT * FROM sh WHERE doc_id % 53 != 0) c
+  LEFT JOIN bench b ON c.sh = b.sh
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_matched,
+       CAST(n_matched AS DOUBLE) / n_shingles AS overlap_frac,
+       CAST(n_matched AS DOUBLE) / n_shingles >= 0.2 AS contaminated
+FROM agg
+"""
+
+
+# ---------- corpus statistics ----------
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
+HEAVY_HITTERS_ORACLE = f"""
+SELECT rank, token, cnt FROM (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM (
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest({H.duck_tokens('text')}) AS token FROM documents)
+    GROUP BY 1
+  )
+) WHERE rank <= 20
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({H.duck_tokens('text')}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+)
+SELECT doc_id, rank, token, tf, df, score FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * ln((nd.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((nd.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6) DESC,
+                    tf.token
+         ) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+) WHERE rank <= 3
+"""
+
+
+# ---------- context-window chunking ----------
+
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_tokens(_docs(spark, sf_dir), chunk=64, stride=48)
+
+
+CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h FROM documents
+), sized AS (
+  SELECT doc_id, h, len(h) AS n FROM base
+), idx AS (
+  SELECT doc_id, h,
+         unnest(range(0, CASE WHEN n <= 64 THEN 1
+                              ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+  FROM sized
+), sl AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(h, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS ch
+  FROM idx
+)
+SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS chunk_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), ch),
+                   (acc, c) -> (acc * 31 + c) % {H.P}) AS chunk_fp
+FROM sl
+"""
+
+
+# ---------- dedup-group resolution ----------
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (same params as dedup_ngram_jaccard) resolved
+    into groups by iterative min-label propagation; the oracle walks
+    the same graph with a recursive CTE."""
+    edges = ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        threshold=0.5,
+        block_cols=("lang",),
+        length_band=50,
+    )
+    return connected_components(edges)
+
+
+_DUCK_JACCARD = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+CC_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, n_chars, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS band,
+         list_distinct({_DUCK_SH2}) AS sh
+  FROM base
+), pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, {_DUCK_JACCARD} AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), e AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM e
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+)
+SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "split_hash_assign": QuerySpec(split_hash_assign, SPLIT_ORACLE, "hash split (leakage-safe)"),
+    "sample_stratified": QuerySpec(sample_stratified, SAMPLE_ORACLE, "stratified mixture sampling"),
+    "decontam_ngram_overlap": QuerySpec(decontam_ngram_overlap, DECONTAM_ORACLE, "benchmark decontamination"),
+    "text_heavy_hitters": QuerySpec(text_heavy_hitters, HEAVY_HITTERS_ORACLE, "global top-k tokens"),
+    "text_tfidf_topk": QuerySpec(text_tfidf_topk, TFIDF_ORACLE, "per-doc characteristic terms"),
+    "doc_chunk_sliding": QuerySpec(doc_chunk_sliding, CHUNK_ORACLE, "context-window chunking"),
+    "dedup_connected_components": QuerySpec(dedup_connected_components, CC_ORACLE, "dedup group resolution"),
+}
