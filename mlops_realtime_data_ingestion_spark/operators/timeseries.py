@@ -26,7 +26,56 @@ __all__ = [
     "forecast_index",
     "ordered_gather",
     "lag_bucketed",
+    "sessionize",
 ]
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Batch sessionization by inactivity gap — the offline analogue
+    of Structured Streaming's ``session_window`` (which the engine
+    exposes for the streaming path): a new session starts when the
+    gap to the previous event exceeds ``gap_seconds``.
+
+    lag -> boundary flag -> running sum = session ordinal; one
+    shuffle on the key, everything else rides the same sorted window.
+    Gap math runs on whole epoch seconds so the boundary decision is
+    engine-exact.
+
+    Returns one row per session: key, session_seq, session_start/end
+    (epoch seconds), n_events.
+    """
+    epoch = F.unix_timestamp(ts_col).cast("long")
+    flagged = (
+        df.withColumn("__ep", epoch)
+        .withColumn("__prev", F.lag("__ep").over(
+            Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(tiebreak_col))
+        ))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__ep") - F.col("__prev") > gap_seconds),
+                1,
+            ).otherwise(0),
+        )
+    )
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("__new").over(w_run))
+    return sessions.groupBy(*key_cols, "session_seq").agg(
+        F.min("__ep").alias("session_start"),
+        F.max("__ep").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
 
 
 def _window(series_cols: list[str], order: list[Column]):

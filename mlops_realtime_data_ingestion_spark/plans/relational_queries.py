@@ -489,6 +489,40 @@ SELECT 'any', user_id FROM (SELECT user_id FROM first_half UNION SELECT user_id 
 """
 
 
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (UNPIVOT/melt): per-returnflag measure
+    totals unpivoted into (measure, value) rows — the inverse of
+    agg_pivot, completing the reshape pair. Aggregate first, then
+    melt 6 rows x 4 measures: the unpivot runs on the tiny aggregate,
+    never on the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount", 6).alias("sum_disc"),
+        dsum("l_tax", 6).alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "measure",
+        "value",
+    )
+
+
+AGG_UNPIVOT_ORACLE = f"""
+UNPIVOT (
+  SELECT l_returnflag,
+         {dsum_sql('l_quantity')}        AS sum_qty,
+         {dsum_sql('l_extendedprice')}   AS sum_price,
+         {dsum_sql('l_discount', 6)}     AS sum_disc,
+         {dsum_sql('l_tax', 6)}          AS sum_tax
+  FROM lineitem GROUP BY 1
+) ON sum_qty, sum_price, sum_disc, sum_tax
+INTO NAME measure VALUE value
+"""
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed fact-to-stats join under explicit salting. 75% of events
     collapse onto skew_key 0 (the adversarial case for a keyed
@@ -530,6 +564,7 @@ SPECS: dict[str, QuerySpec] = {
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_ORACLE, "§2.4 cube"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_ORACLE, "§2.4 grouping sets"),
     "agg_pivot": QuerySpec(agg_pivot, AGG_PIVOT_ORACLE, "§2.4 pivot"),
+    "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_ORACLE, "§2.4 unpivot/melt"),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_ORACLE, "§2.4 quantiles, A12"),
     "join_orders_customer_segment": QuerySpec(join_orders_customer_segment, JOIN_SEGMENT_ORACLE, "§2.3 inner/broadcast"),
     "join_3way_brand_nation": QuerySpec(join_3way_brand_nation, JOIN_3WAY_ORACLE, "§2.3 star join"),

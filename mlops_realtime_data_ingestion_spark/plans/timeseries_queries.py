@@ -224,6 +224,44 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on 30-minute
+    inactivity gaps (lag -> boundary flag -> running sum), one row per
+    session — the offline analogue of the engine's streaming
+    session_window_agg."""
+    from ..operators.timeseries import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(
+        ev, key_cols=["user_id"], ts_col="ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, ep,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ep) AS session_start,
+       max(ep) AS session_end,
+       count(*) AS n_events
+FROM runs
+GROUP BY user_id, session_seq
+"""
+
+
 def metrics_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10-A12: the reference's forecast evaluation (evaluate.py:73-91)
     against a persistence forecast: per-minute total value, prediction
@@ -413,6 +451,7 @@ SPECS: dict[str, QuerySpec] = {
     "wf_rank_lag_lead": QuerySpec(wf_rank_lag_lead, WF_RANK_ORACLE, "§2.5 ranking"),
     "wf_running_sum": QuerySpec(wf_running_sum, WF_RUNNING_ORACLE, "§2.5 frames"),
     "wf_rolling_time_range": QuerySpec(wf_rolling_time_range, WF_ROLLING_RANGE_ORACLE, "§2.5 time-range frame"),
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_ORACLE, "batch sessionization"),
     "metrics_rmse_wql": QuerySpec(metrics_rmse_wql, METRICS_ORACLE, "A10-A12"),
     "monitoring_consecutive_breach": QuerySpec(monitoring_consecutive_breach, MONITORING_ORACLE, "§3.3 alarm"),
     "threshold_update_rule": QuerySpec(threshold_update_rule, THRESHOLD_ORACLE, "§2.10 threshold"),
