@@ -20,7 +20,39 @@ __all__ = [
     "language_id",
     "token_counts",
     "fingerprint",
+    "pii_redact",
 ]
+
+# Conservative patterns spelled to behave identically under Java
+# regex (Spark) and RE2 (DuckDB): plain character classes and bounded
+# quantifiers only — no lookarounds, no backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = "[0-9]{7,}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus runs
+    before tokenization: emails -> ``<EMAIL>``, 7+-digit runs (phone /
+    account numbers) -> ``<NUM>``.
+
+    Purely narrow (regexp_replace/extract_all are JVM codegen — no
+    Python, no shuffle). Counts are taken per pattern BEFORE its
+    replacement; digit runs are counted after email redaction so an
+    address's digits aren't double-counted. Returns
+    (doc_id, n_emails, n_numbers, n_chars_redacted) plus the redacted
+    text under ``redacted``.
+    """
+    email_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    no_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    digit_hits = F.size(F.regexp_extract_all(no_email, F.lit(LONG_DIGITS_RE), 0))
+    redacted = F.regexp_replace(no_email, LONG_DIGITS_RE, "<NUM>")
+    return df.select(
+        "doc_id",
+        email_hits.cast("long").alias("n_emails"),
+        digit_hits.cast("long").alias("n_numbers"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+        redacted.alias("redacted"),
+    )
 
 # public, fixed word lists — the heuristic's profile, not learned
 STOPWORDS = (

@@ -523,6 +523,46 @@ INTO NAME measure VALUE value
 """
 
 
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality gate over orders: five named
+    constraints (range, null, domain, format, uniqueness) evaluated in
+    ONE scan via conditional aggregates, reported long-form."""
+    from ..operators.dq import constraint_report
+
+    o = _t(spark, sf_dir, "orders")
+    return constraint_report(
+        o,
+        violations={
+            "totalprice_positive": F.col("o_totalprice") <= 0,
+            "orderdate_not_null": F.col("o_orderdate").isNull(),
+            "status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": ~F.col("o_orderpriority").like("%-%"),
+        },
+        unique_keys={"orderkey_unique": "o_orderkey"},
+    )
+
+
+DQ_ORDERS_ORACLE = """
+WITH wide AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_totalprice_positive,
+    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orderdate_not_null,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status_in_domain,
+    CAST(sum(CASE WHEN o_orderpriority NOT LIKE '%-%' THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_format,
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS v_orderkey_unique
+  FROM orders
+)
+SELECT check_name, n AS n_rows, n_violations, n_violations = 0 AS ok FROM (
+  SELECT n, 'totalprice_positive' AS check_name, v_totalprice_positive AS n_violations FROM wide
+  UNION ALL SELECT n, 'orderdate_not_null', v_orderdate_not_null FROM wide
+  UNION ALL SELECT n, 'status_in_domain', v_status_in_domain FROM wide
+  UNION ALL SELECT n, 'priority_format', v_priority_format FROM wide
+  UNION ALL SELECT n, 'orderkey_unique', v_orderkey_unique FROM wide
+)
+ORDER BY check_name
+"""
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed fact-to-stats join under explicit salting. 75% of events
     collapse onto skew_key 0 (the adversarial case for a keyed
@@ -575,6 +615,7 @@ SPECS: dict[str, QuerySpec] = {
     "asof_join_last_purchase": QuerySpec(asof_join_last_purchase, ASOF_ORACLE, "custom asof join"),
     "range_join_attribution": QuerySpec(range_join_attribution, RANGE_JOIN_ORACLE, "custom range join"),
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_ORACLE, "skew-salted join"),
+    "dq_orders_report": QuerySpec(dq_orders_report, DQ_ORDERS_ORACLE, "data-quality constraint gate"),
     "o2_topk_orders": QuerySpec(o2_topk_orders, O2_ORACLE, "O2"),
     "set_ops_user_cohorts": QuerySpec(set_ops_user_cohorts, SET_OPS_ORACLE, "§2.6 set ops"),
 }

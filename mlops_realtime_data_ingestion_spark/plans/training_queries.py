@@ -160,6 +160,31 @@ SELECT doc_id, rank, token, tf, df, score FROM (
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus. The synthetic corpus contains no
+    emails/long digit runs (counts are legitimately zero) — redaction
+    behavior itself is unit-tested on crafted PII in tests/test_dq.py;
+    this differential check proves the regex dialects agree corpus-wide."""
+    from ..operators.text import pii_redact
+
+    return pii_redact(_docs(spark, sf_dir)).select(
+        "doc_id", "n_emails", "n_numbers", "n_chars_redacted"
+    )
+
+
+PII_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+       CAST(length(regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT) AS n_chars_redacted
+FROM documents
+"""
+
+
 # ---------- context-window chunking ----------
 
 def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +268,7 @@ SPECS: dict[str, QuerySpec] = {
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_ORACLE, "stratified mixture sampling"),
     "decontam_ngram_overlap": QuerySpec(decontam_ngram_overlap, DECONTAM_ORACLE, "benchmark decontamination"),
     "text_heavy_hitters": QuerySpec(text_heavy_hitters, HEAVY_HITTERS_ORACLE, "global top-k tokens"),
+    "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE, "PII scrubbing"),
     "text_tfidf_topk": QuerySpec(text_tfidf_topk, TFIDF_ORACLE, "per-doc characteristic terms"),
     "doc_chunk_sliding": QuerySpec(doc_chunk_sliding, CHUNK_ORACLE, "context-window chunking"),
     "dedup_connected_components": QuerySpec(dedup_connected_components, CC_ORACLE, "dedup group resolution"),
