@@ -74,15 +74,22 @@ def main() -> None:
         "aggregate(sequence(1, 50), 0L, (a, x) -> a + x)"
     ).collect()
 
+    # Best-of-2 per query: single-shot numbers at sf0.1 swing 2-5x on
+    # first-touch effects (page cache, codegen cache, worker reuse);
+    # the min is the reproducible per-query cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
             continue
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
