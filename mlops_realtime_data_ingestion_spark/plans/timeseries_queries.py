@@ -262,6 +262,43 @@ GROUP BY user_id, session_seq
 """
 
 
+def scd2_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history built from the orders change log:
+    each customer's order opens a validity interval for its
+    total-price attribute, closed by the next order. Point-in-time
+    lookups ("what was the value on date X") become range predicates
+    on [valid_from, valid_to)."""
+    from ..operators.scd import scd2_build
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").cast("long").alias("change_ts"),
+    )
+    return scd2_build(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="change_ts",
+        attr_cols=["o_totalprice", "o_orderkey"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+SCD2_ORACLE = """
+SELECT o_custkey, o_totalprice, o_orderkey,
+       change_ts AS valid_from,
+       lead(change_ts) OVER w AS valid_to,
+       lead(change_ts) OVER w IS NULL AS is_current
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS change_ts
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY change_ts, o_orderkey)
+"""
+
+
 def metrics_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10-A12: the reference's forecast evaluation (evaluate.py:73-91)
     against a persistence forecast: per-minute total value, prediction
@@ -452,6 +489,7 @@ SPECS: dict[str, QuerySpec] = {
     "wf_running_sum": QuerySpec(wf_running_sum, WF_RUNNING_ORACLE, "§2.5 frames"),
     "wf_rolling_time_range": QuerySpec(wf_rolling_time_range, WF_ROLLING_RANGE_ORACLE, "§2.5 time-range frame"),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_ORACLE, "batch sessionization"),
+    "scd2_price_history": QuerySpec(scd2_price_history, SCD2_ORACLE, "SCD type-2 history build"),
     "metrics_rmse_wql": QuerySpec(metrics_rmse_wql, METRICS_ORACLE, "A10-A12"),
     "monitoring_consecutive_breach": QuerySpec(monitoring_consecutive_breach, MONITORING_ORACLE, "§3.3 alarm"),
     "threshold_update_rule": QuerySpec(threshold_update_rule, THRESHOLD_ORACLE, "§2.10 threshold"),
