@@ -43,6 +43,10 @@ HEADLINE = [
     "doc_chunk_sliding",
     "join_salted_skew",
     "wf_rolling_time_range",
+    "sessionize_events",
+    "scd2_price_history",
+    "dq_orders_report",
+    "sim_search_lsh_topk",
 ]
 
 
