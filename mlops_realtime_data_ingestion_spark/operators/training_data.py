@@ -152,23 +152,24 @@ def heavy_hitters(
     """Exact global top-k tokens by frequency.
 
     explode -> hash-aggregate (map-side partial combine shrinks the
-    shuffle to one row per (partition, token)) -> global top-k over
-    the VOCABULARY-sized count table. The final single-partition sort
-    touches |vocab| rows, not |corpus| — safe at 100 TB (natural-text
-    vocabularies are millions, not billions; for unbounded key spaces
-    swap in a count-min sketch + per-partition candidate top-k).
-    Ties break lexicographically so the cut is deterministic.
+    shuffle to one row per (partition, token)) -> distributed top-k:
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (a
+    per-partition k-heap + driver merge of k*partitions rows), so the
+    VOCABULARY-sized count table is never sorted in one partition —
+    that matters once the "vocabulary" is n-grams, not words. Ranks
+    are then assigned on the k survivors only. Ties break
+    lexicographically so the cut is deterministic; for unbounded key
+    spaces swap in a count-min sketch + candidate top-k.
     """
     counts = (
         df.select(F.explode(F.expr(H.spark_tokens(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "token", "cnt")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "token", "cnt"
     )
 
 
