@@ -212,6 +212,96 @@ def lsh_bucket_topk(
     )
 
 
+def sq_dist(a: str, b: str):
+    """Squared euclidean distance of two array columns, sequential
+    fold (engine-exact, like :func:`cosine`)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_iterate(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column,
+    DataFrame-native and bit-reproducible:
+
+    - init: the embeddings of the ``k`` smallest ids (no RNG);
+    - assign: argmin squared distance via a broadcast of the k
+      centroids, ties to the lower cluster id;
+    - update: per-(cluster, dim) INTEGER-scaled exact means:
+      sum(round(x*1e9)) as int64 / (count*1e9), both operands exactly
+      representable, so the mean is ONE correctly-rounded division in
+      any engine. (Float means are summation-order-dependent; and even
+      decimal sums diverge at the final decimal->double conversion —
+      engines disagree by an ulp on that cast, which a later
+      round(dist, 6) can amplify into a flipped digit. Observed at
+      sf0.1.)
+
+    Each iteration = one broadcast join + one (cluster, dim) shuffle
+    over the exploded corpus; nothing driver-side. ``iters`` is fixed
+    (not convergence-tested) so the computation is a finite plan any
+    engine can replay — the DuckDB oracle unrolls the same iterations.
+    Returns (id, cluster, dist) with dist rounded to 6 dp.
+    """
+    init = (
+        corpus.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("centroid"))
+    )
+    points = corpus.select(id_col, F.col(vec_col).alias("p"))
+    cents = init
+    for _ in range(iters):
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("d").asc(), F.col("cluster").asc()
+        )
+        assigned = (
+            points.crossJoin(F.broadcast(cents))
+            .withColumn("d", sq_dist("p", "centroid"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cluster", "p", "d")
+        )
+        per_dim = (
+            assigned.select("cluster", F.posexplode("p").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x").cast("double") * 1e9).cast("long"))
+                    .cast("double")
+                    / (F.count("x") * F.lit(1_000_000_000)).cast("double")
+                ).alias("m")
+            )
+        )
+        cents = per_dim.groupBy("cluster").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cluster").asc())
+    final = (
+        points.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq_dist("p", "centroid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return final.select(
+        id_col,
+        F.col("cluster"),
+        F.round(F.col("d"), 6).alias("dist"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -384,6 +384,68 @@ GROUP BY 1
 """
 
 
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=4, 2 fixed Lloyd iterations, init =
+    lowest-id vectors, DECIMAL-exact centroid means) — document
+    clustering / IVF quantizer training as a DataFrame plan. The
+    oracle unrolls the identical iterations in SQL."""
+    from ..operators.similarity import kmeans_iterate
+
+    return kmeans_iterate(_emb(spark, sf_dir), k=4, iters=2)
+
+
+def _duck_sq_dist(p: str, c: str) -> str:
+    diff = f"(CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(list_zip({p}, {c}), pr -> {diff} * {diff})),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    ctes = [
+        "pts AS (SELECT vec_id, embedding AS p FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid"
+        f" FROM embeddings WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        dist = _duck_sq_dist("pts.p", f"{prev}.centroid")
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cluster, p FROM ("
+            f" SELECT pts.vec_id, {prev}.cluster, pts.p,"
+            f" row_number() OVER (PARTITION BY pts.vec_id"
+            f" ORDER BY {dist} ASC, {prev}.cluster ASC) AS rn"
+            f" FROM pts CROSS JOIN {prev}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cluster, dim,"
+            f" CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(count(x) * 1000000000 AS DOUBLE) AS m"
+            f" FROM (SELECT cluster, unnest(p) AS x,"
+            f" unnest(range(0, len(p))) AS dim FROM a{it})"
+            f" GROUP BY cluster, dim)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cluster, list(m ORDER BY dim) AS centroid"
+            f" FROM m{it} GROUP BY cluster)"
+        )
+    last = f"c{iters}"
+    dist = _duck_sq_dist("pts.p", f"{last}.centroid")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT vec_id, cluster, round(d, 6) AS dist FROM ("
+        f" SELECT pts.vec_id, {last}.cluster, {dist} AS d,"
+        f" row_number() OVER (PARTITION BY pts.vec_id"
+        f" ORDER BY {dist} ASC, {last}.cluster ASC) AS rn"
+        f" FROM pts CROSS JOIN {last}) WHERE rn = 1"
+    )
+
+
+KMEANS_ORACLE = _kmeans_oracle(4, 2)
+
+
 def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding compression for 100 TB storage: L2-normalize then
     symmetric int8 quantization (x/norm * 127, round-half-away).
@@ -477,6 +539,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),
     "embedding_normalize_quantize": QuerySpec(embedding_normalize_quantize, EMB_QUANT_ORACLE, "int8 embedding compression"),
+    "kmeans_embedding_clusters": QuerySpec(kmeans_embedding_clusters, KMEANS_ORACLE, "deterministic k-means clustering"),
     "multimodal_decode": QuerySpec(multimodal_decode, None, "multimodal (mapInPandas)"),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "multimodal frame fan-out"),
     "multimodal_resize": QuerySpec(multimodal_resize, None, "multimodal resize contract"),

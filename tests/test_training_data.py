@@ -163,6 +163,27 @@ def test_salted_join_equals_plain_join_and_salts_the_plan(spark):
     assert "_salt" in salted._jdf.queryExecution().optimizedPlan().toString()
 
 
+# ---------- k-means ----------
+
+def test_kmeans_separates_two_blobs(spark):
+    from mlops_realtime_data_ingestion_spark.operators.similarity import kmeans_iterate
+
+    rows = []
+    # vec_id 0 seeds blob A (around [0,0]), vec_id 1 seeds blob B
+    # (around [10,10]); remaining points jitter around each center
+    for i in range(20):
+        base = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        rows.append((i, [base[0] + (i % 5) * 0.1, base[1] - (i % 3) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_iterate(df, k=2, iters=2).collect()
+    clusters = {r.vec_id: r.cluster for r in out}
+    blob_a = {clusters[i] for i in range(0, 20, 2)}
+    blob_b = {clusters[i] for i in range(1, 20, 2)}
+    assert blob_a == {0} and blob_b == {1}
+    # every point's reported dist is to its own centroid: small
+    assert all(r.dist < 1.0 for r in out)
+
+
 # ---------- LSH ANN ----------
 
 def test_lsh_topk_subset_of_bruteforce_ranking(spark):
