@@ -384,6 +384,65 @@ GROUP BY 1
 """
 
 
+def ts_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19-style, engine-shaped):
+    each user's behavior is summarized as a 24-dim hour-of-day
+    activity profile (exact integer counts — one conditional-agg
+    pass), then the profile TABLE (|users| rows, not |events|) is
+    searched for each query user's top-5 cosine neighbors. The
+    aggregation is what makes 100 TB tractable: similarity runs on
+    the compressed profiles, never the raw series."""
+    from ..operators.similarity import cosine
+    from ..sources.batch import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).cast("double")
+                for h in range(24)
+            ]
+        ).alias("prof")
+    )
+    q = prof.filter(F.col("user_id") < 10).select(
+        F.col("user_id").alias("query_id"), F.col("prof").alias("qp")
+    )
+    scored = (
+        prof.crossJoin(F.broadcast(q))
+        .filter(F.col("user_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine("qp", "prof"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("user_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", F.col("user_id").alias("neighbor_id"), "sim")
+    )
+
+
+_HOUR_PROFILE = ", ".join(
+    f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+    for h in range(24)
+)
+
+TS_PROFILE_ORACLE = f"""
+WITH prof AS (
+  SELECT user_id, [{_HOUR_PROFILE}] AS prof FROM events GROUP BY user_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+         round({_duck_cosine('q.prof', 'c.prof')}, 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.user_id
+           ORDER BY round({_duck_cosine('q.prof', 'c.prof')}, 6) DESC, c.user_id
+         ) AS rank
+  FROM prof q JOIN prof c ON q.user_id < 10 AND c.user_id != q.user_id
+) WHERE rank <= 5
+"""
+
+
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (k=4, 2 fixed Lloyd iterations, init =
     lowest-id vectors, DECIMAL-exact centroid means) — document
@@ -540,6 +599,7 @@ SPECS: dict[str, QuerySpec] = {
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),
     "embedding_normalize_quantize": QuerySpec(embedding_normalize_quantize, EMB_QUANT_ORACLE, "int8 embedding compression"),
     "kmeans_embedding_clusters": QuerySpec(kmeans_embedding_clusters, KMEANS_ORACLE, "deterministic k-means clustering"),
+    "ts_profile_topk": QuerySpec(ts_profile_topk, TS_PROFILE_ORACLE, "time-series profile similarity"),
     "multimodal_decode": QuerySpec(multimodal_decode, None, "multimodal (mapInPandas)"),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "multimodal frame fan-out"),
     "multimodal_resize": QuerySpec(multimodal_resize, None, "multimodal resize contract"),
