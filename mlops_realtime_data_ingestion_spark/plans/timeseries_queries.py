@@ -262,6 +262,36 @@ GROUP BY user_id, session_seq
 """
 
 
+def wf_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full per-key
+    frame (total order via event_id tiebreak) — the anchoring
+    functions the wf_rank_lag_lead family doesn't cover."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first_value("value").over(w).alias("first_v"),
+        F.last_value("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )
+
+
+WF_FIRST_LAST_ORACLE = """
+SELECT user_id, event_id,
+       first_value(value) OVER w AS first_v,
+       last_value(value)  OVER w AS last_v,
+       nth_value(value, 3) OVER w AS third_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def scd2_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 dimension history built from the orders change log:
     each customer's order opens a validity interval for its
@@ -490,6 +520,7 @@ SPECS: dict[str, QuerySpec] = {
     "wf_rolling_time_range": QuerySpec(wf_rolling_time_range, WF_ROLLING_RANGE_ORACLE, "§2.5 time-range frame"),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_ORACLE, "batch sessionization"),
     "scd2_price_history": QuerySpec(scd2_price_history, SCD2_ORACLE, "SCD type-2 history build"),
+    "wf_first_last_nth": QuerySpec(wf_first_last_nth, WF_FIRST_LAST_ORACLE, "§2.5 value-anchoring window fns"),
     "metrics_rmse_wql": QuerySpec(metrics_rmse_wql, METRICS_ORACLE, "A10-A12"),
     "monitoring_consecutive_breach": QuerySpec(monitoring_consecutive_breach, MONITORING_ORACLE, "§3.3 alarm"),
     "threshold_update_rule": QuerySpec(threshold_update_rule, THRESHOLD_ORACLE, "§2.10 threshold"),

@@ -49,6 +49,41 @@ def json_file_stream(
     return reader.json(path)
 
 
+def json_stream_with_dead_letter(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S6 + T7 (poison handling): schema'd JSON stream in PERMISSIVE
+    mode with the raw text of unparseable records captured in
+    ``_corrupt`` — split downstream with :func:`split_dead_letter`.
+    The reference acks poison records instead of crashing
+    (analytics_to_featurestore/main.py:53-55); the Spark analogue is
+    route-don't-drop: corrupt rows flow to a dead-letter sink for
+    replay, valid rows continue."""
+    full = schema.add("_corrupt", T.StringType())
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def split_dead_letter(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead): valid rows without the marker column; dead rows
+    as (raw_record) for a replayable dead-letter sink. Use inside
+    foreachBatch so ONE scan feeds both sinks."""
+    valid = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    dead = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_record")
+    )
+    return valid, dead
+
+
 def rate_tx_stream(spark: SparkSession, rows_per_second: int = 7) -> DataFrame:
     """S1 emulation: the poller's ~6.7 rec/s steady state
     (BASELINE.md derived rate) as a rate source shaped like the
