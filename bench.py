@@ -95,6 +95,18 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # Streaming freshness: wall time to drain the events backlog
+    # through the full pipeline (dedup -> bronze -> 1-min window ->
+    # feature upsert). BASELINE.md budget: a minute bucket finalizes
+    # <= ~2 min after its start; the whole multi-day backlog draining
+    # in seconds means per-micro-batch latency is far inside that.
+    streaming_e2e = None
+    stream_spec = specs.get("streaming_pipeline_e2e")
+    if stream_spec is not None:
+        t0 = time.perf_counter()
+        stream_spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        streaming_e2e = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -103,6 +115,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_e2e_sec": streaming_e2e,
+                "streaming_freshness_budget_sec": 120,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
