@@ -235,6 +235,23 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 """
 
 
+def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer: corpus bucketed by the
+    deterministic k-means clusters (kmeans_embedding_clusters), probe
+    the 2 nearest cells — the production IVF shape, vs the label-
+    bucketed variant that stands in for it when no quantizer has been
+    trained. Approximate by construction -> rows-only; recall vs
+    brute force asserted in tests/test_training_data.py."""
+    from ..operators.similarity import ivf_topk, kmeans_iterate
+
+    emb = _emb(spark, sf_dir)
+    clusters = kmeans_iterate(emb, k=4, iters=2).select("vec_id", "cluster")
+    corpus = emb.join(clusters, "vec_id")
+    return ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") < 5), assign_col="cluster", k=5, nprobe=2
+    )
+
+
 def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: candidates restricted to the query's
     sign-pattern bucket (4 fixed public hyperplanes => 16 buckets),
@@ -592,6 +609,7 @@ SPECS: dict[str, QuerySpec] = {
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
     "sim_search_ivf_topk": QuerySpec(sim_search_ivf_topk, None, "ann-ivf (approx)"),
     "sim_search_lsh_topk": QuerySpec(sim_search_lsh_topk, SIM_LSH_ORACLE, "ann-lsh (deterministic)"),
+    "sim_search_ivf_kmeans": QuerySpec(sim_search_ivf_kmeans, None, "ann-ivf, learned quantizer (approx)"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_ORACLE, "text-quality"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ORACLE, "text-langid"),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKENS_ORACLE, "text-tokens"),

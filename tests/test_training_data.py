@@ -206,3 +206,21 @@ def test_lsh_topk_subset_of_bruteforce_ranking(spark):
     # sane recall at 4 buckets on the top-10
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_kmeans_recall_and_determinism(spark):
+    from mlops_realtime_data_ingestion_spark.plans import extension_queries as ex
+    from mlops_realtime_data_ingestion_spark.plans.extension_queries import (
+        sim_search_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    approx = ex.sim_search_ivf_kmeans(spark, sf)
+    a1 = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    a2 = {(r.query_id, r.neighbor_id) for r in ex.sim_search_ivf_kmeans(spark, sf).collect()}
+    assert a1 == a2  # learned quantizer is deterministic -> so is ANN
+    exact = {(r.query_id, r.neighbor_id) for r in sim_search_cosine_topk(spark, sf).collect()}
+    recall = len(a1 & exact) / len(exact)
+    # weak synthetic clusters (max intra-label cosine ~0.48): probing
+    # 2 of 4 learned cells still has to find a meaningful fraction
+    assert recall >= 0.2, f"recall {recall}"
