@@ -47,6 +47,7 @@ HEADLINE = [
     "scd2_price_history",
     "dq_orders_report",
     "sim_search_lsh_topk",
+    "pack_sequences_greedy",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed"]
+__all__ = ["write_bucketed", "read_bucketed", "write_clustered"]
 
 
 def write_bucketed(
@@ -46,3 +46,34 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet(path)`` would lose it — the catalog carries
     the bucket spec)."""
     return spark.table(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+) -> None:
+    """Range-clustered parquet layout: range-partition on the cluster
+    columns, sort within each file, write.
+
+    This is the single-dimension z-order analogue: every file covers a
+    narrow, non-overlapping range of the cluster key, so parquet
+    row-group min/max stats (and, with a table format, file-level
+    stats) prune point/range predicates down to one file in N — the
+    difference between scanning 100 TB and scanning 256 MB for a
+    "this user's docs" query. tests/test_clustered_layout.py proves
+    the locality: a point predicate's rows come from exactly one file,
+    where the same predicate over a hash-partitioned write touches
+    every file.
+
+    ``repartitionByRange`` samples the key distribution to place the
+    cut points, so skewed keys still yield balanced files (unlike
+    static modulo bucketing).
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

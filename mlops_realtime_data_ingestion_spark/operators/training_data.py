@@ -32,17 +32,22 @@ __all__ = [
     "chunk_tokens",
     "tfidf_topk",
     "connected_components",
+    "shard_assign",
+    "pack_sequences",
+    "sample_fixed_per_stratum",
 ]
 
 
-def _id_hash(id_col: str):
+def _id_hash(id_col: str, k: int = 0):
     """Deterministic per-row bucket hash: polynomial fold of the id's
     decimal string, then one affine mix mod P — engine-portable (no
     murmur3), stable across runs. The mix step matters: the raw fold
     of SHORT strings is small and stride-patterned, so its low-order
-    residues are badly skewed; (a*h + b) % P spreads them uniformly."""
+    residues are badly skewed; (a*h + b) % P spreads them uniformly.
+    ``k`` selects an independent affine mix (k=0 for placement, k=1
+    for within-shard ordering, ...)."""
     fold = H.spark_str_hash(f"cast({id_col} as string)")
-    return F.expr(f"({H.MINHASH_A[0]} * ({fold}) + {H.MINHASH_B[0]}) % {H.P}")
+    return F.expr(f"({H.MINHASH_A[k]} * ({fold}) + {H.MINHASH_B[k]}) % {H.P}")
 
 
 def hash_split(
@@ -324,3 +329,113 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic shuffle-shard for training export: place each doc
+    in ``shard = id_hash % n_shards``, then order within the shard by
+    an INDEPENDENT second hash — the distributed spelling of "shuffle
+    the corpus, split into N files" that trainers expect.
+
+    Placement and order come from different affine mixes of the same
+    fold, so the within-shard order is pseudorandom (no correlation
+    with the placement residue) yet fully reproducible: re-running on
+    a grown corpus keeps every doc in its shard (only positions
+    shift), unlike ``orderBy(rand())``.
+
+    Scale: ONE shuffle (the window partition on shard). n_shards
+    should be sized so a shard fits an executor's sort buffer —
+    thousands of shards at 100 TB, not 8; per-shard ``row_number`` is
+    a streaming sort, never a global one.
+    """
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        df.select(
+            id_col,
+            (_id_hash(id_col, 0) % n_shards).cast("int").alias("shard"),
+            _id_hash(id_col, 1).alias("order_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy token-budget sequence packing: walk each shard in its
+    deterministic shuffle order and start a new sequence whenever the
+    running token total would exceed ``budget`` — the batch-assembly
+    step that turns a deduped corpus into trainer-ready sequences
+    (docs are never split; an oversized doc gets its own sequence).
+
+    Spark shape: tokenize (JVM-side whitespace tokens, same spelling
+    as text.token_counts) -> shard_assign -> ``applyInPandas`` per
+    shard for the greedy scan. The scan is inherently sequential PER
+    SHARD but embarrassingly parallel ACROSS shards — exactly the
+    granularity the export needs anyway, so the "imperative" step
+    rides the same single shuffle as the shard placement. Oracle:
+    DuckDB recursive CTE stepping pos -> pos+1 computes the identical
+    fold (tests + registry hash-match it).
+    """
+    sharded = shard_assign(df, id_col, n_shards).join(
+        df.select(
+            id_col,
+            F.size(F.expr(H.spark_tokens(text_col))).cast("long").alias("tokens"),
+        ),
+        id_col,
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        seq_ids = []
+        seq, acc = 0, 0
+        for t in pdf["tokens"]:
+            if seq == 0 or acc + t > budget:
+                seq += 1
+                acc = int(t)
+            else:
+                acc += int(t)
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[[id_col, "shard", "pos", "tokens", "seq_id"]]
+
+    return sharded.groupBy("shard").applyInPandas(
+        pack, f"{id_col} bigint, shard int, pos int, tokens bigint, seq_id int"
+    )
+
+
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly ``min(k, |stratum|)``
+    docs per stratum, chosen by id-hash order — the reproducible
+    spelling of per-group reservoir sampling (eval-set carving,
+    per-source spot-check pulls).
+
+    Rate-based ``stratified_sample`` keeps a proportional slice;
+    this keeps a FIXED count. Hash order makes the choice a pure
+    function of the ids, so a grown stratum keeps its earlier picks
+    until pushed out by lower-hash arrivals (no RNG, no seed state).
+
+    One shuffle (window partition on the stratum); the per-stratum
+    sort streams — no stratum ever materializes in driver memory.
+    """
+    w = Window.partitionBy(stratum_col).orderBy("sample_key", id_col)
+    return (
+        df.select(id_col, stratum_col, _id_hash(id_col, 2).alias("sample_key"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= k)
+        .select(id_col, stratum_col, "pick")
+    )

@@ -24,6 +24,9 @@ from ..operators.training_data import (
     decontaminate,
     hash_split,
     heavy_hitters,
+    pack_sequences,
+    sample_fixed_per_stratum,
+    shard_assign,
     stratified_sample,
     tfidf_topk,
 )
@@ -263,8 +266,104 @@ SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
 """
 
 
+# ---------- deterministic shard export + sequence packing ----------
+
+_N_SHARDS = 8
+_PACK_BUDGET = 256
+
+_DUCK_ID_HASH2 = (
+    f"({H.MINHASH_A[1]} * ({H.duck_str_hash('CAST(doc_id AS VARCHAR)')})"
+    f" + {H.MINHASH_B[1]}) % {H.P}"
+)
+
+
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard of the corpus for training export:
+    placement by one id-hash, within-shard order by an independent
+    second hash."""
+    return shard_assign(_docs(spark, sf_dir), n_shards=_N_SHARDS)
+
+
+SHARDS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(({_DUCK_ID_HASH}) % {_N_SHARDS} AS INTEGER) AS shard,
+         ({_DUCK_ID_HASH2}) AS order_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+            AS INTEGER) AS pos
+FROM keyed
+"""
+
+
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing of the shuffled shards into
+    trainer-ready sequences (budget {_PACK_BUDGET} whitespace
+    tokens); the sequential fold is checked against a DuckDB
+    recursive CTE stepping pos -> pos+1."""
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_N_SHARDS
+    )
+
+
+PACK_ORACLE = f"""
+WITH RECURSIVE keyed AS (
+  SELECT doc_id,
+         CAST(({_DUCK_ID_HASH}) % {_N_SHARDS} AS INTEGER) AS shard,
+         ({_DUCK_ID_HASH2}) AS order_key,
+         CAST(len({H.duck_tokens('text')}) AS BIGINT) AS tokens
+  FROM documents
+), ordered AS (
+  SELECT doc_id, shard, tokens,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+              AS INTEGER) AS pos
+  FROM keyed
+), packed AS (
+  SELECT doc_id, shard, pos, tokens, 1 AS seq_id, tokens AS acc
+  FROM ordered WHERE pos = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.pos, o.tokens,
+         CASE WHEN p.acc + o.tokens > {_PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END AS seq_id,
+         CASE WHEN p.acc + o.tokens > {_PACK_BUDGET}
+              THEN o.tokens ELSE p.acc + o.tokens END AS acc
+  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.pos = p.pos + 1
+)
+SELECT doc_id, shard, pos, tokens, CAST(seq_id AS INTEGER) AS seq_id
+FROM packed
+"""
+
+
+_DUCK_ID_HASH3 = (
+    f"({H.MINHASH_A[2]} * ({H.duck_str_hash('CAST(doc_id AS VARCHAR)')})"
+    f" + {H.MINHASH_B[2]}) % {H.P}"
+)
+
+
+def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, picked by id-hash order — the
+    deterministic per-group reservoir sample."""
+    return sample_fixed_per_stratum(_docs(spark, sf_dir), "source", k=5)
+
+
+SAMPLE_FIXED_ORACLE = f"""
+SELECT doc_id, source, pick FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY ({_DUCK_ID_HASH3}), doc_id
+         ) AS INTEGER) AS pick
+  FROM documents
+) WHERE pick <= 5
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "split_hash_assign": QuerySpec(split_hash_assign, SPLIT_ORACLE, "hash split (leakage-safe)"),
+    "export_shards": QuerySpec(export_shards, SHARDS_ORACLE, "deterministic shuffle-shard export"),
+    "pack_sequences_greedy": QuerySpec(pack_sequences_greedy, PACK_ORACLE, "token-budget sequence packing"),
+    "sample_per_source_topk": QuerySpec(sample_per_source_topk, SAMPLE_FIXED_ORACLE, "fixed-size per-stratum sample"),
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_ORACLE, "stratified mixture sampling"),
     "decontam_ngram_overlap": QuerySpec(decontam_ngram_overlap, DECONTAM_ORACLE, "benchmark decontamination"),
     "text_heavy_hitters": QuerySpec(text_heavy_hitters, HEAVY_HITTERS_ORACLE, "global top-k tokens"),

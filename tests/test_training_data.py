@@ -224,3 +224,73 @@ def test_ivf_kmeans_recall_and_determinism(spark):
     # weak synthetic clusters (max intra-label cosine ~0.48): probing
     # 2 of 4 learned cells still has to find a meaningful fraction
     assert recall >= 0.2, f"recall {recall}"
+
+
+# ---------- shard_assign / pack_sequences ----------
+
+def test_shard_assign_contiguous_positions_and_stability(spark):
+    from mlops_realtime_data_ingestion_spark.operators.training_data import (
+        shard_assign,
+    )
+
+    df = _docs(spark, [(i, f"doc {i}") for i in range(400)])
+    rows = shard_assign(df, n_shards=8).collect()
+    assert len(rows) == 400
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    # every shard is populated and no shard hogs the corpus
+    assert len(by_shard) == 8
+    assert max(len(p) for p in by_shard.values()) < 2 * (400 // 8)
+
+    # corpus growth keeps existing docs in their shard (placement is
+    # id-only; positions may shift)
+    grown = _docs(spark, [(i, f"doc {i}") for i in range(500)])
+    shard_of = {r.doc_id: r.shard for r in shard_assign(grown, n_shards=8).collect()}
+    for r in rows:
+        assert shard_of[r.doc_id] == r.shard
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    from mlops_realtime_data_ingestion_spark.operators.training_data import (
+        pack_sequences,
+    )
+
+    texts = [(i, "w " * (5 + (i * 37) % 90)) for i in range(300)]
+    budget = 100
+    out = pack_sequences(
+        _docs(spark, texts), budget=budget, n_shards=4
+    ).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        seq_tokens = {}
+        prev_seq = 0
+        for r in rows:
+            assert r.seq_id in (prev_seq, prev_seq + 1)  # nondecreasing, no gaps
+            prev_seq = max(prev_seq, r.seq_id)
+            seq_tokens.setdefault(r.seq_id, []).append(r.tokens)
+        for seq, toks in seq_tokens.items():
+            # a sequence only exceeds budget if it is a single oversized doc
+            assert sum(toks) <= budget or len(toks) == 1
+            # greedy: first doc of seq k would NOT have fit in seq k-1
+            if seq > 1:
+                assert sum(seq_tokens[seq - 1]) + toks[0] > budget
+
+
+def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
+    from mlops_realtime_data_ingestion_spark.operators.training_data import (
+        pack_sequences,
+    )
+
+    texts = [(1, "w " * 500), (2, "w " * 10), (3, "w " * 10)]
+    out = pack_sequences(_docs(spark, texts), budget=100, n_shards=1).collect()
+    big = next(r for r in out if r.doc_id == 1)
+    others = [r for r in out if r.doc_id != 1]
+    assert all(r.seq_id != big.seq_id for r in others)
