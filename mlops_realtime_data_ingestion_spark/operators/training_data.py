@@ -32,6 +32,7 @@ __all__ = [
     "chunk_tokens",
     "tfidf_topk",
     "connected_components",
+    "connected_components_star",
     "shard_assign",
     "pack_sequences",
     "sample_fixed_per_stratum",
@@ -438,4 +439,87 @@ def sample_fixed_per_stratum(
         .withColumn("pick", F.row_number().over(w))
         .filter(F.col("pick") <= k)
         .select(id_col, stratum_col, "pick")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph scale path promised next to
+    ``connected_components``: O(log n) rounds regardless of diameter,
+    where min-label propagation needs diameter rounds (a 1M-node
+    chain = 1M rounds vs ~20).
+
+    Each round rewrites the EDGE set toward a star per component:
+    large-star hangs every larger neighbor off the neighborhood min;
+    small-star does the same for the smaller neighbors. Both are one
+    groupBy + one join over edges only; convergence = the edge set
+    stops changing (checked with a 1-row exceptAll probe, the same
+    0/1 driver counter the label-propagation variant uses).
+
+    Returns (doc_id, component_id = min reachable id), identical
+    output contract to ``connected_components`` (differentially
+    tested against it and against the recursive-CTE oracle).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star: center u over ALL its neighbors; hang v > u off
+        # m = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (max -> min), center the max; relink every
+        # smaller neighbor (and the center) to the neighborhood min
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("s")
+            )
+            .select("s.u", "s.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    # converged: e is a star forest (u -> component min)
+    roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+        .union(roots)
+        .distinct()
     )

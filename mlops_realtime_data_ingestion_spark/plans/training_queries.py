@@ -21,6 +21,7 @@ from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.training_data import (
     chunk_tokens,
     connected_components,
+    connected_components_star,
     decontaminate,
     hash_split,
     heavy_hitters,
@@ -132,6 +133,60 @@ SELECT rank, token, cnt FROM (
     FROM (SELECT unnest({H.duck_tokens('text')}) AS token FROM documents)
     GROUP BY 1
   )
+) WHERE rank <= 20
+"""
+
+
+_CMS_D, _CMS_W = 4, 512
+
+
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via a count-min sketch over the full
+    corpus, candidates from the doc_id % 11 == 0 sample — the
+    fixed-memory path for vocabularies too large for the exact
+    (token, count) table. Deterministic hashing makes even the
+    approximation oracle-matched."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _docs(spark, sf_dir), F.col("doc_id") % 11 == 0, k=20, d=_CMS_D, w=_CMS_W
+    )
+
+
+def _duck_cms_cells(src: str, th: str) -> str:
+    rows = [
+        f"SELECT {extra}{j} AS row, CAST((({H.MINHASH_A[3 + j]} * ({th})"
+        f" + {H.MINHASH_B[3 + j]}) % {H.P}) % {_CMS_W} AS INTEGER) AS cell FROM {src}"
+        for j, extra in ((j, "") for j in range(_CMS_D))
+    ]
+    return "\n  UNION ALL ".join(rows)
+
+
+CMS_ORACLE = f"""
+WITH th AS (
+  SELECT unnest({_DUCK_H}) AS th FROM documents
+), cells AS (
+  {_duck_cms_cells('th', 'th')}
+), sketch AS (
+  SELECT row, cell, count(*) AS cnt FROM cells GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest({H.duck_tokens('text')}) AS token
+    FROM documents WHERE doc_id % 11 = 0
+  )
+), candh AS (
+  SELECT token, {H.duck_str_hash('token')} AS th FROM cand
+), probes AS (
+  SELECT token, row, cell FROM candh, LATERAL (
+    {_duck_cms_cells('(SELECT candh.th AS th)', 'th')}
+  )
+), est AS (
+  SELECT token, min(cnt) AS est
+  FROM probes JOIN sketch USING (row, cell) GROUP BY 1
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, est FROM (
+  SELECT token, est, row_number() OVER (ORDER BY est DESC, token) AS rank
+  FROM est
 ) WHERE rank <= 20
 """
 
@@ -266,6 +321,23 @@ SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
 """
 
 
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair graph as dedup_connected_components, resolved with
+    the alternating large-star/small-star algorithm instead of
+    min-label propagation — O(log n) rounds vs diameter, so the SAME
+    oracle must hold for both (and does)."""
+    edges = ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        threshold=0.5,
+        block_cols=("lang",),
+        length_band=50,
+    )
+    return connected_components_star(edges)
+
+
 # ---------- deterministic shard export + sequence packing ----------
 
 _N_SHARDS = 8
@@ -367,8 +439,10 @@ SPECS: dict[str, QuerySpec] = {
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_ORACLE, "stratified mixture sampling"),
     "decontam_ngram_overlap": QuerySpec(decontam_ngram_overlap, DECONTAM_ORACLE, "benchmark decontamination"),
     "text_heavy_hitters": QuerySpec(text_heavy_hitters, HEAVY_HITTERS_ORACLE, "global top-k tokens"),
+    "text_heavy_hitters_cms": QuerySpec(text_heavy_hitters_cms, CMS_ORACLE, "count-min-sketch heavy hitters (fixed memory)"),
     "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE, "PII scrubbing"),
     "text_tfidf_topk": QuerySpec(text_tfidf_topk, TFIDF_ORACLE, "per-doc characteristic terms"),
     "doc_chunk_sliding": QuerySpec(doc_chunk_sliding, CHUNK_ORACLE, "context-window chunking"),
     "dedup_connected_components": QuerySpec(dedup_connected_components, CC_ORACLE, "dedup group resolution"),
+    "dedup_cc_star": QuerySpec(dedup_cc_star, CC_ORACLE, "dedup group resolution, O(log n) star rounds"),
 }

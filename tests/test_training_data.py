@@ -294,3 +294,102 @@ def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
     big = next(r for r in out if r.doc_id == 1)
     others = [r for r in out if r.doc_id != 1]
     assert all(r.seq_id != big.seq_id for r in others)
+
+
+# ---------- connected_components_star ----------
+
+def _cc_star(spark, pairs):
+    from mlops_realtime_data_ingestion_spark.operators.training_data import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(pairs, "doc_id_1 bigint, doc_id_2 bigint")
+    return {
+        r.doc_id: r.component_id
+        for r in connected_components_star(edges).collect()
+    }
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min-of-component to match the operator contract
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for root, members in comp.items() for x in members}
+
+
+def test_cc_star_long_chain_converges_in_log_rounds(spark):
+    # a 200-node chain: diameter 199 — label propagation would need
+    # ~200 rounds; star converges inside the 20-round cap
+    pairs = [(i, i + 1) for i in range(200)]
+    got = _cc_star(spark, pairs)
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_cc_star_matches_union_find_on_mixed_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(i, i + 1) for i in range(0, 30)]              # chain
+    pairs += [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]  # clique
+    pairs += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _cc_star(spark, pairs) == _union_find(pairs)
+
+
+def test_cc_star_agrees_with_label_propagation(spark):
+    from mlops_realtime_data_ingestion_spark.operators.training_data import (
+        connected_components,
+    )
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    edges = spark.createDataFrame(pairs, "doc_id_1 bigint, doc_id_2 bigint")
+    lp = {r.doc_id: r.component_id for r in connected_components(edges).collect()}
+    assert _cc_star(spark, pairs) == lp
+
+
+# ---------- count-min sketch ----------
+
+def test_cms_estimates_are_overestimates_and_catch_heavy_hitters(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    # skewed vocabulary: token_0 appears far more than token_99
+    rows = []
+    for i in range(200):
+        words = " ".join(f"token_{j}" for j in range(100) if i % (j + 1) == 0)
+        rows.append((i, words))
+    df = _docs(spark, rows)
+
+    exact = Counter()
+    for _, words in rows:
+        exact.update(words.split())
+
+    got = {
+        r.token: r.est
+        for r in cms_heavy_hitters(df, F.lit(True), k=50, d=4, w=256).collect()
+    }
+    for token, est in got.items():
+        assert est >= exact[token], (token, est, exact[token])  # never undercounts
+    # the true #1 heavy hitter is found with its exact-ish count
+    assert got["token_0"] >= 200
+    top_true = {t for t, _ in exact.most_common(5)}
+    assert top_true <= set(got)
