@@ -34,24 +34,32 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
-# nanosecond longs under spark.sql.legacy.parquet.nanosAsLong (set in
-# session.get_spark). Converted to TimestampType here with floor
-# division to microseconds — the same truncation DuckDB applies, so
-# oracle comparisons see identical values.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns in the synthetic tables. Depending on how the
+# driver generated the parquet, these arrive as TIMESTAMP(NANOS)
+# (read as nanosecond longs under spark.sql.legacy.parquet.nanosAsLong),
+# or as naive timestamp[us] (read as TIMESTAMP_NTZ). Both are
+# normalized to session-zoned TimestampType here: the session timezone
+# is pinned to UTC (session.get_spark), so the NTZ->TZ cast preserves
+# wall-clock values and DuckDB oracle comparisons see identical
+# renderings; nanos are floor-divided to micros, the same truncation
+# DuckDB applies.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name in _NANOS_TS_COLS:
+    if name in _TS_COLS:
         # Runtime-settable; needed when the caller (e.g. the driver's
         # harness) built the session without this legacy flag.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    dtypes = dict(df.dtypes)
+    for col, dtype in dtypes.items():
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    for col in _TS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
