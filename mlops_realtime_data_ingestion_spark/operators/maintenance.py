@@ -15,9 +15,11 @@ files and swaps each with an atomic rename.
 Scale: the candidate-file scan is a key-predicate filter that parquet
 row-group stats prune (clustered layouts -> few files); the driver
 holds only the affected FILE LIST (bounded by |keys|), never rows;
-each rewrite reads and writes one file. On an object store the
-per-file swap becomes the table format's metadata commit — the plan
-shape is identical.
+all hit files are rewritten by ONE distributed job (a task per file
+via hash-partitioning on the source basename), so a thousand hit
+files cost one job, not a thousand serial ones. On an object store
+the per-file swap becomes the table format's metadata commit — the
+plan shape is identical.
 """
 
 from __future__ import annotations
@@ -61,12 +63,33 @@ def targeted_delete(
         .distinct()
         .collect()
     )
+    if not hit_files:
+        return []
+
+    # ONE distributed rewrite job covers every hit file (the old shape
+    # looped on the driver, launching 2 jobs per file — serial at 100 TB
+    # with thousands of hits). Tag each surviving row with its source
+    # file's basename (part-file names carry task UUIDs, so basenames
+    # are unique across the dataset), hash-partition on it so each
+    # source file's rows land in one task, and partitionBy it so each
+    # source yields exactly one output file under tmp/_src=<basename>/.
+    # Basenames are [A-Za-z0-9.-] so Hive partition-value escaping is a
+    # no-op and the directory name maps back to the file verbatim.
+    tmp = path.rstrip("/") + ".rewrite.tmp"
+    (
+        spark.read.parquet(*hit_files)
+        .withColumn("_src", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .filter(~F.col(id_col).isin(ids))
+        .repartition(len(hit_files), "_src")
+        .write.partitionBy("_src")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
     for f in hit_files:
-        keep = spark.read.parquet(f).filter(~F.col(id_col).isin(ids))
-        tmp = f + ".rewrite.tmp"
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        if parts and keep.count() > 0:
+        parts = glob.glob(
+            os.path.join(tmp, f"_src={os.path.basename(f)}", "part-*.parquet")
+        )
+        if parts:
             os.replace(parts[0], f)  # atomic same-filesystem swap
         else:
             os.remove(f)  # every row in this file was a target
@@ -75,5 +98,5 @@ def targeted_delete(
         crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
         if os.path.exists(crc):
             os.remove(crc)
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     return hit_files

@@ -66,6 +66,38 @@ def test_targeted_delete_across_files_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 998
 
 
+def _count_delete_jobs(spark, path, ids, group):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "count jobs")
+    try:
+        hit = targeted_delete(spark, path, ids=ids)
+    finally:
+        sc.setJobGroup(None, None)
+    return hit, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_targeted_delete_is_one_distributed_rewrite(spark, tmp_path):
+    """Spark-job count must be constant in the number of hit files
+    (discovery + one partitioned rewrite), not 2 jobs per file as a
+    driver-side loop would cost."""
+    small = str(tmp_path / "corpus_small")
+    _write_dataset(spark, small, n=1000, files=2)
+    hit_s, jobs_small = _count_delete_jobs(
+        spark, small, ids=[0, 999], group="td-small"
+    )
+    assert len(hit_s) == 2
+
+    big = str(tmp_path / "corpus_big")
+    files = _write_dataset(spark, big, n=1200, files=6)
+    hit_b, jobs_big = _count_delete_jobs(
+        spark, big, ids=[0, 220, 420, 620, 820, 1199], group="td-big"
+    )
+    assert sorted(hit_b) == files
+    # 3x the hit files must not cost more jobs (1 slack for AQE noise)
+    assert jobs_big <= jobs_small + 1, (jobs_small, jobs_big)
+    assert spark.read.parquet(big).count() == 1194
+
+
 def test_targeted_delete_removes_fully_deleted_file(spark, tmp_path):
     path = str(tmp_path / "corpus3")
     (
