@@ -128,30 +128,212 @@ class FeatureStore:
         )
 
     # -- S12: compaction ---------------------------------------------
+    _PCOLS = ("year", "month", "day", "hour")
+
+    def _partition_sizes(self) -> dict[tuple, int]:
+        """On-disk parquet bytes per hive partition — a metadata
+        listing, bounded by partition count (the reference's prefix
+        walk, FeatureStoreAggregateParquet.py:40-58)."""
+        sizes: dict[tuple, int] = {}
+        for root, _, files in os.walk(self.path):
+            b = sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+            if b:
+                rel = os.path.relpath(root, self.path)
+                key = tuple(
+                    int(seg.split("=", 1)[1])
+                    for seg in rel.split(os.sep)
+                    if "=" in seg
+                )
+                sizes[key] = sizes.get(key, 0) + b
+        return sizes
+
     def compact(
         self, spark: SparkSession, target_bytes: int = 512 * 1024 * 1024
     ) -> None:
         """Rewrite the store into ~target-size files (the Glue hourly
-        compaction, FeatureStoreAggregateParquet.py:79-111). Unlike
-        the reference's copy-then-delete prefix swap (non-atomic,
-        :94-110), the rewrite goes to a temp dir and is swapped with
-        two renames — the window where readers see a partial store is
-        a single rename, and the history is never mutated in place."""
+        compaction, FeatureStoreAggregateParquet.py:79-111), KEEPING
+        the year/month/day/hour hive layout: each partition directory
+        independently becomes ceil(partition_bytes/target) files, all
+        partitions rewritten by ONE distributed job (hash-repartition
+        on the partition columns plus a per-partition salt — never a
+        whole-store coalesce, which would cap upstream read
+        parallelism at the output file count). Unlike the reference's
+        copy-then-delete prefix swap (non-atomic, :94-110), the
+        rewrite goes to a temp dir and is swapped with two renames —
+        readers can see a partial store only during a single rename,
+        and the history is never mutated in place."""
         import shutil
 
         df = self.offline(spark)
-        total = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(self.path)
-            for f in files
-            if f.endswith(".parquet")
-        )
-        n_files = max(1, -(-total // target_bytes))  # ceil (A9)
         tmp = self.path.rstrip("/") + ".__compact_tmp"
         old = self.path.rstrip("/") + ".__compact_old"
-        df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+        sizes = self._partition_sizes()
+        partitioned = self.partition_by_time and any(
+            len(k) == len(self._PCOLS) for k in sizes
+        )
+        if partitioned:
+            n_map = [
+                (*key, int(max(1, -(-b // target_bytes))))
+                for key, b in sizes.items()
+            ]
+            nmap_df = spark.createDataFrame(
+                n_map, "year int, month int, day int, hour int, _nf int"
+            )
+            (
+                df.join(F.broadcast(nmap_df), list(self._PCOLS), "left")
+                .withColumn(
+                    "_salt",
+                    F.pmod(F.hash(self.key_col), F.coalesce("_nf", F.lit(1))),
+                )
+                .repartition(*self._PCOLS, "_salt")
+                .drop("_nf", "_salt")
+                .write.partitionBy(*self._PCOLS)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            total = sum(sizes.values())
+            n_files = int(max(1, -(-total // target_bytes)))  # ceil (A9)
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old)
-        # NOTE: compaction drops the hive partitioning in this local
-        # form; partition-preserving rewrite = per-partition coalesce.
+
+    # -- MERGE-shaped online materialization --------------------------
+    @property
+    def latest_path(self) -> str:
+        return self.path.rstrip("/") + "_latest"
+
+    def latest(self, spark: SparkSession) -> DataFrame:
+        """The materialized online table (one row per key) maintained
+        by :meth:`upsert_latest` — same rows as :meth:`online_view`,
+        but a TABLE (point-reads scan one partition, not the history)."""
+        return spark.read.parquet(self.latest_path)
+
+    def upsert_latest(self, spark: SparkSession, batch: DataFrame) -> list[str]:
+        """True upsert semantics for the online face: MERGE the batch
+        into a latest-per-key table, rewriting ONLY the key-partitions
+        the batch touches (copy-on-write at partition granularity).
+        On a Delta/Iceberg deployment this is literally
+
+            MERGE INTO latest USING batch ON latest.key = batch.key
+            WHEN MATCHED AND batch.event_time >= latest.event_time
+                THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+
+        with partition pruning on the target (feature-store.ts:186-193
+        maps the feature group here; SURVEY.md §1.1). Returns the list
+        of rewritten partition directories. Re-applying the same batch
+        is a no-op on values (idempotent, T5)."""
+        import shutil
+
+        if self.event_time_col not in batch.columns:
+            batch = batch.withColumn(
+                self.event_time_col,
+                F.unix_timestamp(F.current_timestamp()).cast("double"),
+            )
+        # batch-local latest per key; ties beyond event_time are
+        # already deduped at source (same contract as put_batch)
+        w = Window.partitionBy(self.key_col).orderBy(
+            F.col(self.event_time_col).desc()
+        )
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not self.partition_by_time:
+            return self._upsert_whole(spark, batch)
+
+        batch = (
+            batch.withColumn("year", F.year(self.key_col))
+            .withColumn("month", F.month(self.key_col))
+            .withColumn("day", F.dayofmonth(self.key_col))
+            .withColumn("hour", F.hour(self.key_col))
+        )
+        # driver holds one tuple per TOUCHED partition — bounded by the
+        # batch's key spread, not the table (the MERGE pruning set)
+        touched = sorted(
+            tuple(r[c] for c in self._PCOLS)
+            for r in batch.select(*self._PCOLS).distinct().collect()
+        )
+        lp = self.latest_path
+        live_dirs = {
+            key: os.path.join(
+                lp, *(f"{c}={v}" for c, v in zip(self._PCOLS, key))
+            )
+            for key in touched
+        }
+        existing = [d for d in live_dirs.values() if os.path.isdir(d)]
+        if existing:
+            current = spark.read.option("basePath", lp).parquet(*existing)
+            merged = current.withColumn("_pri", F.lit(0)).unionByName(
+                batch.withColumn("_pri", F.lit(1))
+            )
+            w2 = Window.partitionBy(self.key_col).orderBy(
+                F.col(self.event_time_col).desc(), F.col("_pri").desc()
+            )
+            merged = (
+                merged.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "_pri")
+            )
+        else:
+            merged = batch
+        tmp = lp + ".__upsert_tmp"
+        (
+            merged.repartition(*self._PCOLS)
+            .write.partitionBy(*self._PCOLS)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        rewritten = []
+        for key, live in live_dirs.items():
+            tdir = os.path.join(
+                tmp, *(f"{c}={v}" for c, v in zip(self._PCOLS, key))
+            )
+            if not os.path.isdir(tdir):
+                continue  # batch rows all lost to older-than-store keys
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            bak = live + ".__old"
+            if os.path.isdir(live):
+                os.rename(live, bak)
+            os.rename(tdir, live)
+            shutil.rmtree(bak, ignore_errors=True)
+            rewritten.append(live)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return rewritten
+
+    def _upsert_whole(self, spark: SparkSession, batch: DataFrame) -> list[str]:
+        """Unpartitioned fallback: MERGE over the whole (small) table
+        with one atomic directory swap."""
+        import shutil
+
+        lp = self.latest_path
+        if os.path.isdir(lp):
+            current = spark.read.parquet(lp)
+            merged = current.withColumn("_pri", F.lit(0)).unionByName(
+                batch.withColumn("_pri", F.lit(1))
+            )
+            w2 = Window.partitionBy(self.key_col).orderBy(
+                F.col(self.event_time_col).desc(), F.col("_pri").desc()
+            )
+            merged = (
+                merged.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "_pri")
+            )
+        else:
+            merged = batch
+        tmp = lp + ".__upsert_tmp"
+        old = lp + ".__old"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(lp):
+            os.rename(lp, old)
+        os.rename(tmp, lp)
+        shutil.rmtree(old, ignore_errors=True)
+        return [lp]
