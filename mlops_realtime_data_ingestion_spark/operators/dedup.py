@@ -135,6 +135,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """MinHash (k=16) + LSH (4 bands x 4 rows) candidate generation,
     exact-Jaccard verification.
@@ -170,12 +171,25 @@ def minhash_lsh_pairs(
     )
     # Pair generation per bucket via collect_list + combination
     # expansion: one shuffle instead of self-join + dropDuplicates.
-    # Assumes LSH-sized buckets (r=4 rows keeps them small); a corpus
-    # with adversarial hot bands would switch back to a distributed
-    # band self-join, trading two extra shuffles for per-task bounds.
-    banded = base.select("id", F.posexplode("bands").alias("band_id", "band_key"))
-    candidates = (
-        banded.groupBy("band_id", "band_key")
+    # LSH-sized buckets (r=4 rows) stay small, but a boilerplate-heavy
+    # corpus can produce degenerate hot bands whose collect_list would
+    # OOM a task. Guard: count each bucket with a window over the same
+    # shuffle keys; buckets <= bucket_cap take the collect_list path,
+    # larger ones route to a distributed band self-join whose per-task
+    # memory is bounded by the join's hash partitioning (AQE further
+    # splits skewed buckets). Both paths feed one distinct — the
+    # candidate SET is identical either way.
+    from pyspark.sql import Window
+
+    banded = base.select(
+        "id", F.posexplode("bands").alias("band_id", "band_key")
+    ).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+    )
+    cold = banded.filter(F.col("__n") <= bucket_cap)
+    hot = banded.filter(F.col("__n") > bucket_cap).drop("__n")
+    cold_pairs = (
+        cold.groupBy("band_id", "band_key")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
         .select(
@@ -188,8 +202,14 @@ def minhash_lsh_pairs(
             ).alias("p")
         )
         .select("p.id", "p.id2")
-        .distinct()
     )
+    hot_rhs = hot.select("band_id", "band_key", F.col("id").alias("id2"))
+    hot_pairs = (
+        hot.join(hot_rhs, ["band_id", "band_key"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2")
+    )
+    candidates = cold_pairs.unionByName(hot_pairs).distinct()
     lhs_sh = base.select(F.col("id"), F.col("sh"))
     rhs_sh = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     return (

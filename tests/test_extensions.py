@@ -79,6 +79,29 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert len(lsh) >= len(exact)
 
 
+def test_minhash_hot_band_guard(spark):
+    """Adversarial corpus: many identical docs collapse every band
+    into one hot bucket. With bucket_cap forcing the self-join path,
+    the operator must still complete and return exactly the all-pairs
+    set; and the guarded result must equal the cold-path result."""
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        "doc_id int, text string",
+    )
+    hot = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, bucket_cap=5
+    ).collect()
+    assert len(hot) == n * (n - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in hot)
+    cold = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, bucket_cap=10_000
+    ).collect()
+    assert sorted((r["doc_id_1"], r["doc_id_2"]) for r in hot) == sorted(
+        (r["doc_id_1"], r["doc_id_2"]) for r in cold
+    )
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF contract: probing all cells IS brute force; fewer cells
     trades recall for an nprobe/n_cells scan reduction. (The testdata
