@@ -22,7 +22,7 @@ from ..operators.multimodal import (
     resize_stub,
     sniff_format,
 )
-from ..operators.similarity import cosine, cosine_topk, ivf_topk
+from ..operators.similarity import cosine, cosine_topk
 from ..operators.text import fingerprint, language_id, quality_score, token_counts
 from ..sources.batch import load_table
 from .spec import QuerySpec
@@ -279,14 +279,6 @@ SELECT query_id, rank, neighbor_id, sim FROM (
   FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id != q.vec_id
 ) WHERE rank <= 5
 """
-
-
-def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: label as coarse quantizer, probe 2 cells.
-    Approximate by construction -> rows-only check; accuracy asserted
-    against brute force in tests/test_extensions.py."""
-    emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), assign_col="label", k=5, nprobe=2)
 
 
 # ---------- text analysis ----------
@@ -607,7 +599,6 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE, "dedup-simhash"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
-    "sim_search_ivf_topk": QuerySpec(sim_search_ivf_topk, None, "ann-ivf (approx)"),
     "sim_search_lsh_topk": QuerySpec(sim_search_lsh_topk, SIM_LSH_ORACLE, "ann-lsh (deterministic)"),
     "sim_search_ivf_kmeans": QuerySpec(sim_search_ivf_kmeans, None, "ann-ivf, learned quantizer (approx)"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_ORACLE, "text-quality"),
