@@ -53,6 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable; needed when the caller (e.g. the driver's
         # harness) built the session without this legacy flag.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->timestamp normalization below assumes a UTC session:
+    # on a caller-built session with a local timezone, the cast (and
+    # collect()'s local-tz rendering) would shift instants relative to
+    # the DuckDB oracle. Pin it here, not just in session.get_spark.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     for col, dtype in dtypes.items():
