@@ -510,7 +510,215 @@ FROM per_type
 """
 
 
+_Z90 = "1.2815515655446004"
+
+
+def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 predictor stage: deterministic seasonal-naive quantile
+    forecast per user series (season=5 steps, horizon=3) — the
+    relational baseline any learned predictor (DeepAR pluggable via
+    operators/forecast.apply_predictor) must beat. Same output shape
+    the reference's endpoint serves (pipeline.py:391-404): p10/p50/p90
+    per future step."""
+    from ..operators.forecast import seasonal_naive_forecast
+
+    ev = _events(spark, sf_dir)
+    return seasonal_naive_forecast(
+        ev,
+        order=[F.col("ts"), F.col("event_id")],
+        horizon=3,
+        season=5,
+        value_col="value",
+        series_cols=["user_id"],
+        ts_col="ts",
+    )
+
+
+FORECAST_NAIVE_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         max(ts)  OVER (PARTITION BY user_id) AS last_ts
+  FROM events
+), diffs AS (
+  SELECT user_id,
+         value - lag(value, 5) OVER (PARTITION BY user_id ORDER BY rn) AS d
+  FROM ranked
+), sd AS (
+  SELECT user_id, sqrt(greatest(0.0,
+      CAST(sum(CAST(d*d AS DECIMAL(28,6))) AS DOUBLE)/count(d)
+      - (CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE)/count(d))
+        * (CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE)/count(d)))) AS sdv
+  FROM diffs WHERE d IS NOT NULL GROUP BY 1
+), steps AS (SELECT unnest(range(1, 4)) AS h),
+meta AS (SELECT DISTINCT user_id, n, last_ts FROM ranked),
+fc AS (
+  SELECT m.user_id, s.h, m.last_ts,
+         (m.n - 5 + ((s.h - 1) % 5) + 1) AS src_rn
+  FROM meta m, steps s
+)
+SELECT f.user_id, CAST(f.h AS BIGINT) AS h,
+       f.last_ts + INTERVAL 1 MINUTE * f.h AS forecast_ts,
+       round(t.value - {_Z90} * sd.sdv, 6) AS p10,
+       round(t.value, 6) AS p50,
+       round(t.value + {_Z90} * sd.sdv, 6) AS p90
+FROM fc f
+JOIN ranked t ON t.user_id = f.user_id AND t.rn = f.src_rn
+LEFT JOIN sd ON sd.user_id = f.user_id
+"""
+
+
+def forecast_backtest_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 lifecycle end-to-end: W1 tail split (last 3 points held
+    out) -> seasonal-naive predict from train only -> join truth ->
+    A10-A12 metrics (rmse + wQL at 0.1/0.5/0.9) in one row — the
+    reference's train/evaluate loop (pipeline.py:391-404,
+    evaluate.py:73-91) as a single relational plan. Every reduction is
+    decimal-exact; per-row math mirrors the oracle symbol-for-symbol."""
+    from ..operators.forecast import Z90, seasonal_naive_forecast
+
+    ev = _events(spark, sf_dir)
+    split = tail_split(
+        ev.select("user_id", "ts", "event_id", "value"),
+        [F.col("ts"), F.col("event_id")],
+        test_length=3,
+        series_cols=["user_id"],
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    fc = seasonal_naive_forecast(
+        train,
+        order=[F.col("ts"), F.col("event_id")],
+        horizon=3,
+        season=5,
+        value_col="value",
+        series_cols=["user_id"],
+    )
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    truth = (
+        split.filter(F.col("split") == "test")
+        .withColumn("h", F.row_number().over(wt).cast("long"))
+        .select("user_id", "h", F.col("value").alias("target"))
+    )
+    j = fc.join(truth, ["user_id", "h"])
+    # All quantile-loss arithmetic in EXACT decimals (the
+    # metrics_rmse_wql construction): p10/p50/p90 are 6dp-rounded
+    # doubles, so casting them to DECIMAL(18,6) is far from any
+    # rounding tie — whereas multiplying them by 0.1/0.9 as doubles
+    # and THEN casting lands exactly on decimal midpoints, where
+    # engine double->decimal casts disagree (observed). With
+    # d = t - q exact: 10*ql_0.1 = d>0 ? d : -9d;
+    # 2*ql_0.5 = |d|; 10*ql_0.9 = d>0 ? 9d : -d.
+    j2 = j.select(
+        F.col("target").cast("decimal(18,6)").alias("t"),
+        F.col("p10").cast("decimal(18,6)").alias("q10"),
+        F.col("p50").cast("decimal(18,6)").alias("q50"),
+        F.col("p90").cast("decimal(18,6)").alias("q90"),
+    ).select(
+        "t",
+        (F.col("t") - F.col("q10")).cast("decimal(28,6)").alias("d10"),
+        (F.col("t") - F.col("q50")).cast("decimal(28,6)").alias("d50"),
+        (F.col("t") - F.col("q90")).cast("decimal(28,6)").alias("d90"),
+    )
+    agg = j2.agg(
+        F.count("*").alias("nr"),
+        F.sum((F.col("d50") * F.col("d50")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sse"),
+        F.sum(F.abs("t")).cast("double").alias("sabs"),
+        F.sum(
+            F.when(F.col("d10") > 0, F.col("d10"))
+            .otherwise(F.lit(-9) * F.col("d10"))
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("s10x10"),
+        F.sum(F.abs("d50").cast("decimal(28,6)")).cast("double").alias("s50x2"),
+        F.sum(
+            F.when(F.col("d90") > 0, F.lit(9) * F.col("d90"))
+            .otherwise(-F.col("d90"))
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("s90x10"),
+    )
+    return agg.select(
+        F.sqrt(F.col("sse") / F.col("nr")).alias("rmse"),
+        (F.col("s10x10") / (5 * F.col("sabs"))).alias("wql_0_1"),
+        (F.col("s50x2") / F.col("sabs")).alias("wql_0_5"),
+        (F.col("s90x10") / (5 * F.col("sabs"))).alias("wql_0_9"),
+        (
+            (
+                F.col("s10x10") / (5 * F.col("sabs"))
+                + F.col("s50x2") / F.col("sabs")
+                + F.col("s90x10") / (5 * F.col("sabs"))
+            )
+            / 3
+        ).alias("wql_mean"),
+    )
+
+
+FORECAST_BACKTEST_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)    OVER (PARTITION BY user_id) AS n
+  FROM events
+), train AS (
+  SELECT user_id, value, rn, n - 3 AS tn FROM ranked WHERE rn <= n - 3
+), diffs AS (
+  SELECT user_id,
+         value - lag(value, 5) OVER (PARTITION BY user_id ORDER BY rn) AS d
+  FROM train
+), sd AS (
+  SELECT user_id, sqrt(greatest(0.0,
+      CAST(sum(CAST(d*d AS DECIMAL(28,6))) AS DOUBLE)/count(d)
+      - (CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE)/count(d))
+        * (CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE)/count(d)))) AS sdv
+  FROM diffs WHERE d IS NOT NULL GROUP BY 1
+), steps AS (SELECT unnest(range(1, 4)) AS h),
+meta AS (SELECT DISTINCT user_id, tn FROM train),
+fc AS (
+  SELECT m.user_id, s.h, (m.tn - 5 + ((s.h - 1) % 5) + 1) AS src_rn
+  FROM meta m, steps s
+), pred AS (
+  SELECT f.user_id, f.h,
+         round(t.value - {_Z90} * sd.sdv, 6) AS p10,
+         round(t.value, 6) AS p50,
+         round(t.value + {_Z90} * sd.sdv, 6) AS p90
+  FROM fc f
+  JOIN train t ON t.user_id = f.user_id AND t.rn = f.src_rn
+  LEFT JOIN sd ON sd.user_id = f.user_id
+), truth AS (
+  SELECT user_id, rn - (n - 3) AS h, value AS target
+  FROM ranked WHERE rn > n - 3
+), j AS (
+  SELECT CAST(t.target AS DECIMAL(18,6)) AS t,
+         CAST(CAST(t.target AS DECIMAL(18,6)) - CAST(p.p10 AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS d10,
+         CAST(CAST(t.target AS DECIMAL(18,6)) - CAST(p.p50 AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS d50,
+         CAST(CAST(t.target AS DECIMAL(18,6)) - CAST(p.p90 AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS d90
+  FROM pred p JOIN truth t ON t.user_id = p.user_id AND t.h = p.h
+), agg AS (
+  SELECT count(*) AS nr,
+    CAST(sum(CAST(d50 * d50 AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+    CAST(sum(abs(t)) AS DOUBLE) AS sabs,
+    CAST(sum(CAST(CASE WHEN d10 > 0 THEN d10 ELSE -9 * d10 END AS DECIMAL(28,6))) AS DOUBLE) AS s10x10,
+    CAST(sum(CAST(abs(d50) AS DECIMAL(28,6))) AS DOUBLE) AS s50x2,
+    CAST(sum(CAST(CASE WHEN d90 > 0 THEN 9 * d90 ELSE -d90 END AS DECIMAL(28,6))) AS DOUBLE) AS s90x10
+  FROM j
+)
+SELECT sqrt(sse / nr) AS rmse,
+       s10x10 / (5 * sabs) AS wql_0_1,
+       s50x2 / sabs AS wql_0_5,
+       s90x10 / (5 * sabs) AS wql_0_9,
+       (s10x10 / (5 * sabs) + s50x2 / sabs + s90x10 / (5 * sabs)) / 3 AS wql_mean
+FROM agg
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "forecast_seasonal_naive": QuerySpec(forecast_seasonal_naive, FORECAST_NAIVE_ORACLE, "§3.2 predictor baseline"),
+    "forecast_backtest_rmse_wql": QuerySpec(forecast_backtest_rmse_wql, FORECAST_BACKTEST_ORACLE, "§3.2 lifecycle backtest"),
     "w1_train_test_split": QuerySpec(w1_train_test_split, W1_ORACLE, "W1"),
     "w2_expanding_validation_windows": QuerySpec(w2_expanding_validation_windows, W2_ORACLE, "W2"),
     "w4_forecast_index": QuerySpec(w4_forecast_index, W4_ORACLE, "W4"),
