@@ -21,6 +21,8 @@ __all__ = [
     "token_counts",
     "fingerprint",
     "pii_redact",
+    "repetition_metrics",
+    "vocab_oov",
 ]
 
 # Conservative patterns spelled to behave identically under Java
@@ -53,6 +55,93 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(redacted).cast("long").alias("n_chars_redacted"),
         redacted.alias("redacted"),
     )
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1): the
+    quality gates a pre-training corpus applies to catch degenerate /
+    boilerplate documents.
+
+    Per document: ``dup_word_frac`` = 1 - distinct/total words,
+    ``top_word_frac`` = most-frequent-word count / total words,
+    ``dup_bigram_frac`` = 1 - distinct/total word bigrams.
+
+    Plan: tokens exploded once per granularity -> (doc, term) partial
+    counts -> per-doc aggregate; the shuffles key on (doc_id, term)
+    then doc_id — map-side combine collapses repeated terms before the
+    exchange, so shuffle volume ~ distinct terms per doc, not corpus
+    tokens. Fractions are int/int divisions (engine-exact), rounded
+    to 6dp. Docs with no tokens have no row (explode semantics);
+    single-word docs carry a NULL dup_bigram_frac.
+    """
+    toks = df.select("doc_id", F.expr(H.spark_tokens(text_col)).alias("t"))
+    words = toks.select("doc_id", F.explode("t").alias("w"))
+    wc = words.groupBy("doc_id", "w").count()
+    wagg = wc.groupBy("doc_id").agg(
+        F.sum("count").alias("n"),
+        F.count("*").alias("nd"),
+        F.max("count").alias("mx"),
+    )
+    # guarded bigram construction: sequence(1, 0) would DESCEND in
+    # Spark, so short docs get an explicit empty array
+    bigram_expr = (
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
+    )
+    bigrams = toks.select("doc_id", F.explode(F.expr(bigram_expr)).alias("b"))
+    bc = bigrams.groupBy("doc_id", "b").count()
+    bagg = bc.groupBy("doc_id").agg(
+        F.sum("count").alias("bn"), F.count("*").alias("bnd")
+    )
+    return wagg.join(bagg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.round(1 - F.col("nd") / F.col("n").cast("double"), 6).alias("dup_word_frac"),
+        F.round(F.col("mx") / F.col("n").cast("double"), 6).alias("top_word_frac"),
+        F.round(1 - F.col("bnd") / F.col("bn").cast("double"), 6).alias("dup_bigram_frac"),
+    )
+
+
+def vocab_oov(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary build + per-document OOV scoring — the
+    tokenizer-coverage analysis a training pipeline runs before
+    committing to a vocab.
+
+    Stage 1 builds the top-``vocab_size`` words by corpus frequency
+    (ties broken lexicographically so the cutoff is deterministic);
+    stage 2 scores each document's out-of-vocabulary token fraction
+    against the BROADCAST vocab.
+
+    Scale: the frequency table is one (word) shuffle with map-side
+    combine; top-k is TakeOrderedAndProject (never a global sort); the
+    scoring join broadcasts the vocab (vocab_size rows) so the corpus
+    re-scan is shuffle-free until the final per-doc aggregate.
+    """
+    toks = df.select("doc_id", F.expr(H.spark_tokens(text_col)).alias("t"))
+    words = toks.select("doc_id", F.explode("t").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_words"),
+            F.round(F.col("oov") / F.col("n").cast("double"), 6).alias("oov_frac"),
+        )
+    )
+
 
 # public, fixed word lists — the heuristic's profile, not learned
 STOPWORDS = (

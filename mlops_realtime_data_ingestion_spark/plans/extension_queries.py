@@ -307,6 +307,67 @@ FROM t
 """
 
 
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    duplicate-word / top-word / duplicate-bigram fractions per doc."""
+    from ..operators.text import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+TEXT_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {H.duck_tokens('text')} AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1
+), bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bigrams GROUP BY 1, 2
+), bagg AS (
+  SELECT doc_id, sum(c) AS bn, count(*) AS bnd FROM bc GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(w.n AS BIGINT) AS n_words,
+       round(1 - w.nd / CAST(w.n AS DOUBLE), 6) AS dup_word_frac,
+       round(w.mx / CAST(w.n AS DOUBLE), 6) AS top_word_frac,
+       round(1 - b.bnd / CAST(b.bn AS DOUBLE), 6) AS dup_bigram_frac
+FROM wagg w LEFT JOIN bagg b ON b.doc_id = w.doc_id
+"""
+
+
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (top-1000 corpus words, deterministic tie
+    break) + per-document out-of-vocabulary fraction."""
+    from ..operators.text import vocab_oov
+
+    return vocab_oov(_docs(spark, sf_dir), vocab_size=1000)
+
+
+TEXT_VOCAB_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {H.duck_tokens('text')} AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM words GROUP BY 1)
+  ORDER BY c DESC, w LIMIT 1000
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+FROM words LEFT JOIN vocab v ON v.w = words.w
+GROUP BY 1
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir))
 
@@ -603,6 +664,8 @@ SPECS: dict[str, QuerySpec] = {
     "sim_search_ivf_kmeans": QuerySpec(sim_search_ivf_kmeans, None, "ann-ivf, learned quantizer (approx)"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_ORACLE, "text-quality"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ORACLE, "text-langid"),
+    "text_repetition_metrics": QuerySpec(text_repetition_metrics, TEXT_REPETITION_ORACLE, "Gopher repetition gates"),
+    "text_vocab_oov": QuerySpec(text_vocab_oov, TEXT_VOCAB_OOV_ORACLE, "vocab build + OOV scoring"),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKENS_ORACLE, "text-tokens"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),
