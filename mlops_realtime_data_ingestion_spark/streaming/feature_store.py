@@ -51,7 +51,10 @@ class FeatureStore:
         ``event_time`` if absent (reference stamps now() at the sink,
         delivery_stream_to_featurestore/main.py:60); dedups identical
         (key, event_time) pairs within the batch so re-processing is
-        idempotent."""
+        idempotent. Each put commits a versioned manifest (the added
+        file list) enabling :meth:`offline` time travel — the
+        commit-log shape a Delta/Iceberg table gets from its format
+        (on those backends this is the transaction log itself)."""
         cols = batch.columns
         if self.event_time_col not in cols:
             batch = batch.withColumn(
@@ -72,12 +75,78 @@ class FeatureStore:
             writer = batch.write.mode("append").partitionBy(
                 "year", "month", "day", "hour"
             )
+        before = self._data_files() if os.path.isdir(self.path) else set()
         writer.parquet(self.path)
+        self._commit_manifest(sorted(self._data_files() - before))
+
+    # -- commit log (time travel) -------------------------------------
+    # Manifests live in ``_manifests/`` INSIDE the store: Spark/Hadoop
+    # scans skip underscore-prefixed paths, so the log is invisible to
+    # every reader that doesn't ask for it.
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _data_files(self) -> set[str]:
+        """Relative paths of the store's parquet data files (a local
+        directory walk here; the write-committer's file list on an
+        object store)."""
+        out: set[str] = set()
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, f), self.path))
+        return out
+
+    def _commit_manifest(self, added: list[str]) -> int:
+        import json
+
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        v = (max(self.versions()) + 1) if self.versions() else 0
+        tmp = os.path.join(self._manifest_dir, f".v{v:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "added": added}, f)
+        os.replace(tmp, os.path.join(self._manifest_dir, f"v{v:06d}.json"))
+        return v
+
+    def versions(self) -> list[int]:
+        """Committed batch versions, oldest first."""
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        return sorted(
+            int(n[1:7])
+            for n in os.listdir(self._manifest_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
 
     # -- offline face ---------------------------------------------------
-    def offline(self, spark: SparkSession) -> DataFrame:
-        """Full append-only history (S11 scan target)."""
-        return spark.read.parquet(self.path)
+    def offline(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Full append-only history (S11 scan target).
+
+        ``version=N`` time-travels to the store as of batch N (files
+        committed by manifests 0..N) — ``SELECT ... VERSION AS OF N``
+        on a Delta/Iceberg backend. Current-state reads never consult
+        the log (plain directory scan, no small-file listing cost)."""
+        if version is None:
+            return spark.read.parquet(self.path)
+        import json
+
+        if version not in self.versions():
+            raise ValueError(
+                f"unknown version {version}; have {self.versions()}"
+            )
+        files: list[str] = []
+        for v in self.versions():
+            if v > version:
+                break
+            with open(os.path.join(self._manifest_dir, f"v{v:06d}.json")) as f:
+                files.extend(json.load(f)["added"])
+        if not files:
+            raise ValueError(f"version {version} committed no files")
+        return spark.read.option("basePath", self.path).parquet(
+            *(os.path.join(self.path, p) for p in files)
+        )
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -202,6 +271,10 @@ class FeatureStore:
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old)
+        # compaction rewrites history: the commit log restarts at a
+        # single full snapshot (the VACUUM/checkpoint analogue —
+        # pre-compaction versions are no longer addressable)
+        self._commit_manifest(sorted(self._data_files()))
 
     # -- MERGE-shaped online materialization --------------------------
     @property
