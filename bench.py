@@ -48,6 +48,9 @@ HEADLINE = [
     "dq_orders_report",
     "sim_search_lsh_topk",
     "pack_sequences_greedy",
+    "forecast_backtest_rmse_wql",
+    "text_repetition_metrics",
+    "curation_funnel",
 ]
 
 

@@ -398,6 +398,87 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_cand) =
 """
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation decision a training pipeline ships: three
+    independent gates — heuristic quality (C4-style), repetition
+    (Gopher), language agreement (predicted == labeled) — combined
+    into one keep/drop verdict per document. Each gate's plan is the
+    already-oracle-matched operator; the funnel is three left joins on
+    doc_id with NULL-safe gate defaults (a doc missing from a gate's
+    output fails that gate)."""
+    from ..operators.text import repetition_metrics
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality_ok")
+    rep = repetition_metrics(docs).select(
+        "doc_id", "dup_word_frac", "top_word_frac"
+    )
+    lid = language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(lid, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("quality_ok"), F.lit(False)).alias("quality_ok"),
+            (
+                F.coalesce(F.col("dup_word_frac") <= 0.6, F.lit(False))
+                & F.coalesce(F.col("top_word_frac") <= 0.15, F.lit(False))
+            ).alias("rep_ok"),
+            F.coalesce(F.col("lang_pred") == F.col("lang"), F.lit(False)).alias(
+                "lang_ok"
+            ),
+        )
+        .withColumn(
+            "keep", F.col("quality_ok") & F.col("rep_ok") & F.col("lang_ok")
+        )
+    )
+
+
+CURATION_FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {H.duck_tokens('text')} AS toks FROM documents
+), q AS (
+  SELECT doc_id,
+         (length(text) >= 100 AND len(toks) >= 20
+          AND CAST(len(list_filter(toks, x -> list_contains(['{_SW}'], x))) AS DOUBLE) / len(toks) >= 0.01) AS quality_ok
+  FROM t
+), words AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1
+), profiles(lang_cand, profile) AS (
+  VALUES {_lang_profile_values()}
+), scored AS (
+  SELECT doc_id, lang_cand,
+         CAST(len(list_filter(toks, x -> list_contains(profile, x))) AS DOUBLE) / len(toks) AS score
+  FROM t, profiles
+), lid AS (
+  SELECT doc_id, lang_cand AS lang_pred
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_cand) = 1
+)
+SELECT d.doc_id,
+       coalesce(q.quality_ok, false) AS quality_ok,
+       (coalesce(round(1 - w.nd / CAST(w.n AS DOUBLE), 6) <= 0.6, false)
+        AND coalesce(round(w.mx / CAST(w.n AS DOUBLE), 6) <= 0.15, false)) AS rep_ok,
+       coalesce(l.lang_pred = d.lang, false) AS lang_ok,
+       (coalesce(q.quality_ok, false)
+        AND coalesce(round(1 - w.nd / CAST(w.n AS DOUBLE), 6) <= 0.6, false)
+        AND coalesce(round(w.mx / CAST(w.n AS DOUBLE), 6) <= 0.15, false)
+        AND coalesce(l.lang_pred = d.lang, false)) AS keep
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN wagg w ON w.doc_id = d.doc_id
+LEFT JOIN lid l ON l.doc_id = d.doc_id
+"""
+
+
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
@@ -666,6 +747,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ORACLE, "text-langid"),
     "text_repetition_metrics": QuerySpec(text_repetition_metrics, TEXT_REPETITION_ORACLE, "Gopher repetition gates"),
     "text_vocab_oov": QuerySpec(text_vocab_oov, TEXT_VOCAB_OOV_ORACLE, "vocab build + OOV scoring"),
+    "curation_funnel": QuerySpec(curation_funnel, CURATION_FUNNEL_ORACLE, "quality+repetition+lang keep/drop verdict"),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKENS_ORACLE, "text-tokens"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),

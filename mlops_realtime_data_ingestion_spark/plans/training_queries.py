@@ -338,6 +338,62 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(edges)
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: pairs -> connected components ->
+    keep ONE canonical doc per group (the min doc_id, i.e. the
+    component label) and every un-grouped doc — the filtered corpus a
+    training run actually reads. Anti-join keeps the corpus scan
+    narrow; the loser set is |dup docs|, far smaller than the corpus."""
+    docs = _docs(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        threshold=0.5,
+        block_cols=("lang",),
+        length_band=50,
+    )
+    comp = connected_components_star(edges)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SURVIVORS_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, n_chars, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS band,
+         list_distinct({_DUCK_SH2}) AS sh
+  FROM base
+), pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, {_DUCK_JACCARD} AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), e AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM e
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
+), losers AS (
+  SELECT doc_id FROM comp WHERE doc_id != component_id
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
 # ---------- deterministic shard export + sequence packing ----------
 
 _N_SHARDS = 8
@@ -445,4 +501,5 @@ SPECS: dict[str, QuerySpec] = {
     "doc_chunk_sliding": QuerySpec(doc_chunk_sliding, CHUNK_ORACLE, "context-window chunking"),
     "dedup_connected_components": QuerySpec(dedup_connected_components, CC_ORACLE, "dedup group resolution"),
     "dedup_cc_star": QuerySpec(dedup_cc_star, CC_ORACLE, "dedup group resolution, O(log n) star rounds"),
+    "dedup_survivors": QuerySpec(dedup_survivors, SURVIVORS_ORACLE, "filtered corpus: one canonical doc per dup group"),
 }

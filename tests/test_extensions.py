@@ -79,6 +79,35 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert len(lsh) >= len(exact)
 
 
+def test_prefix_filter_is_lossless(spark, sf_dir):
+    """PPJoin prefix filtering must return EXACTLY the plain block
+    join's pair set (it only prunes candidates that cannot pass the
+    threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kwargs = dict(
+        id_col="doc_id", text_col="text", threshold=0.5, block_cols=("lang",)
+    )
+    # block_cap=0 forces EVERY block through the prefix path
+    fast = {
+        (r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, prefix_filter=True, block_cap=0, **kwargs
+        ).collect()
+    }
+    plain = {
+        (r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, prefix_filter=False, **kwargs).collect()
+    }
+    assert fast == plain
+    assert len(fast) > 0  # planted near-dups exist in the testdata
+    # the adaptive default (mixed small/large blocks) agrees too
+    adaptive = {
+        (r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, block_cap=40, **kwargs).collect()
+    }
+    assert adaptive == plain
+
+
 def test_minhash_hot_band_guard(spark):
     """Adversarial corpus: many identical docs collapse every band
     into one hot bucket. With bucket_cap forcing the self-join path,
