@@ -23,6 +23,7 @@ __all__ = [
     "pii_redact",
     "repetition_metrics",
     "vocab_oov",
+    "kwic",
 ]
 
 # Conservative patterns spelled to behave identically under Java
@@ -140,6 +141,45 @@ def vocab_oov(
             F.col("n").cast("long").alias("n_words"),
             F.round(F.col("oov") / F.col("n").cast("double"), 6).alias("oov_frac"),
         )
+    )
+
+
+def kwic(df: DataFrame, term: str, window: int = 3, text_col: str = "text") -> DataFrame:
+    """Keyword-in-context extraction — the corpus-inspection tool a
+    curation pipeline uses to audit how a term is used before
+    filtering on it. One output row per occurrence: token position and
+    the +-window-token context.
+
+    Implemented as a Python UDTF (table function) under a LATERAL
+    join — the §2.9 surface variant the scalar/grouped pandas UDFs
+    don't cover: a UDTF yields a VARIABLE number of rows per input row
+    from imperative logic, where a pandas UDF is locked to 1:1 (and
+    explode needs the array pre-built). Tokenization matches
+    functions/hashing.spark_tokens (lower, split on whitespace runs),
+    so the DuckDB oracle reproduces positions exactly.
+
+    Scale: UDTFs evaluate per-partition like any Python UDF — narrow,
+    no shuffle; the LATERAL join is a generate node, not a join
+    exchange.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, context string")
+    class _Kwic:
+        def eval(self, text: str, term: str, window: int):
+            toks = (text or "").lower().split()
+            for i, t in enumerate(toks):
+                if t == term:
+                    lo = max(0, i - window)
+                    hi = min(len(toks), i + window + 1)
+                    yield i, " ".join(toks[lo:hi])
+
+    spark = df.sparkSession
+    spark.udtf.register("__kwic", _Kwic)
+    df.createOrReplaceTempView("__kwic_src")
+    return spark.sql(
+        f"SELECT s.doc_id, k.pos, k.context "
+        f"FROM __kwic_src s, LATERAL __kwic(s.{text_col}, '{term}', {window}) k"
     )
 
 

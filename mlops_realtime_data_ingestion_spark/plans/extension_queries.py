@@ -368,6 +368,28 @@ GROUP BY 1
 """
 
 
+def text_kwic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 UDTF surface: keyword-in-context via a Python table
+    function under LATERAL — variable rows per doc from imperative
+    logic (the one UDF shape scalar/grouped pandas UDFs can't
+    express)."""
+    from ..operators.text import kwic
+
+    return kwic(_docs(spark, sf_dir), term="spark", window=3)
+
+
+TEXT_KWIC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {H.duck_tokens('text')} AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       array_to_string(toks[greatest(1, i - 3):least(len(toks), i + 3)], ' ') AS context
+FROM idx WHERE toks[i] = 'spark'
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir))
 
@@ -748,6 +770,7 @@ SPECS: dict[str, QuerySpec] = {
     "text_repetition_metrics": QuerySpec(text_repetition_metrics, TEXT_REPETITION_ORACLE, "Gopher repetition gates"),
     "text_vocab_oov": QuerySpec(text_vocab_oov, TEXT_VOCAB_OOV_ORACLE, "vocab build + OOV scoring"),
     "curation_funnel": QuerySpec(curation_funnel, CURATION_FUNNEL_ORACLE, "quality+repetition+lang keep/drop verdict"),
+    "text_kwic_udtf": QuerySpec(text_kwic_udtf, TEXT_KWIC_ORACLE, "keyword-in-context via Python UDTF + LATERAL"),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKENS_ORACLE, "text-tokens"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FP_ORACLE, "text-fingerprint"),
     "embedding_stats": QuerySpec(embedding_stats, EMB_STATS_ORACLE, "embedding-stats"),

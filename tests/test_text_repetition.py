@@ -47,6 +47,24 @@ def test_vocab_oov_cutoff_and_scoring(spark):
     assert rows[1]["n_words"] == 4 and rows[2]["n_words"] == 2
 
 
+def test_kwic_udtf_hand_computed(spark):
+    from mlops_realtime_data_ingestion_spark.operators.text import kwic
+
+    docs = spark.createDataFrame(
+        [(1, "a spark b c spark d"), (2, "no match here"), (3, "spark")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["context"])
+        for r in kwic(docs, term="spark", window=1).collect()
+    )
+    assert rows == [
+        (1, 1, "a spark b"),
+        (1, 4, "c spark d"),
+        (3, 0, "spark"),
+    ]
+
+
 def test_vocab_oov_broadcast_plan(spark):
     docs = _docs(spark)
     plan = (
