@@ -141,14 +141,34 @@ def cosine_topk(
 
 
 def centroids_by(
-    corpus: DataFrame, assign_col: str, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    assign_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Mean vector per cell: posexplode -> avg per (cell, dim) ->
-    re-assemble. One shuffle keyed (cell, dim); no driver collect."""
+    re-assemble. One shuffle keyed (cell, dim); no driver collect.
+
+    ``exact=True`` uses the integer-scaled mean (sum(round(x*1e9)) as
+    int64 / (count*1e9), the kmeans_iterate construction): the mean
+    becomes one correctly-rounded division reproducible in any engine
+    at any partitioning — required when the centroids feed an
+    oracle-checked ranking. Float avg is kept as the default cheap
+    path for quantizers whose downstream check is recall, not
+    equality."""
     exploded = corpus.select(
         F.col(assign_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x")
     )
-    per_dim = exploded.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+    if exact:
+        m = (
+            F.sum(F.round(F.col("x").cast("double") * 1e9).cast("long"))
+            .cast("double")
+            / (F.count("x") * F.lit(1_000_000_000)).cast("double")
+        ).alias("m")
+    else:
+        m = F.avg("x").alias("m")
+    per_dim = exploded.groupBy("cell", "dim").agg(m)
     return per_dim.groupBy("cell").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
@@ -310,15 +330,19 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_centroids: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest cells only.
 
     corpus is pre-bucketed by ``assign_col`` (its coarse quantizer);
     each query ranks centroids, keeps nprobe cells, and scans just
     those buckets. Recall < 1 by construction; the exactness gap is
-    the price of the N/C * nprobe scan reduction.
+    the price of the N/C * nprobe scan reduction. With
+    ``exact_centroids`` (and a deterministic assignment) the whole
+    probe/rank pipeline is cross-engine bit-deterministic — even this
+    ANN variant can be oracle-checked.
     """
-    cents = centroids_by(corpus, assign_col, id_col, vec_col)
+    cents = centroids_by(corpus, assign_col, id_col, vec_col, exact=exact_centroids)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     # rank cells per query on the (broadcast) centroid table
     cell_scores = q.crossJoin(F.broadcast(cents)).withColumn(

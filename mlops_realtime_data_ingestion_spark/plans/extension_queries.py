@@ -238,18 +238,99 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a LEARNED coarse quantizer: corpus bucketed by the
     deterministic k-means clusters (kmeans_embedding_clusters), probe
-    the 2 nearest cells — the production IVF shape, vs the label-
-    bucketed variant that stands in for it when no quantizer has been
-    trained. Approximate by construction -> rows-only; recall vs
-    brute force asserted in tests/test_training_data.py."""
+    the 2 nearest cells — the production IVF shape. Approximate w.r.t.
+    brute force (recall asserted in tests/test_training_data.py) but
+    fully DETERMINISTIC: the assignment is the unrolled-Lloyd output,
+    centroids are integer-scaled exact means, and every ranking sorts
+    on 6dp-rounded cosines — so even this learned-quantizer ANN is
+    value-hash oracle-checked."""
     from ..operators.similarity import ivf_topk, kmeans_iterate
 
     emb = _emb(spark, sf_dir)
     clusters = kmeans_iterate(emb, k=4, iters=2).select("vec_id", "cluster")
     corpus = emb.join(clusters, "vec_id")
     return ivf_topk(
-        corpus, corpus.filter(F.col("vec_id") < 5), assign_col="cluster", k=5, nprobe=2
+        corpus,
+        corpus.filter(F.col("vec_id") < 5),
+        assign_col="cluster",
+        k=5,
+        nprobe=2,
+        exact_centroids=True,
     )
+
+
+def _ivf_kmeans_oracle(k: int, iters: int, nprobe: int, topk: int, nq: int) -> str:
+    """The kmeans CTE chain + exact centroids + probe/rank — mirrors
+    ivf_topk(exact_centroids=True) over kmeans_iterate output."""
+    ctes = [
+        "pts AS (SELECT vec_id, embedding AS p FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid"
+        f" FROM embeddings WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        dist = _duck_sq_dist("pts.p", f"{prev}.centroid")
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cluster, p FROM ("
+            f" SELECT pts.vec_id, {prev}.cluster, pts.p,"
+            f" row_number() OVER (PARTITION BY pts.vec_id"
+            f" ORDER BY {dist} ASC, {prev}.cluster ASC) AS rn"
+            f" FROM pts CROSS JOIN {prev}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cluster, dim,"
+            f" CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(count(x) * 1000000000 AS DOUBLE) AS m"
+            f" FROM (SELECT cluster, unnest(p) AS x,"
+            f" unnest(range(0, len(p))) AS dim FROM a{it})"
+            f" GROUP BY cluster, dim)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cluster, list(m ORDER BY dim) AS centroid"
+            f" FROM m{it} GROUP BY cluster)"
+        )
+    last = f"c{iters}"
+    dist = _duck_sq_dist("pts.p", f"{last}.centroid")
+    ctes.append(
+        f"af AS (SELECT vec_id, cluster, p FROM ("
+        f" SELECT pts.vec_id, {last}.cluster, pts.p,"
+        f" row_number() OVER (PARTITION BY pts.vec_id"
+        f" ORDER BY {dist} ASC, {last}.cluster ASC) AS rn"
+        f" FROM pts CROSS JOIN {last}) WHERE rn = 1)"
+    )
+    ctes.append(
+        "cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM ("
+        " SELECT cluster, dim,"
+        " CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)"
+        " / CAST(count(x) * 1000000000 AS DOUBLE) AS m"
+        " FROM (SELECT cluster, unnest(p) AS x, unnest(range(0, len(p))) AS dim FROM af)"
+        " GROUP BY cluster, dim) GROUP BY cluster)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f" WHERE vec_id < {nq})"
+    )
+    cell_cos = _duck_cosine("q.qv", "cent.centroid")
+    ctes.append(
+        f"probed AS (SELECT query_id, qv, cell FROM ("
+        f" SELECT q.query_id, q.qv, cent.cluster AS cell,"
+        f" row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY round({cell_cos}, 6) DESC, cent.cluster ASC) AS cr"
+        f" FROM q CROSS JOIN cent) WHERE cr <= {nprobe})"
+    )
+    cand_cos = _duck_cosine("pr.qv", "af.p")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM ("
+        f" SELECT pr.query_id, af.vec_id AS neighbor_id,"
+        f" round({cand_cos}, 6) AS sim,"
+        f" row_number() OVER (PARTITION BY pr.query_id"
+        f" ORDER BY round({cand_cos}, 6) DESC, af.vec_id ASC) AS rank"
+        f" FROM probed pr JOIN af ON af.cluster = pr.cell AND af.vec_id != pr.query_id"
+        f") WHERE rank <= {topk}"
+    )
+
+
 
 
 def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +757,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
 
 
 KMEANS_ORACLE = _kmeans_oracle(4, 2)
+IVF_KMEANS_ORACLE = _ivf_kmeans_oracle(4, 2, nprobe=2, topk=5, nq=5)
 
 
 def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,7 +846,7 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
     "sim_search_lsh_topk": QuerySpec(sim_search_lsh_topk, SIM_LSH_ORACLE, "ann-lsh (deterministic)"),
-    "sim_search_ivf_kmeans": QuerySpec(sim_search_ivf_kmeans, None, "ann-ivf, learned quantizer (approx)"),
+    "sim_search_ivf_kmeans": QuerySpec(sim_search_ivf_kmeans, IVF_KMEANS_ORACLE, "ann-ivf, learned quantizer (deterministic)"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_ORACLE, "text-quality"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ORACLE, "text-langid"),
     "text_repetition_metrics": QuerySpec(text_repetition_metrics, TEXT_REPETITION_ORACLE, "Gopher repetition gates"),
