@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 
-__all__ = ["cms_build", "cms_probe", "cms_heavy_hitters"]
+__all__ = ["cms_build", "cms_probe", "cms_heavy_hitters", "hll_cardinality"]
 
 _ROW_OFFSET = 3  # affine mixes 0..2 are taken by split/shard/sample
 
@@ -138,4 +138,83 @@ def cms_heavy_hitters(
     win = Window.orderBy(F.col("est").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(win).cast("long")).select(
         "rank", "token", "est"
+    )
+
+
+# ---------- HyperLogLog cardinality ----------
+
+_HLL_MIX = 7  # affine mix index; CMS rows use 3..6, split/shard use 0..2
+
+
+def hll_cardinality(
+    df: DataFrame, key_col: str, p: int = 10
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate (Flajolet et
+    al. 2007) as pure DataFrame aggregation — the fixed-memory
+    replacement for exact count(DISTINCT) when the key space (URLs,
+    user ids, n-grams) no longer fits a shuffle.
+
+    m = 2^p registers; each key hashes through the engine's affine
+    mix (h < 2^30), low p bits pick the register, the remaining ~20
+    bits' leading-zero rank updates it with max(). The estimate is
+    alpha_m * m^2 / sum(2^-M_j). Like the CMS, the approximation is in
+    the ALGORITHM, not an RNG: hashing is the cross-engine polynomial
+    family and the register sum is an exact BIGINT (each term
+    2^(30-M_j)), so the estimate is bit-reproducible and
+    DuckDB-oracle-checkable. Raw HLL (no small/large-range
+    correction) — documented estimator contract.
+
+    Scale: the shuffle is at most m register rows (map-side max); one
+    row out. Returns (hll_estimate, exact_distinct, rel_err) — the
+    exact column is there for the error contract and would be dropped
+    at 100 TB (it is the thing HLL replaces).
+    """
+    m = 1 << p
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+    spark = df.sparkSession
+    # Avalanche: affine + two modular-squaring rounds. A bare affine
+    # map of sequential keys is an arithmetic progression mod P —
+    # registers stop being geometric and the estimate is garbage
+    # (measured 50-120% error); squaring mod P is the strongest mixer
+    # expressible in BOTH engines (DuckDB BIGINT multiply traps on
+    # overflow, so 64-bit wrapping mixers don't port; values < 2^30
+    # keep every product < 2^60).
+    h1 = (F.lit(a) * F.col(key_col).cast("long") + F.lit(b)) % F.lit(H.P)
+    t = (
+        df.select(h1.alias("h1"))
+        .select(((F.col("h1") * F.col("h1") + F.lit(a)) % F.lit(H.P)).alias("h2"))
+        .select(((F.col("h2") * F.col("h2") + F.lit(b)) % F.lit(H.P)).alias("h"))
+        .select(
+            (F.col("h") % m).alias("bucket"),
+            F.when(F.expr(f"h div {m}") == 0, F.lit(21))
+            .otherwise(F.lit(21) - F.length(F.expr(f"bin(h div {m})")))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    regs = t.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    all_b = spark.range(m).select(F.col("id").alias("bucket"))
+    full = all_b.join(regs, "bucket", "left").select(
+        F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    z = full.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 30 - rho)")).alias("z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("v"),
+    )
+    exact = df.agg(F.countDistinct(key_col).alias("exact_distinct"))
+    raw = F.lit(est_num) / F.col("z").cast("double")
+    # small-range (linear counting) correction: raw HLL bottoms out at
+    # alpha*m with mostly-empty registers
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    return z.crossJoin(exact).select(
+        F.round(corrected, 4).alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            F.abs(corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
     )

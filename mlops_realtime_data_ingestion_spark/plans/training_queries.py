@@ -271,6 +271,67 @@ FROM sl
 """
 
 
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate over events (p=10, 1024
+    registers) vs the exact count — the fixed-memory cardinality path;
+    deterministic hashing makes even the approximation oracle-matched
+    (like the CMS)."""
+    from ..operators.sketches import hll_cardinality
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_cardinality(ev, "user_id", p=10)
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import _HLL_MIX
+
+    m = 1 << 10
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+    return f"""
+WITH h1 AS (
+  SELECT (({a} * user_id + {b}) % {H.P}) AS h1 FROM events
+), h2 AS (
+  SELECT ((h1 * h1 + {a}) % {H.P}) AS h2 FROM h1
+), h AS (
+  SELECT ((h2 * h2 + {b}) % {H.P}) AS h FROM h2
+), t AS (
+  SELECT h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN 21
+              ELSE 21 - length(bin(h // {m})) END AS rho
+  FROM h
+), regs AS (
+  SELECT bucket, max(rho) AS rho FROM t GROUP BY 1
+), all_b AS (
+  SELECT unnest(range(0, {m})) AS bucket
+), full_regs AS (
+  SELECT coalesce(regs.rho, 0) AS rho
+  FROM all_b LEFT JOIN regs ON regs.bucket = all_b.bucket
+), z AS (
+  SELECT sum((CAST(1 AS BIGINT) << (30 - rho))) AS z,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+  FROM full_regs
+), ex AS (
+  SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+), e AS (
+  SELECT CASE WHEN ({est_num!r} / CAST(z.z AS DOUBLE)) <= {2.5 * m}
+               AND z.v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(z.v AS DOUBLE))
+              ELSE {est_num!r} / CAST(z.z AS DOUBLE) END AS est,
+         ex.exact_distinct AS exact_distinct
+  FROM z, ex
+)
+SELECT round(est, 4) AS hll_estimate,
+       exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM e
+"""
+
+
+HLL_ORACLE = _hll_oracle()
+
+
 # ---------- dedup-group resolution ----------
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,6 +557,7 @@ SPECS: dict[str, QuerySpec] = {
     "decontam_ngram_overlap": QuerySpec(decontam_ngram_overlap, DECONTAM_ORACLE, "benchmark decontamination"),
     "text_heavy_hitters": QuerySpec(text_heavy_hitters, HEAVY_HITTERS_ORACLE, "global top-k tokens"),
     "text_heavy_hitters_cms": QuerySpec(text_heavy_hitters_cms, CMS_ORACLE, "count-min-sketch heavy hitters (fixed memory)"),
+    "hll_distinct_users": QuerySpec(hll_distinct_users, HLL_ORACLE, "HyperLogLog cardinality (fixed memory)"),
     "text_pii_redact": QuerySpec(text_pii_redact, PII_ORACLE, "PII scrubbing"),
     "text_tfidf_topk": QuerySpec(text_tfidf_topk, TFIDF_ORACLE, "per-doc characteristic terms"),
     "doc_chunk_sliding": QuerySpec(doc_chunk_sliding, CHUNK_ORACLE, "context-window chunking"),
