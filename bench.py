@@ -117,7 +117,12 @@ def main() -> None:
     # store (reference budget: 120 s per minute bucket). Shortened
     # 10 s windows so finalized output lands within the measurement
     # budget — the operators and plan shape are the production ones.
-    live_freshness = _live_freshness(spark)
+    # Both auxiliary sections degrade to None/partial rather than
+    # killing the primary JSON line.
+    try:
+        live_freshness = _live_freshness(spark)
+    except Exception:
+        live_freshness = None
 
     # Scaling section: if the 10x-replicated dataset exists
     # (tools/make_scaled_data.py), run the headline set there
@@ -127,15 +132,25 @@ def main() -> None:
     scaled_dir = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/root/repo/.data/sf1")
     scaled_factor = 10.0
     if os.path.isdir(scaled_dir):
+        # best-of-2 like the primary set: a single-shot numerator over
+        # a best-of-2 denominator makes the super-linear flag flap on
+        # first-touch noise
         s_timings: dict[str, float] = {}
         for name in HEADLINE:
             spec = specs.get(name)
             if spec is None:
                 continue
-            df = spec.fn(spark, scaled_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            s_timings[name] = round(time.perf_counter() - t0, 3)
+            try:
+                best = None
+                for _ in range(2):
+                    df = spec.fn(spark, scaled_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                s_timings[name] = round(best, 3)
+            except Exception:
+                continue
         anomalies = {
             n: round(s_timings[n] / max(timings[n], 1e-3), 1)
             for n in s_timings
