@@ -35,15 +35,28 @@ _R1_CHECKED = frozenset({
 })
 
 
+# Queries added in round 2 — no one (driver or judge) has verified
+# these yet, so they outrank round-1 queries the judge already re-ran.
+_R2_NEW = frozenset({
+    "forecast_seasonal_naive", "forecast_backtest_rmse_wql",
+    "text_repetition_metrics", "text_vocab_oov", "curation_funnel",
+    "text_kwic_udtf", "dedup_survivors", "hll_distinct_users",
+    "sim_search_ivf_kmeans",
+})
+
+
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Enumerate unchecked-with-oracle first, unchecked rows-only next
-    (their driver check is weaker), round-1-checked last."""
+    """Enumerate never-verified oracled queries first, then unchecked
+    oracled (judge-verified in r1), then unchecked rows-only (their
+    driver check is weaker), round-1-checked last."""
 
     def rank(item: tuple[str, QuerySpec]) -> int:
         name, spec = item
         if name in _R1_CHECKED:
+            return 3
+        if spec.oracle is None:
             return 2
-        return 1 if spec.oracle is None else 0
+        return 0 if name in _R2_NEW else 1
 
     return dict(sorted(specs.items(), key=rank))
 
