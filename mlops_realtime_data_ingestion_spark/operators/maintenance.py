@@ -25,6 +25,7 @@ plan shape is identical.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 
@@ -56,39 +57,57 @@ def targeted_delete(
     just value-identical (asserted in tests/test_targeted_delete.py).
     """
     df = spark.read.parquet(path)
-    hit_files = sorted(
-        _local_path(r.f)
+    hit_uris = sorted(
+        r.f
         for r in df.filter(F.col(id_col).isin(ids))
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
     )
+    hit_files = [_local_path(u) for u in hit_uris]
     if not hit_files:
         return []
 
     # ONE distributed rewrite job covers every hit file (the old shape
     # looped on the driver, launching 2 jobs per file — serial at 100 TB
-    # with thousands of hits). Tag each surviving row with its source
-    # file's basename (part-file names carry task UUIDs, so basenames
-    # are unique across the dataset), hash-partition on it so each
-    # source file's rows land in one task, and partitionBy it so each
-    # source yields exactly one output file under tmp/_src=<basename>/.
-    # Basenames are [A-Za-z0-9.-] so Hive partition-value escaping is a
-    # no-op and the directory name maps back to the file verbatim.
+    # with thousands of hits). Tag each surviving row with a sha256 of
+    # its source file's FULL URI (basenames are NOT unique across Hive
+    # partition directories — one write task emits identically-named
+    # part files into many partitions, so keying on basename would
+    # merge two files' survivors and silently move rows between
+    # partitions), hash-partition on it so each source file's rows land
+    # in one task, and partitionBy it so each source yields exactly one
+    # output file under tmp/_src=<hash>/. The hex hash is [0-9a-f] so
+    # Hive partition-value escaping is a no-op.
     tmp = path.rstrip("/") + ".rewrite.tmp"
     (
         spark.read.parquet(*hit_files)
-        .withColumn("_src", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .withColumn("_src", F.sha2(F.input_file_name(), 256))
         .filter(~F.col(id_col).isin(ids))
         .repartition(len(hit_files), "_src")
         .write.partitionBy("_src")
         .mode("overwrite")
         .parquet(tmp)
     )
-    for f in hit_files:
-        parts = glob.glob(
-            os.path.join(tmp, f"_src={os.path.basename(f)}", "part-*.parquet")
+    # Safety: the Python-side hash of each collected URI must account
+    # for every produced partition directory. A produced dir outside
+    # the expected set means the second read rendered URIs differently
+    # than the first (would misroute the swap loop) — fail loudly
+    # instead of treating the miss as "all rows deleted".
+    expected = {hashlib.sha256(u.encode()).hexdigest(): f
+                for u, f in zip(hit_uris, hit_files)}
+    produced = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(tmp, "_src=*"))
+    }
+    unexpected = produced - expected.keys()
+    if unexpected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"targeted_delete: rewrite produced unmapped source ids {sorted(unexpected)[:3]}"
         )
+    for h, f in expected.items():
+        parts = glob.glob(os.path.join(tmp, f"_src={h}", "part-*.parquet"))
         if parts:
             os.replace(parts[0], f)  # atomic same-filesystem swap
         else:

@@ -161,8 +161,11 @@ def hll_cardinality(
     the ALGORITHM, not an RNG: hashing is the cross-engine polynomial
     family and the register sum is an exact BIGINT (each term
     2^(30-M_j)), so the estimate is bit-reproducible and
-    DuckDB-oracle-checkable. Raw HLL (no small/large-range
-    correction) — documented estimator contract.
+    DuckDB-oracle-checkable. Estimator contract: the small-range
+    linear-counting correction IS applied (when the raw estimate is
+    below 2.5m and empty registers exist, the estimate switches to
+    m*ln(m/V)); no large-range correction (irrelevant below 2^30
+    distinct keys). The DuckDB oracle applies the identical rule.
 
     Scale: the shuffle is at most m register rows (map-side max); one
     row out. Returns (hll_estimate, exact_distinct, rel_err) — the

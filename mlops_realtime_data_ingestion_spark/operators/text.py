@@ -177,9 +177,13 @@ def kwic(df: DataFrame, term: str, window: int = 3, text_col: str = "text") -> D
     spark = df.sparkSession
     spark.udtf.register("__kwic", _Kwic)
     df.createOrReplaceTempView("__kwic_src")
+    # Lowercase the term to match the lowercased tokens, and pass it as
+    # a bound parameter — f-string splicing would break on quotes
+    # (injection-shaped) and silently miss mixed-case terms.
     return spark.sql(
         f"SELECT s.doc_id, k.pos, k.context "
-        f"FROM __kwic_src s, LATERAL __kwic(s.{text_col}, '{term}', {window}) k"
+        f"FROM __kwic_src s, LATERAL __kwic(s.{text_col}, :term, {int(window)}) k",
+        args={"term": term.lower()},
     )
 
 

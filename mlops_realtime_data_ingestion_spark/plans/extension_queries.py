@@ -767,7 +767,10 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts vector storage 4x and is what a production ANN index would
     ingest. Norm uses the sequential fold so both engines see
     identical doubles; round(double) is half-away-from-zero in Spark
-    AND DuckDB, so the int8 codes match exactly."""
+    AND DuckDB, so the int8 codes match exactly. The q8 codes are
+    emitted CSV-serialized (``q8_csv``): the driver's canonicalizer
+    requires flat (hashable) column types, and a comma-joined int8
+    string is byte-identical across both engines."""
     emb = _emb(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(
@@ -784,14 +787,16 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         F.round("nrm", 6).alias("norm"),
-        q8.alias("q8"),
+        F.concat_ws(",", q8).alias("q8_csv"),
     )
 
 
 EMB_QUANT_ORACLE = f"""
 SELECT vec_id, round(nrm, 6) AS norm,
-       list_transform(embedding,
-                      x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS INTEGER)) AS q8
+       array_to_string(
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS INTEGER)),
+         ',') AS q8_csv
 FROM (
   SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
   FROM embeddings

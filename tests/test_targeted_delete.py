@@ -98,6 +98,44 @@ def test_targeted_delete_is_one_distributed_rewrite(spark, tmp_path):
     assert spark.read.parquet(big).count() == 1194
 
 
+def test_targeted_delete_hive_partitioned_basename_collision(spark, tmp_path):
+    """Hive-partitioned layout: one write task emits identically-named
+    part files into every partition directory, so file basenames are
+    NOT unique. The rewrite must key on the full path — a basename key
+    would merge two files' survivors into one partition dir (silently
+    changing partition-column values on read)."""
+    path = str(tmp_path / "corpus_hive")
+    (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("int").alias("src"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        )
+        .repartition(1)  # 1 task -> same basename in both partition dirs
+        .write.partitionBy("src")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    basenames = {
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(path, "src=*", "part-*.parquet"))
+    }
+    assert len(basenames) == 1  # the collision precondition is real
+
+    # one target in each partition => both same-basename files rewritten
+    hit = targeted_delete(spark, path, ids=[4, 7])
+    assert len(hit) == 2
+
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 998
+    assert remaining.filter(F.col("doc_id").isin([4, 7])).count() == 0
+    # partition-column values survived: no rows migrated between dirs
+    assert remaining.filter(F.col("src") != (F.col("doc_id") % 2)).count() == 0
+    assert remaining.filter(F.col("src") == 0).count() == 499
+    assert remaining.filter(F.col("src") == 1).count() == 499
+
+
 def test_targeted_delete_removes_fully_deleted_file(spark, tmp_path):
     path = str(tmp_path / "corpus3")
     (

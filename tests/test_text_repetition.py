@@ -65,6 +65,28 @@ def test_kwic_udtf_hand_computed(spark):
     ]
 
 
+def test_kwic_mixed_case_and_quote_terms(spark):
+    """The term is lowercased (tokens are) and passed as a bound
+    parameter, so mixed case matches and quotes don't break the SQL."""
+    from mlops_realtime_data_ingestion_spark.operators.text import kwic
+
+    docs = spark.createDataFrame(
+        [(1, "a Spark b"), (2, "it's o'clock now")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["context"])
+        for r in kwic(docs, term="SPARK", window=1).collect()
+    )
+    assert rows == [(1, 1, "a spark b")]
+
+    quoted = sorted(
+        (r["doc_id"], r["pos"], r["context"])
+        for r in kwic(docs, term="o'clock", window=1).collect()
+    )
+    assert quoted == [(2, 1, "it's o'clock now")]
+
+
 def test_vocab_oov_broadcast_plan(spark):
     docs = _docs(spark)
     plan = (
