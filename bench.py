@@ -162,6 +162,14 @@ def main() -> None:
             "total_sec": round(sum(s_timings.values()), 3),
             "queries": s_timings,
             "superlinear": anomalies,
+            # Candidate-vs-survivor accounting for the Jaccard dedup at
+            # BOTH scales: lets a super-linear wall-clock number be
+            # adjudicated as candidate-set growth (work tracks the
+            # candidate count, which grows with near-dup density) vs a
+            # quadratic plan regression.
+            "dedup_ngram_jaccard_accounting": _jaccard_accounting(
+                spark, {"sf": sf_dir, "scaled": scaled_dir}
+            ),
         }
 
     total = round(sum(timings.values()), 3)
@@ -180,6 +188,28 @@ def main() -> None:
             }
         )
     )
+
+
+def _jaccard_accounting(spark, dirs: dict[str, str]) -> dict | None:
+    """Candidates vs survivors for dedup_ngram_jaccard (same params as
+    the registered query) at each labeled data dir; None on failure
+    (accounting must never kill the primary JSON line)."""
+    try:
+        from mlops_realtime_data_ingestion_spark.operators.dedup import (
+            ngram_jaccard_accounting,
+        )
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+        out = {}
+        for label, d in dirs.items():
+            docs = load_table(spark, d, "documents")
+            out[label] = ngram_jaccard_accounting(
+                docs, id_col="doc_id", text_col="text", n=2,
+                threshold=0.5, block_cols=("lang",), length_band=50,
+            )
+        return out
+    except Exception:
+        return None
 
 
 def _live_freshness(spark, deadline_s: float = 75.0) -> float | None:

@@ -39,6 +39,7 @@ from ..functions import hashing_pandas as HP
 __all__ = [
     "with_shingle_hashes",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_accounting",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
@@ -90,15 +91,31 @@ def _jaccard(a: str, b: str):
 def _prefix_candidates(
     shingled: DataFrame, keys: list[str], threshold: float
 ) -> DataFrame:
-    """PPJoin-style prefix filtering (Xiao et al., WWW'08) within
-    blocks — LOSSLESS: if jaccard(A,B) >= t then |A∩B| >= ceil(t|A|),
-    but only |A| - ceil(t|A|) + 1 - 1 elements of A lie outside its
-    prefix, so A's prefix must intersect B. Prefix tokens are each
-    doc's globally-RAREST shingles (doc-frequency ascending, hash
-    tiebreak), keeping inverted lists short; candidates = prefix
-    tokens joined against the full inverted index. Shuffle volume is
-    docs x shingles (the index build) + the pruned candidate set —
-    never the block-quadratic pair count."""
+    """PPJoin prefix + positional + length filtering (Xiao et al.,
+    WWW'08) within blocks — LOSSLESS. Prefix principle: if
+    |A∩B| >= a then the (|A|-a+1)-prefix of A and the (|B|-a+1)-prefix
+    of B intersect; jaccard >= t gives a = ceil(t*max(|A|,|B|)) >=
+    ceil(t*|A|), so prefixes of length |x| - ceil(t|x|) + 1 suffice
+    for BOTH probe and index sides (PPJoin's indexing scheme — the
+    inverted index holds prefix tokens only, halving match volume vs
+    a prefix-x-full join; equality vs the plain block join is tested).
+    Prefix tokens are each doc's globally-RAREST shingles
+    (doc-frequency ascending, hash tiebreak), keeping inverted lists
+    short on Zipfian vocabularies. Candidates are further pruned by:
+
+    - LENGTH filter: jaccard >= t forces t*|A| <= |B| <= |A|/t.
+    - POSITIONAL filter: both token arrays are sorted by the SAME
+      global (df, t) order, so the smallest common token sits at the
+      minimal position pa in A AND pb in B simultaneously (and, by the
+      prefix principle, inside both prefixes); every common token
+      lives in the suffixes after it, so
+      |A∩B| <= 1 + min(|A|-pa-1, |B|-pb-1). jaccard >= t needs
+      |A∩B| >= t/(1+t)*(|A|+|B|); a pair survives iff SOME matching
+      token passes the bound, and for true pairs the first-common-
+      token match always does.
+
+    Shuffle volume is docs x shingles (the index build) + the pruned
+    candidate set — never the block-quadratic pair count."""
     tok = shingled.select("id", *keys, F.explode("sh").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
     ordered = (
@@ -111,21 +128,45 @@ def _prefix_candidates(
             F.count("*").alias("sz"),
         )
     )
-    pref = ordered.withColumn(
-        "plen",
-        (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
-    )
-    ptok = pref.select(
-        "id", *keys, F.explode(F.expr("slice(shf, 1, plen)")).alias("t")
-    )
-    full = tok.select(F.col("id").alias("id2"), *keys, "t")
-    return (
-        ptok.join(full, keys + ["t"])
-        .filter(F.col("id") != F.col("id2"))
-        .select(
-            F.least("id", "id2").alias("a"),
-            F.greatest("id", "id2").alias("b"),
+    # One positional PREFIX-token frame feeds both join sides.
+    # Persisted: the dfreq join + per-doc sort above is the expensive
+    # subtree, and without the cache the self-join computes it twice
+    # (no ReusedExchange — the two sides' plans differ).
+    ptok = (
+        ordered.withColumn(
+            "plen",
+            (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
         )
+        .select(
+            "id",
+            *keys,
+            "sz",
+            F.posexplode(F.expr("slice(shf, 1, plen)")).alias("pa", "t"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rtok = ptok.select(
+        F.col("id").alias("id2"),
+        *keys,
+        F.col("sz").alias("sz2"),
+        F.col("pa").alias("pb"),
+        "t",
+    )
+    overlap_need = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("sz") + F.col("sz2"))
+    )
+    overlap_ub = 1 + F.least(
+        F.col("sz") - F.col("pa") - 1, F.col("sz2") - F.col("pb") - 1
+    )
+    return (
+        ptok.join(rtok, keys + ["t"])
+        .filter(
+            (F.col("id") < F.col("id2"))
+            & (F.col("sz2") >= threshold * F.col("sz"))
+            & (F.col("sz") >= threshold * F.col("sz2"))
+            & (overlap_ub >= overlap_need)
+        )
+        .select(F.col("id").alias("a"), F.col("id2").alias("b"))
         .distinct()
     )
 
@@ -165,17 +206,47 @@ def ngram_jaccard_pairs(
     variant is minhash_lsh_pairs).
 
     ``prefix_filter`` (default) additionally prunes candidates with
-    PPJoin prefix filtering before verification, ADAPTIVELY: blocks
-    with <= ``block_cap`` docs keep the direct pair join (quadratic is
-    cheap there and the inverted-index build isn't), larger blocks
-    route through the prefix filter. Lossless either way — a block is
-    entirely on one path and prefix filtering only drops candidates
-    that cannot pass the threshold — so the result set is identical to
-    the plain block join (equality tested). Measured at 10x data:
-    31.7M -> 2.1M verified candidates (14.7x), wall-clock flat instead
-    of quadratic. ``prefix_filter=False`` forces the plain join for
-    microbenchmark comparison.
+    PPJoin prefix + positional + length filtering before verification,
+    ADAPTIVELY: blocks with <= ``block_cap`` docs keep the direct pair
+    join (quadratic is cheap there and the inverted-index build
+    isn't), larger blocks route through the prefix filter. Lossless
+    either way — a block is entirely on one path and the filters only
+    drop candidates that cannot pass the threshold — so the result set
+    is identical to the plain block join (equality tested). Measured
+    at 10x data: 31.7M -> 1.7M verified candidates (19x), wall-clock
+    flat instead of quadratic. ``prefix_filter=False`` forces the
+    plain join for microbenchmark comparison.
     """
+    pairs = _candidate_pair_frame(
+        df, id_col, text_col, n, threshold, block_cols,
+        length_band, length_col, prefix_filter, block_cap,
+    )
+    return (
+        pairs.withColumn("jaccard", _jaccard("sh", "sh2"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            "jaccard",
+        )
+    )
+
+
+def _candidate_pair_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    block_cols: tuple[str, ...],
+    length_band: int | None,
+    length_col: str,
+    prefix_filter: bool,
+    block_cap: int,
+) -> DataFrame:
+    """Pre-verification candidate pairs with both shingle arrays
+    attached — shared by ``ngram_jaccard_pairs`` (verify + emit) and
+    ``ngram_jaccard_accounting`` (count candidates vs survivors)."""
     extra = tuple(block_cols) + ((length_col,) if length_band is not None else ())
     shingled = with_shingle_hashes(df, id_col, text_col, n, extra_cols=extra)
     if length_band is not None:
@@ -232,15 +303,40 @@ def ngram_jaccard_pairs(
             )
     else:
         pairs = direct_pairs(shingled)
-    return (
-        pairs.withColumn("jaccard", _jaccard("sh", "sh2"))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("id").alias("doc_id_1"),
-            F.col("id2").alias("doc_id_2"),
-            "jaccard",
+    return pairs
+
+
+def ngram_jaccard_accounting(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = (),
+    length_band: int | None = 50,
+    length_col: str = "n_chars",
+    prefix_filter: bool = True,
+    block_cap: int = 256,
+) -> dict[str, int]:
+    """Candidate-vs-survivor accounting for the exact-Jaccard dedup:
+    how many pairs reached verification and how many passed. Lets a
+    bench scale audit distinguish candidate-set growth (output-bound,
+    expected when near-dup density rises with corpus size) from
+    quadratic regression in the plan."""
+    pairs = _candidate_pair_frame(
+        df, id_col, text_col, n, threshold, block_cols,
+        length_band, length_col, prefix_filter, block_cap,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        candidates = pairs.count()
+        survivors = (
+            pairs.withColumn("jaccard", _jaccard("sh", "sh2"))
+            .filter(F.col("jaccard") >= threshold)
+            .count()
         )
-    )
+    finally:
+        pairs.unpersist()
+    return {"candidates": candidates, "survivors": survivors}
 
 
 def minhash_lsh_pairs(
@@ -286,22 +382,53 @@ def minhash_lsh_pairs(
     # Pair generation per bucket via collect_list + combination
     # expansion: one shuffle instead of self-join + dropDuplicates.
     # LSH-sized buckets (r=4 rows) stay small, but a boilerplate-heavy
-    # corpus can produce degenerate hot bands whose collect_list would
-    # OOM a task. Guard: count each bucket with a window over the same
-    # shuffle keys; buckets <= bucket_cap take the collect_list path,
-    # larger ones route to a distributed band self-join whose per-task
-    # memory is bounded by the join's hash partitioning (AQE further
-    # splits skewed buckets). Both paths feed one distinct — the
-    # candidate SET is identical either way.
-    from pyspark.sql import Window
-
+    # corpus can produce degenerate hot bands whose collect_list (and
+    # its quadratic pair expansion) would OOM a task. Guard: buckets
+    # <= bucket_cap take the collect_list path, larger ones route to a
+    # distributed band self-join whose per-task memory is bounded by
+    # the join's hash partitioning (AQE further splits skewed
+    # buckets). Both paths produce the identical candidate SET.
+    #
+    # The split itself is a driver-side metadata decision (same
+    # AQE-style choice as ngram_jaccard's block_cap): one map-side-
+    # combined count finds hot bucket keys — bounded by
+    # bands*docs/bucket_cap, and almost always NONE. No hot keys =>
+    # the plain single-shuffle plan with zero guard overhead (the
+    # earlier always-on window count paid a sort-shuffle of every
+    # banded row, +43% on the sf0.1 bench); a handful => literal
+    # predicates split the rows; many => broadcast anti/semi joins.
     banded = base.select(
         "id", F.posexplode("bands").alias("band_id", "band_key")
-    ).withColumn(
-        "__n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
     )
-    cold = banded.filter(F.col("__n") <= bucket_cap)
-    hot = banded.filter(F.col("__n") > bucket_cap).drop("__n")
+    sizes = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > bucket_cap)
+        .select("band_id", "band_key")
+    )
+    hot_rows = sizes.limit(65).collect()  # bounded driver metadata
+    if not hot_rows:
+        cold, hot = banded, None
+    elif len(hot_rows) <= 64:
+        import functools
+        import operator
+
+        is_hot = functools.reduce(
+            operator.or_,
+            (
+                (F.col("band_id") == F.lit(r["band_id"]))
+                & (F.col("band_key") == F.lit(r["band_key"]))
+                for r in hot_rows
+            ),
+        )
+        cold, hot = banded.filter(~is_hot), banded.filter(is_hot)
+    else:
+        cold = banded.join(
+            F.broadcast(sizes), ["band_id", "band_key"], "left_anti"
+        )
+        hot = banded.join(
+            F.broadcast(sizes), ["band_id", "band_key"], "left_semi"
+        )
     cold_pairs = (
         cold.groupBy("band_id", "band_key")
         .agg(F.collect_list("id").alias("ids"))
@@ -317,13 +444,16 @@ def minhash_lsh_pairs(
         )
         .select("p.id", "p.id2")
     )
-    hot_rhs = hot.select("band_id", "band_key", F.col("id").alias("id2"))
-    hot_pairs = (
-        hot.join(hot_rhs, ["band_id", "band_key"])
-        .filter(F.col("id") < F.col("id2"))
-        .select("id", "id2")
-    )
-    candidates = cold_pairs.unionByName(hot_pairs).distinct()
+    candidates = cold_pairs
+    if hot is not None:
+        hot_rhs = hot.select("band_id", "band_key", F.col("id").alias("id2"))
+        hot_pairs = (
+            hot.join(hot_rhs, ["band_id", "band_key"])
+            .filter(F.col("id") < F.col("id2"))
+            .select("id", "id2")
+        )
+        candidates = cold_pairs.unionByName(hot_pairs)
+    candidates = candidates.distinct()
     lhs_sh = base.select(F.col("id"), F.col("sh"))
     rhs_sh = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     return (

@@ -1,0 +1,64 @@
+"""Registry hygiene: structural contracts every registered query must
+hold for the driver's harness to be able to check it.
+
+The driver canonicalizes results with pandas (sort_values + hash);
+array/map/struct cells are unhashable there, so every ORACLED query
+must produce a flat schema (atomic column types only). Round 2 lost a
+checked slot to exactly this (``embedding_normalize_quantize`` emitted
+``array<int>`` and the driver recorded an err instead of a result) —
+this test makes the bug class unrepresentable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+
+_SPECS = all_specs()
+_ORACLED = sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+
+# Analysis-only schema resolution needs a real table dir but never
+# executes the query (DataFrame construction is lazy).
+_SF_DIR = "/root/testdata/sf0.001"
+
+_NESTED = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_oracled_query_schema_is_flat(spark, name):
+    df = _SPECS[name].fn(spark, _SF_DIR)
+    bad = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NESTED)
+    ]
+    assert not bad, (
+        f"{name} outputs non-flat columns {bad} — the driver's "
+        f"canonicalizer cannot hash array/map/struct cells; serialize "
+        f"them (concat_ws/to_json) at the query edge"
+    )
+
+
+def test_never_driver_checked_enumerate_first():
+    """The driver checks the first N enumerated queries each round;
+    ordering must surface never-green queries before already-green
+    ones, with oracled (strong check) ahead of rows-only (weak)."""
+    from mlops_realtime_data_ingestion_spark.plans.registry import (
+        _DRIVER_CHECKED,
+    )
+
+    names = list(_SPECS)
+    seen_checked = False
+    seen_rows_only = False
+    for n in names:
+        if n in _DRIVER_CHECKED:
+            seen_checked = True
+            continue
+        # an unchecked query after any checked one breaks the contract
+        assert not seen_checked, f"unchecked {n} ranked after checked queries"
+        if _SPECS[n].oracle is None:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracled unchecked {n} ranked after rows-only unchecked"
+            )
