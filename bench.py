@@ -53,6 +53,25 @@ HEADLINE = [
     "curation_funnel",
 ]
 
+# Representative subset for the 100x checkpoint (one per operator
+# family; matches the manual run recorded in SCALE.md).
+SCALE100_SUBSET = [
+    "flagship_tx_window_1min",
+    "tpch_q1_pricing_summary",
+    "join_3way_brand_nation",
+    "p1_dedup_keep_first",
+    "wf_rank_lag_lead",
+    "metrics_rmse_wql",
+    "w1_train_test_split",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_search_cosine_topk",
+    "text_quality_score",
+    "decontam_ngram_overlap",
+    "sessionize_events",
+    "text_repetition_metrics",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,6 +191,32 @@ def main() -> None:
             ),
         }
 
+    # 100x checkpoint: if the 100x-replicated dataset exists
+    # (tools/make_scaled_data.py 100 /root/repo/.data/sf10), run the
+    # 14-query representative subset single-shot — the number SCALE.md
+    # cites, now measured by the harness itself so rounds can diff it.
+    scale100 = None
+    s100_dir = os.environ.get("SPARK_GRAFT_SCALED100_DIR", "/root/repo/.data/sf10")
+    if os.path.isdir(s100_dir):
+        h_timings: dict[str, float] = {}
+        for name in SCALE100_SUBSET:
+            spec = specs.get(name)
+            if spec is None:
+                continue
+            try:
+                df = spec.fn(spark, s100_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                h_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                continue
+        scale100 = {
+            "dir": s100_dir,
+            "factor_vs_sf": 100.0,
+            "total_sec": round(sum(h_timings.values()), 3),
+            "queries": h_timings,
+        }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -184,6 +229,7 @@ def main() -> None:
                 "live_freshness_sec": live_freshness,
                 "streaming_freshness_budget_sec": 120,
                 "scaled": scaled,
+                "scale100": scale100,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -35,6 +35,7 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "resize_stub",
+    "resize_buckets",
 ]
 
 # (format, magic-byte hex prefix)
@@ -207,3 +208,60 @@ def resize_stub(
             )
 
     return src.mapInPandas(run, RESIZE_SCHEMA)
+
+
+RESIZE_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("bucket_len", T.IntegerType()),
+        T.StructField("bucket_sum", T.LongType()),
+        T.StructField("bucket_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_buckets(
+    df: DataFrame,
+    target: int = 16,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Flat-schema spelling of the resize stage: one row per
+    (doc, bucket) with the bucket's EXACT byte sum/length plus the
+    mean. Same bucket boundaries as ``resize_stub`` (the array
+    contract for pipeline consumers); this shape exists so the stage
+    is value-hash comparable against a SQL oracle — sums are exact
+    integers and the mean is one IEEE division both engines compute
+    identically. Empty/null payloads yield no rows."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bks, lens, sums, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                b = bytes(payload)
+                n = len(b)
+                for t in range(target):
+                    lo = t * n // target
+                    hi = min(max((t + 1) * n // target, lo + 1), n)
+                    seg = b[lo:hi] if lo < n else b[n - 1 :]
+                    s = sum(seg)
+                    ids.append(doc_id)
+                    bks.append(t)
+                    lens.append(len(seg))
+                    sums.append(s)
+                    means.append(float(s) / len(seg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bucket": pd.Series(bks, dtype="int32"),
+                    "bucket_len": pd.Series(lens, dtype="int32"),
+                    "bucket_sum": pd.Series(sums, dtype="int64"),
+                    "bucket_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(run, RESIZE_BUCKET_SCHEMA)

@@ -19,7 +19,7 @@ from ..operators.multimodal import (
     attach_binary,
     decode_features,
     frame_sample,
-    resize_stub,
+    resize_buckets,
     sniff_format,
 )
 from ..operators.similarity import cosine, cosine_topk
@@ -806,12 +806,40 @@ FROM (
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach payload -> JVM-side format sniff
-    -> Arrow-batched mapInPandas decode stub. Python in the plan =>
-    rows-only check; plumbing is asserted in tests."""
+    -> Arrow-batched mapInPandas decode stub. The stub's outputs are
+    exact-integer byte math (chunk count, byte-sum mean = one IEEE
+    division) so the Python stage is fully value-hash comparable —
+    the oracle recomputes the same bytes via hex-pair decoding."""
     docs = attach_binary(_docs(spark, sf_dir))
     sniffed = sniff_format(docs)
     feats = decode_features(sniffed, target_partitions=8)
     return feats.select("doc_id", "payload_len", "n_chunks", F.round("mean_byte", 6).alias("mean_byte"))
+
+
+# Byte value at 0-based offset i of encode(text), via hex-pair lookup
+# (DuckDB has no blob subscript; hex+strpos is exact).
+_DUCK_BYTE = (
+    "(strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16 "
+    "+ (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1)"
+)
+
+MULTIMODAL_DECODE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+  FROM documents
+), bytes AS (
+  SELECT doc_id, {_DUCK_BYTE} AS v
+  FROM docs, unnest(range(0, n)) AS u(i)
+), sums AS (
+  SELECT doc_id, sum(v) AS s FROM bytes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(d.n, 0) AS INT) AS payload_len,
+       CAST(ceil(coalesce(d.n, 0) / 64.0) AS INT) AS n_chunks,
+       CASE WHEN coalesce(d.n, 0) > 0
+            THEN round(CAST(s.s AS DOUBLE) / d.n, 6) ELSE 0.0 END AS mean_byte
+FROM docs d LEFT JOIN sums s USING (doc_id)
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,11 +864,45 @@ ORDER BY doc_id, frame_idx
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width resize contract: payload → 16-float vector
-    (bucketed byte means). Rows-only (float vector math in Python);
-    the width invariant is asserted in tests."""
-    docs = attach_binary(_docs(spark, sf_dir))
-    return resize_stub(docs, target=16).orderBy("doc_id")
+    """Fixed-width resize contract, flat spelling: payload → 16
+    buckets of byte stats (exact sum/len + one-division mean), one
+    row per (doc, bucket). Same bucket boundaries as the array-typed
+    ``resize_stub`` (width invariant asserted in tests); this shape
+    makes the Python resize stage value-hash comparable."""
+    docs = attach_binary(_docs(spark, sf_dir)).filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return (
+        resize_buckets(docs, target=16)
+        .withColumn("bucket_mean", F.round("bucket_mean", 6))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), bytes AS (
+  SELECT doc_id, i, {_DUCK_BYTE} AS v
+  FROM docs, unnest(range(0, n)) AS u(i)
+), buckets AS (
+  SELECT doc_id, t,
+         CASE WHEN (t*n)//16 < n THEN (t*n)//16 ELSE n-1 END AS lo,
+         CASE WHEN (t*n)//16 < n
+              THEN least(greatest(((t+1)*n)//16, (t*n)//16 + 1), n)
+              ELSE n END AS hi
+  FROM docs, unnest(range(0, 16)) AS u(t)
+)
+SELECT b.doc_id, CAST(b.t AS INT) AS bucket,
+       CAST(b.hi - b.lo AS INT) AS bucket_len,
+       CAST(sum(y.v) AS BIGINT) AS bucket_sum,
+       round(CAST(sum(y.v) AS DOUBLE) / (b.hi - b.lo), 6) AS bucket_mean
+FROM buckets b JOIN bytes y
+  ON y.doc_id = b.doc_id AND y.i >= b.lo AND y.i < b.hi
+GROUP BY b.doc_id, b.t, b.lo, b.hi
+ORDER BY b.doc_id, bucket
+"""
 
 
 SPECS: dict[str, QuerySpec] = {
@@ -864,7 +926,7 @@ SPECS: dict[str, QuerySpec] = {
     "embedding_normalize_quantize": QuerySpec(embedding_normalize_quantize, EMB_QUANT_ORACLE, "int8 embedding compression"),
     "kmeans_embedding_clusters": QuerySpec(kmeans_embedding_clusters, KMEANS_ORACLE, "deterministic k-means clustering"),
     "ts_profile_topk": QuerySpec(ts_profile_topk, TS_PROFILE_ORACLE, "time-series profile similarity"),
-    "multimodal_decode": QuerySpec(multimodal_decode, None, "multimodal (mapInPandas)"),
+    "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_ORACLE, "multimodal decode (mapInPandas, byte-exact)"),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "multimodal frame fan-out"),
-    "multimodal_resize": QuerySpec(multimodal_resize, None, "multimodal resize contract"),
+    "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "multimodal resize contract (flat bucket stats)"),
 }

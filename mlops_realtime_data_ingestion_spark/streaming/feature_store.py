@@ -29,21 +29,30 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .storage import ParquetManifestBackend, StorageBackend
+
 __all__ = ["FeatureStore"]
 
 
 class FeatureStore:
+    """All durable-storage calls go through ``backend``
+    (:class:`~.storage.StorageBackend`) — plug a Delta/Iceberg backend
+    in there when the package exists; the parquet+manifest default is
+    the tested configuration in this environment."""
+
     def __init__(
         self,
         path: str,
         key_col: str = "tx_minute",
         event_time_col: str = "event_time",
         partition_by_time: bool = True,
+        backend: StorageBackend | None = None,
     ) -> None:
         self.path = path
         self.key_col = key_col
         self.event_time_col = event_time_col
         self.partition_by_time = partition_by_time
+        self.backend = backend or ParquetManifestBackend()
 
     # -- S9: streaming upsert sink ------------------------------------
     def put_batch(self, batch: DataFrame) -> None:
@@ -62,7 +71,7 @@ class FeatureStore:
                 F.unix_timestamp(F.current_timestamp()).cast("double"),
             )
         batch = batch.dropDuplicates([self.key_col, self.event_time_col])
-        writer = batch.write.mode("append")
+        pcols: tuple[str, ...] = ()
         if self.partition_by_time:
             # reference partitions the offline store year/month/day/hour
             # (FeatureStoreAggregateParquet.py:40-58)
@@ -72,53 +81,13 @@ class FeatureStore:
                 .withColumn("day", F.dayofmonth(self.key_col))
                 .withColumn("hour", F.hour(self.key_col))
             )
-            writer = batch.write.mode("append").partitionBy(
-                "year", "month", "day", "hour"
-            )
-        before = self._data_files() if os.path.isdir(self.path) else set()
-        writer.parquet(self.path)
-        self._commit_manifest(sorted(self._data_files() - before))
-
-    # -- commit log (time travel) -------------------------------------
-    # Manifests live in ``_manifests/`` INSIDE the store: Spark/Hadoop
-    # scans skip underscore-prefixed paths, so the log is invisible to
-    # every reader that doesn't ask for it.
-    @property
-    def _manifest_dir(self) -> str:
-        return os.path.join(self.path, "_manifests")
-
-    def _data_files(self) -> set[str]:
-        """Relative paths of the store's parquet data files (a local
-        directory walk here; the write-committer's file list on an
-        object store)."""
-        out: set[str] = set()
-        for root, dirs, files in os.walk(self.path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            for f in files:
-                if f.endswith(".parquet"):
-                    out.add(os.path.relpath(os.path.join(root, f), self.path))
-        return out
-
-    def _commit_manifest(self, added: list[str]) -> int:
-        import json
-
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        v = (max(self.versions()) + 1) if self.versions() else 0
-        tmp = os.path.join(self._manifest_dir, f".v{v:06d}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "added": added}, f)
-        os.replace(tmp, os.path.join(self._manifest_dir, f"v{v:06d}.json"))
-        return v
+            pcols = self._PCOLS
+        added = self.backend.append(batch, self.path, pcols)
+        self.backend.commit_version(self.path, added)
 
     def versions(self) -> list[int]:
         """Committed batch versions, oldest first."""
-        if not os.path.isdir(self._manifest_dir):
-            return []
-        return sorted(
-            int(n[1:7])
-            for n in os.listdir(self._manifest_dir)
-            if n.startswith("v") and n.endswith(".json")
-        )
+        return self.backend.versions(self.path)
 
     # -- offline face ---------------------------------------------------
     def offline(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -129,30 +98,18 @@ class FeatureStore:
         on a Delta/Iceberg backend. Current-state reads never consult
         the log (plain directory scan, no small-file listing cost)."""
         if version is None:
-            return spark.read.parquet(self.path)
-        import json
-
+            return self.backend.read(spark, self.path)
         if version not in self.versions():
             raise ValueError(
                 f"unknown version {version}; have {self.versions()}"
             )
-        files: list[str] = []
-        for v in self.versions():
-            if v > version:
-                break
-            with open(os.path.join(self._manifest_dir, f"v{v:06d}.json")) as f:
-                files.extend(json.load(f)["added"])
+        files = self.backend.files_as_of(self.path, version)
         if not files:
             raise ValueError(f"version {version} committed no files")
-        return spark.read.option("basePath", self.path).parquet(
-            *(os.path.join(self.path, p) for p in files)
-        )
+        return self.backend.read(spark, self.path, files)
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            n.endswith(".parquet") or n.startswith(("year=", "part-"))
-            for n in os.listdir(self.path)
-        )
+        return self.backend.exists(self.path)
 
     # -- online face ------------------------------------------------
     def online_view(self, spark: SparkSession) -> DataFrame:
@@ -235,11 +192,8 @@ class FeatureStore:
         rewrite goes to a temp dir and is swapped with two renames —
         readers can see a partial store only during a single rename,
         and the history is never mutated in place."""
-        import shutil
-
         df = self.offline(spark)
         tmp = self.path.rstrip("/") + ".__compact_tmp"
-        old = self.path.rstrip("/") + ".__compact_old"
         sizes = self._partition_sizes()
         partitioned = self.partition_by_time and any(
             len(k) == len(self._PCOLS) for k in sizes
@@ -268,13 +222,13 @@ class FeatureStore:
             total = sum(sizes.values())
             n_files = int(max(1, -(-total // target_bytes)))  # ceil (A9)
             df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
+        self.backend.swap_directory(tmp, self.path)
         # compaction rewrites history: the commit log restarts at a
         # single full snapshot (the VACUUM/checkpoint analogue —
         # pre-compaction versions are no longer addressable)
-        self._commit_manifest(sorted(self._data_files()))
+        self.backend.commit_version(
+            self.path, sorted(self.backend.list_data_files(self.path))
+        )
 
     # -- MERGE-shaped online materialization --------------------------
     @property
@@ -285,7 +239,7 @@ class FeatureStore:
         """The materialized online table (one row per key) maintained
         by :meth:`upsert_latest` — same rows as :meth:`online_view`,
         but a TABLE (point-reads scan one partition, not the history)."""
-        return spark.read.parquet(self.latest_path)
+        return self.backend.read(spark, self.latest_path)
 
     def upsert_latest(self, spark: SparkSession, batch: DataFrame) -> list[str]:
         """True upsert semantics for the online face: MERGE the batch
@@ -371,12 +325,7 @@ class FeatureStore:
             )
             if not os.path.isdir(tdir):
                 continue  # batch rows all lost to older-than-store keys
-            os.makedirs(os.path.dirname(live), exist_ok=True)
-            bak = live + ".__old"
-            if os.path.isdir(live):
-                os.rename(live, bak)
-            os.rename(tdir, live)
-            shutil.rmtree(bak, ignore_errors=True)
+            self.backend.swap_directory(tdir, live)
             rewritten.append(live)
         shutil.rmtree(tmp, ignore_errors=True)
         return rewritten
@@ -388,7 +337,7 @@ class FeatureStore:
 
         lp = self.latest_path
         if os.path.isdir(lp):
-            current = spark.read.parquet(lp)
+            current = self.backend.read(spark, lp)
             merged = current.withColumn("_pri", F.lit(0)).unionByName(
                 batch.withColumn("_pri", F.lit(1))
             )
@@ -403,10 +352,6 @@ class FeatureStore:
         else:
             merged = batch
         tmp = lp + ".__upsert_tmp"
-        old = lp + ".__old"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(lp):
-            os.rename(lp, old)
-        os.rename(tmp, lp)
-        shutil.rmtree(old, ignore_errors=True)
+        self.backend.swap_directory(tmp, lp)
         return [lp]

@@ -1,0 +1,148 @@
+"""Storage-format seam for the feature store.
+
+Everything :class:`~.feature_store.FeatureStore` does to DURABLE
+storage goes through this interface: appending data files, committing
+a version to the log, listing/reading files as of a version, and the
+atomic directory swaps that compaction/upsert use. The default
+:class:`ParquetManifestBackend` implements it on plain parquet plus a
+JSON manifest log (the only format available in this environment).
+
+A Delta or Iceberg backend is a drop-in: ``append`` becomes the
+format's transactional write (the manifest commit collapses into it —
+those formats ARE their commit log), ``read_version`` becomes
+``VERSION AS OF``, and the swap primitives become MERGE /
+replaceWhere metadata commits instead of directory renames. The
+reference's analogous seam is SageMaker's offline-store S3 layout
+(lib/sagemaker/feature-store.ts:186-193).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["StorageBackend", "ParquetManifestBackend"]
+
+
+class StorageBackend(ABC):
+    """Format-level operations beneath the feature store. All paths
+    are table roots or absolute file/dir paths inside them."""
+
+    @abstractmethod
+    def append(self, df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> list[str]:
+        """Append ``df``'s rows as new data files; returns the
+        relative paths of the files added by THIS write."""
+
+    @abstractmethod
+    def read(self, spark: SparkSession, path: str, files: list[str] | None = None) -> DataFrame:
+        """Read the table (or, when ``files`` is given, exactly those
+        relative data files with the table root as basePath)."""
+
+    @abstractmethod
+    def commit_version(self, path: str, added: list[str]) -> int:
+        """Record a new version whose content is ``added`` (relative
+        file paths); returns the version number."""
+
+    @abstractmethod
+    def versions(self, path: str) -> list[int]:
+        """Committed versions, oldest first."""
+
+    @abstractmethod
+    def files_as_of(self, path: str, version: int) -> list[str]:
+        """Relative data files making up the table as of ``version``."""
+
+    @abstractmethod
+    def list_data_files(self, path: str) -> set[str]:
+        """Relative paths of all current data files."""
+
+    @abstractmethod
+    def exists(self, path: str) -> bool:
+        """True if the table has any data."""
+
+    @abstractmethod
+    def swap_directory(self, tmp: str, live: str) -> None:
+        """Atomically replace directory ``live`` with ``tmp``
+        (readers see old or new, never a mix beyond one rename)."""
+
+
+class ParquetManifestBackend(StorageBackend):
+    """Plain parquet + ``_manifests/`` JSON commit log. Manifests live
+    INSIDE the table root: Spark/Hadoop scans skip underscore-prefixed
+    paths, so the log is invisible to readers that don't ask for it."""
+
+    def _manifest_dir(self, path: str) -> str:
+        return os.path.join(path, "_manifests")
+
+    def append(self, df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> list[str]:
+        before = self.list_data_files(path) if os.path.isdir(path) else set()
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return sorted(self.list_data_files(path) - before)
+
+    def read(self, spark: SparkSession, path: str, files: list[str] | None = None) -> DataFrame:
+        if files is None:
+            return spark.read.parquet(path)
+        return spark.read.option("basePath", path).parquet(
+            *(os.path.join(path, p) for p in files)
+        )
+
+    def commit_version(self, path: str, added: list[str]) -> int:
+        mdir = self._manifest_dir(path)
+        os.makedirs(mdir, exist_ok=True)
+        have = self.versions(path)
+        v = (max(have) + 1) if have else 0
+        tmp = os.path.join(mdir, f".v{v:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "added": added}, f)
+        os.replace(tmp, os.path.join(mdir, f"v{v:06d}.json"))
+        return v
+
+    def versions(self, path: str) -> list[int]:
+        mdir = self._manifest_dir(path)
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(n[1:7])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def files_as_of(self, path: str, version: int) -> list[str]:
+        files: list[str] = []
+        for v in self.versions(path):
+            if v > version:
+                break
+            with open(os.path.join(self._manifest_dir(path), f"v{v:06d}.json")) as f:
+                files.extend(json.load(f)["added"])
+        return files
+
+    def list_data_files(self, path: str) -> set[str]:
+        """A local directory walk here; the write-committer's file
+        list on an object store."""
+        out: set[str] = set()
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, f), path))
+        return out
+
+    def exists(self, path: str) -> bool:
+        return os.path.isdir(path) and any(
+            n.endswith(".parquet") or n.startswith(("year=", "part-"))
+            for n in os.listdir(path)
+        )
+
+    def swap_directory(self, tmp: str, live: str) -> None:
+        old = live.rstrip("/") + ".__old"
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.makedirs(os.path.dirname(live), exist_ok=True)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)

@@ -208,3 +208,22 @@ def test_resize_fixed_width_contract(spark):
     # 256 evenly-spread bytes: bucket means are the 32-byte segment means
     assert rows[1][0] == float(sum(range(32))) / 32
     assert rows[3] == [0.0] * 8 and rows[4] == [0.0] * 8
+
+
+def test_resize_buckets_matches_array_contract(spark):
+    """The flat (doc, bucket) spelling must agree bucket-by-bucket
+    with resize_stub's array output (same boundaries, same means);
+    empty/null payloads yield no bucket rows."""
+    from mlops_realtime_data_ingestion_spark.operators.multimodal import (
+        resize_buckets,
+        resize_stub,
+    )
+
+    payloads = [(1, bytes(range(256))), (2, b"ab"), (3, b""), (4, None)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    arrays = {r["doc_id"]: r["resized"] for r in resize_stub(df, target=8).collect()}
+    flat = resize_buckets(df, target=8).collect()
+    assert {r["doc_id"] for r in flat} == {1, 2}  # empty/null dropped
+    for r in flat:
+        assert r["bucket_mean"] == arrays[r["doc_id"]][r["bucket"]]
+        assert r["bucket_sum"] >= 0 and r["bucket_len"] >= 1
