@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 
-__all__ = ["cms_build", "cms_probe", "cms_heavy_hitters", "hll_cardinality"]
+__all__ = [
+    "cms_build",
+    "cms_probe",
+    "cms_heavy_hitters",
+    "hll_cardinality",
+    "bloom_positions",
+    "bloom_prefilter_join",
+]
 
 _ROW_OFFSET = 3  # affine mixes 0..2 are taken by split/shard/sample
 
@@ -221,3 +228,69 @@ def hll_cardinality(
             F.abs(corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 4
         ).alias("rel_err"),
     )
+
+
+# ---------- Bloom-filter pre-filtered join ----------
+
+_BLOOM_OFFSET = 3  # reuse the CMS affine-mix rows (keys, not tokens)
+
+
+def bloom_positions(key, m: int, k: int = 3):
+    """Array of ``k`` bit positions for a BIGINT key — the engine's
+    affine polynomial family, so build and probe (and the DuckDB
+    mirror) agree bit-for-bit."""
+    return F.array(
+        *[
+            (
+                (
+                    F.lit(H.MINHASH_A[_BLOOM_OFFSET + j]) * key.cast("long")
+                    + F.lit(H.MINHASH_B[_BLOOM_OFFSET + j])
+                )
+                % F.lit(H.P)
+            )
+            % F.lit(m)
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m: int = 8192,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big`` to ``small`` with a Bloom pre-filter on the big
+    side: the small side's keys are folded into a fixed ``m``-bit set
+    (here: the sorted array of SET positions — bounded by m, built by
+    one aggregation), broadcast, and big rows whose k positions aren't
+    all present are dropped BEFORE the shuffle. False positives
+    survive the filter and are removed by the real join, so the result
+    is EXACTLY the plain join (oracle = plain SQL join).
+
+    This is the manual spelling of runtime bloom-filter pushdown
+    (Spark's spark.sql.optimizer.runtime.bloomFilter does the same
+    inside AQE): at 100 TB it turns "shuffle everything, join drops
+    99%" into "scan-side drop 99%, shuffle 1%". The broadcast payload
+    is <= m positions (~64 KB at m=8192) regardless of small-side row
+    count — the point of a Bloom set vs broadcasting the keys.
+    """
+    pos_set = (
+        small.select(
+            F.explode(bloom_positions(F.col(small_key), m, k)).alias("p")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_set("p")).alias("bloom"))
+    )
+    probed = big.crossJoin(F.broadcast(pos_set)).withColumn(
+        "__probe", bloom_positions(F.col(big_key), m, k)
+    )
+    filtered = probed.filter(
+        F.forall(
+            F.col("__probe"), lambda p: F.array_contains(F.col("bloom"), p)
+        )
+    ).drop("bloom", "__probe")
+    return filtered.join(small, filtered[big_key] == small[small_key], how)

@@ -1,0 +1,232 @@
+"""Registered queries: drift monitoring, CDC snapshot diff, lexical
+retrieval (BM25), bloom-prefiltered join.
+
+These extend the reference's model-monitoring surface
+(pipelines/blockchain/evaluate.py RMSE/wQL; threshold re-computation
+in the monitoring Lambda) with the input-side checks and incremental-
+processing primitives a production MLOps pipeline runs beside them.
+Every query carries a DuckDB oracle with the engine-wide determinism
+rules (plans/spec.py): exact-integer cores, fixed-order float adds,
+decimal-exact sums, unique tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators.cdc import snapshot_diff
+from ..operators.drift import psi_ks_report
+from ..operators.retrieval import bm25_topk
+from ..operators.sketches import bloom_prefilter_join
+from ..sources.batch import load_table
+from .determinism import dsum, dsum_sql
+from .spec import QuerySpec
+
+
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-distribution drift of events.value across the mid-month
+    cutoff: PSI + binned KS, reference bins frozen on the first half."""
+    return psi_ks_report(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        ts_col="ts",
+        cutoff="2024-01-16 00:00:00",
+        bins=10,
+    )
+
+
+DRIFT_PSI_ORACLE = """
+WITH src AS (
+  SELECT value AS v, ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+  FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM src WHERE is_ref
+), totals AS (
+  SELECT count(*) FILTER (is_ref) AS n_ref,
+         count(*) FILTER (NOT is_ref) AS n_cur FROM src
+), binned AS (
+  SELECT is_ref,
+         least(9, greatest(0, CAST(floor((v - mn) * 10 / (mx - mn)) AS INT))) AS bin
+  FROM src, bounds
+), cnt AS (
+  SELECT bin, count(*) FILTER (is_ref) AS c_ref,
+         count(*) FILTER (NOT is_ref) AS c_cur
+  FROM binned GROUP BY bin
+), freq AS (
+  SELECT r.b AS bin, n_ref, n_cur,
+         (coalesce(c_ref, 0) + 0.5) / (n_ref + 5.0) AS p,
+         (coalesce(c_cur, 0) + 0.5) / (n_cur + 5.0) AS q
+  FROM (SELECT unnest(range(0, 10)) AS b) r
+  LEFT JOIN cnt ON cnt.bin = r.b, totals
+), terms AS (
+  SELECT bin, n_ref, n_cur,
+         CAST((p - q) * ln(p / q) AS DECIMAL(38,12)) AS psi_term,
+         CAST(p AS DECIMAL(38,12)) AS p, CAST(q AS DECIMAL(38,12)) AS q
+  FROM freq
+), cum AS (
+  SELECT n_ref, n_cur, psi_term,
+         sum(p) OVER (ORDER BY bin) AS cp,
+         sum(q) OVER (ORDER BY bin) AS cq
+  FROM terms
+)
+SELECT round(CAST(sum(psi_term) AS DOUBLE), 6) AS psi,
+       round(CAST(max(abs(cp - cq)) AS DOUBLE), 6) AS ks,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur
+FROM cum
+"""
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between the per-user latest state at Jan 16 and
+    Jan 31 (15-day trailing activity windows): insert/update/delete
+    rows with old+new payloads."""
+    return snapshot_diff(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        t1="2024-01-16 00:00:00",
+        t2="2024-01-31 00:00:00",
+        window_days=15,
+        payload_cols=("event_type", "value"),
+        tiebreak_col="event_id",
+    )
+
+
+CDC_DIFF_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-16 00:00:00' - INTERVAL 15 DAY
+      AND ts <= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1
+), s2 AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 15 DAY
+      AND ts <= TIMESTAMP '2024-01-31 00:00:00') WHERE rn = 1
+)
+SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'insert'
+            WHEN s2.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       s1.event_type AS old_event_type, s1.value AS old_value,
+       s2.event_type AS new_event_type, s2.value AS new_value
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+   OR s1.event_type IS DISTINCT FROM s2.event_type
+   OR s1.value IS DISTINCT FROM s2.value
+"""
+
+
+_BM25_TERMS = ["spark", "window", "join"]
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-20 for a fixed 3-term query over
+    the documents corpus (Lucene k1=1.2, b=0.75 variant)."""
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20
+    )
+
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_cols = ",\n         ".join(
+        f"max(CASE WHEN tok = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(f"coalesce(s{i}, 0.0)" for i in range(len(terms)))
+    hits = " + ".join(
+        f"CAST(s{i} IS NOT NULL AS INT)" for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({H.duck_tokens('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+), dl AS (
+  SELECT id, count(*) AS dl FROM toks GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+), tf AS (
+  SELECT id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({in_list}) GROUP BY id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.id, tf.tok,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1)
+         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                        / (total_len / n_docs))) AS s
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (id), stats
+), per AS (
+  SELECT id,
+         {per_cols}
+  FROM scored GROUP BY id
+)
+SELECT id AS doc_id, round({score}, 6) AS score,
+       CAST({hits} AS INT) AS n_terms_hit
+FROM per ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+BM25_ORACLE = _bm25_oracle(_BM25_TERMS, 20)
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ BUILDING-segment customers with a Bloom pre-filter on
+    the orders side (fixed 8192-bit set, 3 hashes); false positives
+    die in the real join so the result equals the plain join — the
+    oracle IS the plain join. Per-customer order count + exact-decimal
+    spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = bloom_prefilter_join(
+        orders,
+        cust.select("c_custkey", "c_name"),
+        big_key="o_custkey",
+        small_key="c_custkey",
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(dsum("o_totalprice", 2), 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+BLOOM_JOIN_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+       round({dsum_sql('o.o_totalprice', 2)}, 2) AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY c.c_custkey
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "drift_psi_events": QuerySpec(
+        drift_psi_events, DRIFT_PSI_ORACLE, "input drift: PSI + binned KS"
+    ),
+    "cdc_snapshot_diff": QuerySpec(
+        cdc_snapshot_diff, CDC_DIFF_ORACLE, "CDC: point-in-time snapshot diff"
+    ),
+    "text_bm25_topk": QuerySpec(
+        text_bm25_topk, BM25_ORACLE, "lexical retrieval: BM25 top-k"
+    ),
+    "join_bloom_prefilter": QuerySpec(
+        join_bloom_prefilter, BLOOM_JOIN_ORACLE, "bloom-prefiltered join"
+    ),
+}

@@ -132,4 +132,10 @@ def all_specs() -> dict[str, QuerySpec]:
         specs.update(training_queries.SPECS)
     except ImportError:
         pass
+    try:
+        from . import quality_queries
+
+        specs.update(quality_queries.SPECS)
+    except ImportError:
+        pass
     return _priority_order(specs)

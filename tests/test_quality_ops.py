@@ -1,0 +1,140 @@
+"""Hand-computed cases for drift (PSI/KS), CDC snapshot diff, BM25
+retrieval, and the bloom-prefiltered join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mlops_realtime_data_ingestion_spark.operators.cdc import snapshot_diff
+from mlops_realtime_data_ingestion_spark.operators.drift import psi_ks_report
+from mlops_realtime_data_ingestion_spark.operators.retrieval import bm25_topk
+from mlops_realtime_data_ingestion_spark.operators.sketches import (
+    bloom_prefilter_join,
+    bloom_positions,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_psi_zero_for_identical_windows(spark):
+    rows = []
+    eid = 0
+    for half, ts in (("a", "2024-01-10 00:00:00"), ("b", "2024-01-20 00:00:00")):
+        for v in [1.0, 2.0, 3.0, 4.0, 5.0] * 4:
+            rows.append((eid, ts, eid, v))
+            eid += 1
+    r = psi_ks_report(
+        _events(spark, rows), "value", "ts", "2024-01-16 00:00:00"
+    ).collect()[0]
+    assert r["n_ref"] == 20 and r["n_cur"] == 20
+    assert r["psi"] == 0.0 and r["ks"] == 0.0  # identical histograms
+
+
+def test_psi_detects_shift(spark):
+    rows = [(i, "2024-01-10 00:00:00", i, 1.0 + (i % 5)) for i in range(50)]
+    rows += [(100 + i, "2024-01-20 00:00:00", i, 50.0) for i in range(50)]
+    r = psi_ks_report(
+        _events(spark, rows), "value", "ts", "2024-01-16 00:00:00"
+    ).collect()[0]
+    # current mass all clamps into the top reference bin -> large PSI
+    assert r["psi"] > 0.25  # the standard "significant shift" bar
+    assert r["ks"] > 0.5
+
+
+def test_cdc_snapshot_diff_hand_case(spark):
+    rows = [
+        # user 1: value changes between windows -> update
+        (1, "2024-01-10 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-20 00:00:00", 1, "a", 2.0),
+        # user 2: only in window 1 -> delete
+        (3, "2024-01-12 00:00:00", 2, "b", 5.0),
+        # user 3: only in window 2 -> insert
+        (4, "2024-01-25 00:00:00", 3, "c", 7.0),
+        # user 4: same payload in both windows -> no row
+        (5, "2024-01-11 00:00:00", 4, "d", 9.0),
+        (6, "2024-01-21 00:00:00", 4, "d", 9.0),
+        # user 5: two events in window 2; latest (by ts) wins
+        (7, "2024-01-22 00:00:00", 5, "e", 1.0),
+        (8, "2024-01-23 00:00:00", 5, "e", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: r
+        for r in snapshot_diff(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            t1="2024-01-16 00:00:00",
+            t2="2024-01-31 00:00:00",
+            window_days=15,
+            payload_cols=("event_type", "value"),
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1]["change"] == "update" and out[1]["new_value"] == 2.0
+    assert out[2]["change"] == "delete" and out[2]["new_value"] is None
+    assert out[3]["change"] == "insert" and out[3]["old_value"] is None
+    assert 4 not in out  # unchanged -> dropped
+    assert out[5]["change"] == "insert" and out[5]["new_value"] == 2.0
+
+
+def test_bm25_ranking_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark window"),   # 2 query terms, tf(spark)=2
+            (2, "spark other words"),    # 1 query term
+            (3, "nothing relevant here"),
+            (4, "join window spark"),    # 3 query terms
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["spark", "window", "join"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # no query term, no row
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[4]["n_terms_hit"] == 3
+    assert by_id[1]["n_terms_hit"] == 2
+    # all terms > subset of terms at equal doc length
+    assert by_id[4]["score"] > by_id[2]["score"]
+    # hand-check one idf: 'join' appears in 1 of 4 docs
+    idf_join = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    assert idf_join > 0
+
+
+def test_bloom_prefilter_join_equals_plain_join_and_prunes(spark):
+    big = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    small = spark.range(0, 1000, 100).select(F.col("id").alias("sk"))
+    bloomed = bloom_prefilter_join(big, small, "k", "sk", m=256, k=3)
+    plain = big.join(small, big["k"] == small["sk"])
+    assert sorted(map(tuple, bloomed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the prefilter must actually drop most non-matching big rows
+    pos_set = (
+        small.select(F.explode(bloom_positions(F.col("sk"), 256, 3)).alias("p"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_set("p")).alias("bloom"))
+    )
+    survivors = (
+        big.crossJoin(F.broadcast(pos_set))
+        .withColumn("__probe", bloom_positions(F.col("k"), 256, 3))
+        .filter(
+            F.forall(
+                F.col("__probe"), lambda p: F.array_contains(F.col("bloom"), p)
+            )
+        )
+        .count()
+    )
+    assert survivors < 300  # 10 true keys + bounded false positives
+    assert survivors >= 10
