@@ -27,6 +27,7 @@ from ..functions import hashing as H
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "domain_mixture_sample",
     "decontaminate",
     "heavy_hitters",
     "chunk_tokens",
@@ -95,6 +96,42 @@ def stratified_sample(
         .filter(F.col("hb") < F.col("rate_permille"))
         .select(id_col, stratum_col, "hb")
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample a skewed corpus to TARGET domain proportions — the
+    mixture-reweighting step of a pre-training data recipe (e.g. "40%
+    web, 30% code, ..."). Given weights w_s (relative proportions),
+    the largest achievable corpus without upsampling is
+    B = min_s(c_s / w_s); each domain keeps rate_s = w_s * B / c_s of
+    its rows via the deterministic id-hash permille filter
+    (:func:`stratified_sample` — so the plan is the same broadcast
+    join + filter, rates now COMPUTED instead of given). Domains
+    absent from ``weights`` are dropped (weight 0).
+
+    Scale: the rate computation aggregates domain counts (a
+    domain-cardinality-row table) and broadcasts it; the corpus scan
+    is one pass, no shuffle.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{stratum_col} string, w double"
+    )
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("cnt"))
+    j = counts.join(F.broadcast(wdf), stratum_col)
+    budget = j.agg(F.min(F.col("cnt") / F.col("w")).alias("B"))
+    rates = j.crossJoin(F.broadcast(budget)).select(
+        stratum_col,
+        F.floor(1000 * F.col("w") * F.col("B") / F.col("cnt"))
+        .cast("int")
+        .alias("rate_permille"),
+    )
+    return stratified_sample(df, rates, stratum_col, id_col)
 
 
 def decontaminate(

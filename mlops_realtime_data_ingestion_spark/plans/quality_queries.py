@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..operators.cdc import snapshot_diff
 from ..operators.drift import psi_ks_report
+from ..operators.lm import unigram_perplexity
 from ..operators.retrieval import bm25_topk
 from ..operators.sketches import bloom_prefilter_join
 from ..sources.batch import load_table
@@ -216,6 +217,80 @@ ORDER BY c.c_custkey
 """
 
 
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality gate: per-doc perplexity under the add-one
+    unigram LM trained on the corpus itself."""
+    return unigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+PERPLEXITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({H.duck_tokens('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), stats AS (
+  SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab
+), tf AS (
+  SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok
+), scored AS (
+  SELECT id, tf,
+         CAST(tf * ln((coalesce(c, 0) + 1) / (n_total + v_size))
+              AS DECIMAL(38,6)) AS ll_term
+  FROM tf LEFT JOIN vocab USING (tok), stats
+), per_doc AS (
+  SELECT id, sum(tf) AS n_tokens, sum(ll_term) AS ll
+  FROM scored GROUP BY id
+)
+SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(exp(-(CAST(ll AS DOUBLE) / n_tokens)), 4) AS ppl
+FROM per_doc
+"""
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: down-sample the lang-skewed corpus to the
+    target 40/15/15/15/15 proportions (largest corpus achievable
+    without upsampling), deterministic id-hash permille filter."""
+    from ..operators.training_data import domain_mixture_sample
+
+    return domain_mixture_sample(
+        load_table(spark, sf_dir, "documents"), _MIX_WEIGHTS
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+
+# doc-id bucket hash, identical to operators/training_data._id_hash(k=0)
+_DUCK_ID_HASH = (
+    f"({H.MINHASH_A[0]} * ({H.duck_str_hash('CAST(doc_id AS VARCHAR)')})"
+    f" + {H.MINHASH_B[0]}) % {H.P}"
+)
+
+DOMAIN_MIX_ORACLE = f"""
+WITH w(lang, w) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+), j AS (
+  SELECT counts.lang, cnt, w FROM counts JOIN w USING (lang)
+), b AS (
+  SELECT min(cnt / w) AS B FROM j
+), rates AS (
+  SELECT lang, CAST(floor(1000 * w * B / cnt) AS INTEGER) AS rate_permille
+  FROM j, b
+), keyed AS (
+  SELECT doc_id, lang, CAST({_DUCK_ID_HASH} % 1000 AS INTEGER) AS hb
+  FROM documents
+)
+SELECT doc_id, keyed.lang AS lang, hb
+FROM keyed JOIN rates ON keyed.lang = rates.lang
+WHERE hb < rate_permille
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "drift_psi_events": QuerySpec(
         drift_psi_events, DRIFT_PSI_ORACLE, "input drift: PSI + binned KS"
@@ -228,5 +303,11 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "join_bloom_prefilter": QuerySpec(
         join_bloom_prefilter, BLOOM_JOIN_ORACLE, "bloom-prefiltered join"
+    ),
+    "text_perplexity_filter": QuerySpec(
+        text_perplexity_filter, PERPLEXITY_ORACLE, "unigram-LM perplexity quality gate"
+    ),
+    "sample_domain_mixture": QuerySpec(
+        sample_domain_mixture, DOMAIN_MIX_ORACLE, "target-proportion domain mixture sampling"
     ),
 }

@@ -138,3 +138,38 @@ def test_bloom_prefilter_join_equals_plain_join_and_prunes(spark):
     )
     assert survivors < 300  # 10 true keys + bounded false positives
     assert survivors >= 10
+
+
+def test_domain_mixture_hits_target_proportions(spark):
+    from mlops_realtime_data_ingestion_spark.operators.training_data import (
+        domain_mixture_sample,
+    )
+
+    rows = [(i, "a" if i < 8000 else "b") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = domain_mixture_sample(df, {"a": 0.5, "b": 0.5}, "lang")
+    by = {r[0]: r[1] for r in kept.groupBy("lang").count().collect()}
+    # b is the constraint: B = 2000/0.5 = 4000 -> ~2000 of each
+    assert 1800 <= by["a"] <= 2200
+    assert 1800 <= by["b"] <= 2200
+    # re-running is deterministic (hash-based, no RNG)
+    again = {r[0]: r[1] for r in domain_mixture_sample(
+        df, {"a": 0.5, "b": 0.5}, "lang").groupBy("lang").count().collect()}
+    assert again == by
+
+
+def test_unigram_perplexity_ranks_gibberish_higher(spark):
+    from mlops_realtime_data_ingestion_spark.operators.lm import (
+        unigram_perplexity,
+    )
+
+    common = "the data table row value " * 10
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common),
+         (4, "zxqv jkwp mlfg hqrt bnvc")],  # singleton tokens
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_perplexity(docs).collect()}
+    assert rows[4]["ppl"] > rows[1]["ppl"]  # gibberish scores higher
+    assert rows[1]["ppl"] == rows[2]["ppl"]  # identical docs tie
+    assert rows[1]["n_tokens"] == 50
