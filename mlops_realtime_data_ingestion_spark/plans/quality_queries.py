@@ -291,6 +291,66 @@ WHERE hb < rate_permille
 """
 
 
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer—supplier bipartite graph (edges =
+    distinct (customer, supplier) pairs via orders⋈lineitem), 3
+    synchronous iterations, top-20 nodes. Ranks are raw doubles —
+    bit-identical across engines because every per-node sum is
+    decimal-exact (see operators/graph.py)."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, "src", "dst", iters=3, damping=0.85)
+    return pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+def _pagerank_oracle(iters: int, topk: int) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    ctes = [
+        "e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,"
+        " 's' || CAST(l_suppkey AS VARCHAR) AS b"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a)",
+        "nodes AS (SELECT DISTINCT a FROM und)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT a, {one} / n AS r FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT und.b AS node,"
+            f" CAST(r{i-1}.r / deg.deg AS DECIMAL(38,12)) AS c"
+            f" FROM und JOIN r{i-1} ON und.a = r{i-1}.a"
+            f" JOIN deg ON und.a = deg.a)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.a, ({one} - {d}) / n"
+            f" + {d} * coalesce(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS r"
+            f" FROM nodes LEFT JOIN s{i} ON nodes.a = s{i}.node, nn)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT a AS node, r AS rank FROM r{iters}"
+        f" ORDER BY r DESC, a ASC LIMIT {topk}"
+    )
+
+
+PAGERANK_ORACLE = _pagerank_oracle(3, 20)
+
+
 SPECS: dict[str, QuerySpec] = {
     "drift_psi_events": QuerySpec(
         drift_psi_events, DRIFT_PSI_ORACLE, "input drift: PSI + binned KS"
@@ -309,5 +369,8 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "sample_domain_mixture": QuerySpec(
         sample_domain_mixture, DOMAIN_MIX_ORACLE, "target-proportion domain mixture sampling"
+    ),
+    "graph_pagerank_topk": QuerySpec(
+        graph_pagerank_topk, PAGERANK_ORACLE, "iterative PageRank over the customer-supplier graph"
     ),
 }

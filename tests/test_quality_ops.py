@@ -173,3 +173,17 @@ def test_unigram_perplexity_ranks_gibberish_higher(spark):
     assert rows[4]["ppl"] > rows[1]["ppl"]  # gibberish scores higher
     assert rows[1]["ppl"] == rows[2]["ppl"]  # identical docs tie
     assert rows[1]["n_tokens"] == 50
+
+
+def test_pagerank_star_graph(spark):
+    from mlops_realtime_data_ingestion_spark.operators.graph import pagerank
+
+    # star: hub h connected to 4 leaves -> hub outranks every leaf,
+    # leaves tie exactly (symmetric), total mass ~ 1
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(4)], "src string, dst string"
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, "src", "dst").collect()}
+    assert rows["h"] > rows["l0"]
+    assert len({rows[f"l{i}"] for i in range(4)}) == 1  # exact tie
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
