@@ -29,6 +29,8 @@ __all__ = [
     "ivf_topk",
     "centroids_by",
     "lsh_bucket_topk",
+    "kmeans_iterate",
+    "pq_encode",
 ]
 
 
@@ -373,4 +375,54 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): split each
+    vector into ``m`` subvectors, train an independent deterministic
+    k-means codebook per subspace (:func:`kmeans_iterate` — lowest-id
+    init, integer-scaled exact means), and encode every vector as m
+    small code ids. With m=4,k=4 a 64-dim float vector compresses to
+    4 codes (vs 64 floats) — the storage layout an IVF-PQ index
+    ingests at 100 TB; ``recon_err`` (sum of per-subspace quantization
+    distances, fixed addition order) is the compression-quality knob.
+
+    Every stage inherits kmeans_iterate's bit-reproducibility, so the
+    whole encoding is DuckDB-oracle-checkable.
+
+    Scale: m independent kmeans runs over |V|-row subvector frames
+    (broadcast centroids, one (cluster, dim) shuffle per iteration);
+    the code join keys on the vector id.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    out = None
+    for s in range(m):
+        sub = corpus.select(
+            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("embedding")
+        )
+        res = kmeans_iterate(sub, k=k, iters=iters, id_col=id_col).select(
+            id_col,
+            F.col("cluster").alias(f"code{s}"),
+            F.col("dist").alias(f"__d{s}"),
+        )
+        out = res if out is None else out.join(res, id_col)
+    err = None
+    for s in range(m):
+        d = F.col(f"__d{s}")
+        err = d if err is None else err + d
+    return out.select(
+        id_col,
+        *[F.col(f"code{s}") for s in range(m)],
+        F.round(err, 6).alias("recon_err"),
     )

@@ -351,6 +351,74 @@ def _pagerank_oracle(iters: int, topk: int) -> str:
 PAGERANK_ORACLE = _pagerank_oracle(3, 20)
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the 64-dim embeddings: 4 subspaces x 4
+    codes (deterministic per-subspace k-means, 2 iterations) — the
+    64-float -> 4-byte compression an IVF-PQ index stores."""
+    from ..operators.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"), dim=64, m=4, k=4)
+
+
+def _pq_oracle(m: int, subdim: int, k: int, iters: int) -> str:
+    from .extension_queries import _duck_sq_dist
+
+    ctes: list[str] = []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        ctes.append(
+            f"pts{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS p FROM embeddings)"
+        )
+        ctes.append(
+            f"s{s}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,"
+            f" embedding[{lo}:{hi}] AS centroid"
+            f" FROM embeddings WHERE vec_id < {k})"
+        )
+        for it in range(1, iters + 1):
+            prev = f"s{s}c{it - 1}"
+            dist = _duck_sq_dist(f"pts{s}.p", f"{prev}.centroid")
+            ctes.append(
+                f"s{s}a{it} AS (SELECT vec_id, cluster, p FROM ("
+                f" SELECT pts{s}.vec_id, {prev}.cluster, pts{s}.p,"
+                f" row_number() OVER (PARTITION BY pts{s}.vec_id"
+                f" ORDER BY {dist} ASC, {prev}.cluster ASC) AS rn"
+                f" FROM pts{s} CROSS JOIN {prev}) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"s{s}m{it} AS (SELECT cluster, dim,"
+                f" CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)"
+                f" / CAST(count(x) * 1000000000 AS DOUBLE) AS m"
+                f" FROM (SELECT cluster, unnest(p) AS x,"
+                f" unnest(range(0, len(p))) AS dim FROM s{s}a{it})"
+                f" GROUP BY cluster, dim)"
+            )
+            ctes.append(
+                f"s{s}c{it} AS (SELECT cluster, list(m ORDER BY dim) AS centroid"
+                f" FROM s{s}m{it} GROUP BY cluster)"
+            )
+        last = f"s{s}c{iters}"
+        dist = _duck_sq_dist(f"pts{s}.p", f"{last}.centroid")
+        ctes.append(
+            f"asg{s} AS (SELECT vec_id, cluster AS code{s}, round(d, 6) AS d{s}"
+            f" FROM (SELECT pts{s}.vec_id, {last}.cluster, {dist} AS d,"
+            f" row_number() OVER (PARTITION BY pts{s}.vec_id"
+            f" ORDER BY {dist} ASC, {last}.cluster ASC) AS rn"
+            f" FROM pts{s} CROSS JOIN {last}) WHERE rn = 1)"
+        )
+    joins = "asg0" + "".join(
+        f" JOIN asg{s} USING (vec_id)" for s in range(1, m)
+    )
+    codes = ", ".join(f"code{s}" for s in range(m))
+    err = " + ".join(f"d{s}" for s in range(m))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT vec_id, {codes}, round({err}, 6) AS recon_err FROM {joins}"
+    )
+
+
+PQ_ORACLE = _pq_oracle(4, 16, 4, 2)
+
+
 SPECS: dict[str, QuerySpec] = {
     "drift_psi_events": QuerySpec(
         drift_psi_events, DRIFT_PSI_ORACLE, "input drift: PSI + binned KS"
@@ -372,5 +440,8 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "graph_pagerank_topk": QuerySpec(
         graph_pagerank_topk, PAGERANK_ORACLE, "iterative PageRank over the customer-supplier graph"
+    ),
+    "embedding_pq_codes": QuerySpec(
+        embedding_pq_codes, PQ_ORACLE, "product quantization: per-subspace k-means codes"
     ),
 }

