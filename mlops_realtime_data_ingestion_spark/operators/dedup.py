@@ -41,9 +41,39 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_accounting",
     "minhash_lsh_pairs",
+    "minhash_lsh_join",
     "simhash_fingerprints",
     "simhash_pairs",
 ]
+
+
+def _shingle_band_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh, bands) for every doc with >= 1 shingle: the shared
+    signature frame behind both the self-dedup (minhash_lsh_pairs) and
+    the incremental corpus join (minhash_lsh_join).  Repartitioned
+    first so the Arrow hash fold spreads across all cores."""
+    import numpy as np
+
+    @F.pandas_udf("struct<sh: array<long>, bands: array<long>>")
+    def shb_udf(texts: pd.Series) -> pd.DataFrame:
+        sh = texts.map(lambda t: np.unique(HP.shingle_hashes(HP.token_hashes(t or ""), n)))
+        bands = sh.map(
+            lambda s: HP.band_keys(HP.minhash_sigs(s))
+            if len(s)
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"sh": sh, "bands": bands})
+
+    spark = df.sparkSession
+    return (
+        df.select(id_col, text_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), shb_udf(F.col(text_col)).alias("r"))
+        .select("id", F.col("r.sh").alias("sh"), F.col("r.bands").alias("bands"))
+        .filter(F.size("sh") > 0)
+    )
 
 
 def with_shingle_hashes(
@@ -358,26 +388,8 @@ def minhash_lsh_pairs(
     s=0.8, ~0.22 at s=0.4): candidates are a thin superset of real
     dups, so verification work ~ output size, not corpus size.
     """
-    import numpy as np
-
-    @F.pandas_udf("struct<sh: array<long>, bands: array<long>>")
-    def shb_udf(texts: pd.Series) -> pd.DataFrame:
-        sh = texts.map(lambda t: np.unique(HP.shingle_hashes(HP.token_hashes(t or ""), n)))
-        bands = sh.map(
-            lambda s: HP.band_keys(HP.minhash_sigs(s))
-            if len(s)
-            else np.empty(0, dtype=np.int64)
-        )
-        return pd.DataFrame({"sh": sh, "bands": bands})
-
-    spark = df.sparkSession
-    base = (
-        df.select(id_col, text_col)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), shb_udf(F.col(text_col)).alias("r"))
-        .select("id", F.col("r.sh").alias("sh"), F.col("r.bands").alias("bands"))
-        .filter(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base = _shingle_band_frame(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     # Pair generation per bucket via collect_list + combination
     # expansion: one shuffle instead of self-join + dropDuplicates.
@@ -575,5 +587,65 @@ def simhash_pairs(
             F.col("id").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
             "hamming",
+        )
+    )
+
+
+def minhash_lsh_join(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL dedup: find batch documents that near-duplicate an
+    already-ingested corpus, without re-pairing the corpus against
+    itself.
+
+    This is the production shape for a growing 100 TB corpus: the
+    corpus side's (id, shingles, band-keys) frame is the persisted
+    dedup INDEX (write it once, append per ingest); each new batch
+    only computes its own signatures and band-joins against the index.
+    Candidate cost scales with |batch| x bands (plus true collisions),
+    never |corpus|^2 — the self-dedup (minhash_lsh_pairs) is the
+    bootstrap, this is the steady state.
+
+    Plan: signatures for both sides -> posexplode band keys ->
+    batch-to-corpus equi-join on (band_id, band_key) -> distinct
+    (batch_id, corpus_id) -> verify exact Jaccard >= threshold.  The
+    band join is a plain shuffle hash join (AQE splits hot bands); no
+    collect_list, so no hot-bucket guard is needed.
+
+    Returns (batch_doc_id, corpus_doc_id, jaccard).
+    """
+    c_base = _shingle_band_frame(corpus, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_base = _shingle_band_frame(batch, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c_banded = c_base.select(
+        F.col("id").alias("cid"), F.posexplode("bands").alias("band_id", "band_key")
+    )
+    b_banded = b_base.select(
+        F.col("id").alias("bid"), F.posexplode("bands").alias("band_id", "band_key")
+    )
+    cand = (
+        b_banded.join(c_banded, ["band_id", "band_key"])
+        .select("bid", "cid")
+        .distinct()
+    )
+    b_sh = b_base.select(F.col("id").alias("bid"), F.col("sh").alias("bsh"))
+    c_sh = c_base.select(F.col("id").alias("cid"), F.col("sh").alias("csh"))
+    return (
+        cand.join(b_sh, "bid")
+        .join(c_sh, "cid")
+        .withColumn("jaccard", _jaccard("bsh", "csh"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("bid").alias("batch_doc_id"),
+            F.col("cid").alias("corpus_doc_id"),
+            "jaccard",
         )
     )

@@ -1,0 +1,82 @@
+"""Fuzzy (edit-distance) self-join with lossless symmetric-delete
+blocking — entity-resolution over name/string columns without an
+all-pairs comparison.
+
+Blocking rule (SymSpell, Garbe 2012): if ``levenshtein(a, b) <= d``
+then deleting at most ``d`` characters from each of ``a`` and ``b``
+yields at least one common string.  So the candidate set "pairs that
+share a deletion-variant" is a lossless superset of the true result,
+and the join key space is the variant dictionary — each string emits
+O(L^d) variants (L = string length), never a cross product.
+
+Everything stays JVM-side: variant generation is a higher-order
+``transform`` over character positions (whole-stage codegen),
+candidates come from one equi-join on the variant key, and
+verification is the built-in ``levenshtein``.
+
+Scale: for a vocabulary of V strings of length <= L, the shuffle is
+V * O(L^d) variant rows; candidate verification work tracks the true
+near-match count (plus hash collisions on the variant key), not V^2.
+Reference parity: the reference has no fuzzy matcher; this extends its
+exact seen-set dedup (resources/lambdas/stream_processing/main.py
+seen-hash check) to approximate string identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_variants(col: str, max_dist: int) -> F.Column:
+    """All strings obtainable by deleting up to ``max_dist`` chars
+    (including the string itself), deduplicated.  Pure SQL HOFs."""
+    # one deletion round: for s, every concat(s[:i-1], s[i+1:])
+    def del1(expr: str) -> str:
+        return (
+            f"transform(sequence(1, length({expr})), i -> "
+            f"concat(substring({expr}, 1, i - 1), substring({expr}, i + 1, length({expr}))))"
+        )
+
+    variants = f"array({col})"
+    frontier = f"array({col})"
+    for _ in range(max_dist):
+        frontier = f"flatten(transform({frontier}, s -> {del1('s')}))"
+        variants = f"concat({variants}, {frontier})"
+    return F.expr(f"array_distinct({variants})")
+
+
+def edit_distance_join(
+    df: DataFrame, col: str, max_dist: int = 2, min_len: int = 1
+) -> DataFrame:
+    """Distinct values of ``col`` joined to themselves where
+    ``levenshtein <= max_dist``; returns (name_1, name_2, dist) with
+    name_1 < name_2.
+
+    Plan: distinct -> explode deletion variants -> self-equi-join on
+    the variant -> distinct candidate pairs -> verify levenshtein.
+    """
+    vocab = (
+        df.select(F.col(col).alias("name"))
+        .filter(F.length("name") >= min_len)
+        .distinct()
+    )
+    variants = vocab.select(
+        "name", F.explode(_deletion_variants("name", max_dist)).alias("v")
+    )
+    rhs = variants.select(F.col("name").alias("name2"), "v")
+    cand = (
+        variants.join(rhs, "v")
+        .filter(F.col("name") < F.col("name2"))
+        .select("name", "name2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name", "name2"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("name").alias("name_1"),
+            F.col("name2").alias("name_2"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -1,0 +1,333 @@
+"""Registered queries: table profiling, incremental rollup
+maintenance, fuzzy entity matching, incremental corpus dedup, semantic
+decontamination, hard-negative mining, per-group HLL.
+
+Round-3 widening of the warehouse-maintenance + curation surface: the
+reference recomputes every aggregate from scratch per run
+(resources/glue/FeatureStoreAggregateParquet.py) and has no fuzzy /
+semantic matching at all; these queries add the incremental and
+approximate shapes a 100 TB deployment actually runs, each with a
+bit-exact DuckDB oracle per the engine determinism rules
+(plans/spec.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators.dedup import minhash_lsh_join
+from ..operators.fuzzy import edit_distance_join
+from ..operators.profiling import merge_rollups, partial_rollup, table_stats
+from ..operators.similarity import cosine
+from ..operators.sketches import _HLL_MIX, hll_cardinality_grouped
+from ..sources.batch import load_table
+from .extension_queries import _DUCK_H, _DUCK_JACCARD, _DUCK_SH2, _duck_cosine
+from .spec import QuerySpec
+
+
+# ---------- table profiling ----------
+
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of orders: one row per
+    column with rows/nulls/exact-NDV/min/max/avg-length."""
+    return table_stats(load_table(spark, sf_dir, "orders"))
+
+
+def _stats_col(c: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx, ln = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)", "NULL"
+    elif kind == "ts":
+        mn = f"CAST(epoch(min({c})) AS DOUBLE)"
+        mx = f"CAST(epoch(max({c})) AS DOUBLE)"
+        ln = "NULL"
+    else:  # varchar
+        mn, mx = "NULL", "NULL"
+        ln = (
+            f"round(CAST(sum(CAST(length({c}) AS DECIMAL(18,4))) AS DOUBLE)"
+            f" / count({c}), 4)"
+        )
+    return (
+        f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST({mn} AS DOUBLE) AS min_val, CAST({mx} AS DOUBLE) AS max_val,"
+        f" CAST({ln} AS DOUBLE) AS avg_len FROM orders"
+    )
+
+
+TABLE_STATS_ORACLE = "\nUNION ALL\n".join(
+    _stats_col(c, k)
+    for c, k in [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+)
+
+
+# ---------- incremental rollup maintenance ----------
+
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: monthly revenue rollup built by
+    MERGING two partial rollups (orders before / since 1998) instead
+    of one full-table aggregation — the algebraic-merge identity the
+    incremental pipeline relies on.  The oracle is the FULL recompute,
+    so the green row proves merge == recompute exactly (decimal
+    sums)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+    )
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    base = partial_rollup(
+        orders.filter(F.col("o_orderdate") < cutoff), ["month"], "o_totalprice"
+    )
+    delta = partial_rollup(
+        orders.filter(F.col("o_orderdate") >= cutoff), ["month"], "o_totalprice"
+    )
+    merged = merge_rollups([base, delta])
+    return merged.select(
+        "month", F.round("total_sum", 2).alias("total_sum"), "total_cnt"
+    )
+
+
+ROLLUP_MERGE_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_sum,
+       CAST(count(*) AS BIGINT) AS total_cnt
+FROM orders GROUP BY 1
+"""
+
+
+# ---------- fuzzy entity matching ----------
+
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: distinct p_name pairs within
+    edit distance 2, found via lossless symmetric-delete blocking
+    (never all-pairs)."""
+    return edit_distance_join(load_table(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+FUZZY_PART_ORACLE = """
+WITH v AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_1, b.name AS name_2,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM v a JOIN v b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
+# ---------- incremental corpus dedup ----------
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: the 20% of documents with doc_id % 5 == 0
+    play the 'new batch'; find their near-duplicates in the 80%
+    corpus via the batch-to-corpus MinHash-LSH band join (candidate
+    cost ~ |batch|, corpus is the reusable index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_join(
+        corpus, batch, id_col="doc_id", text_col="text", n=2, threshold=0.5
+    )
+
+
+DEDUP_INCR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SH2}) AS sh FROM base
+  WHERE len(list_distinct({_DUCK_SH2})) > 0
+), sig AS (
+  SELECT doc_id, sh, {H.duck_minhash_sigs('sh')} AS sig FROM sh
+), banded AS (
+  SELECT doc_id, sh,
+         unnest(range(0, {H.N_BANDS})) AS band_id,
+         unnest({H.duck_band_keys('sig')}) AS band_key
+  FROM sig
+), cand AS (
+  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+  FROM banded b JOIN banded c
+    ON b.band_id = c.band_id AND b.band_key = c.band_key
+   AND b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+)
+SELECT batch_doc_id, corpus_doc_id, jaccard FROM (
+  SELECT a.doc_id AS batch_doc_id, b.doc_id AS corpus_doc_id, {_DUCK_JACCARD} AS jaccard
+  FROM cand JOIN sh a ON cand.bid = a.doc_id JOIN sh b ON cand.cid = b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+# ---------- semantic decontamination ----------
+
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors (vec_id >= 10)
+    whose cosine against any benchmark vector (vec_id < 10, broadcast)
+    reaches 0.4, each with its best-matching benchmark id.  The
+    semantic complement of the 5-gram decontam_ngram_overlap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("be")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", F.col("embedding").alias("ce")
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("sim", F.round(cosine("ce", "be"), 6))
+        .filter(F.col("sim") >= 0.4)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("bench_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "bench_id", "sim")
+    )
+
+
+DECONTAM_SEM_ORACLE = f"""
+SELECT vec_id, bench_id, sim FROM (
+  SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+         round({_duck_cosine('c.embedding', 'b.embedding')}, 6) AS sim,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round({_duck_cosine('c.embedding', 'b.embedding')}, 6) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings c JOIN embeddings b ON c.vec_id >= 10 AND b.vec_id < 10
+  WHERE round({_duck_cosine('c.embedding', 'b.embedding')}, 6) >= 0.4
+)
+WHERE rn = 1
+"""
+
+
+# ---------- hard-negative mining ----------
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector
+    (vec_id < 5) the 3 most-similar corpus vectors with a DIFFERENT
+    label — the pairs that sharpen a retrieval model's decision
+    boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("clabel") != F.col("qlabel"))
+        .withColumn("sim", F.round(cosine("qe", "ce"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "sim")
+    )
+
+
+HARD_NEG_ORACLE = f"""
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_duck_cosine('q.embedding', 'c.embedding')}, 6) AS sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({_duck_cosine('q.embedding', 'c.embedding')}, 6) DESC,
+                    c.vec_id
+         ) AS INTEGER) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.label != q.label
+) WHERE rank <= 3
+"""
+
+
+# ---------- per-group HLL ----------
+
+def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate (p=10) beside
+    the exact count — grouped fixed-memory cardinality."""
+    return hll_cardinality_grouped(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"], p=10
+    )
+
+
+def _hll_grouped_oracle() -> str:
+    m = 1 << 10
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ((((({a} * user_id + {b}) % {H.P}) * (({a} * user_id + {b}) % {H.P}) + {a}) % {H.P})
+          * (((({a} * user_id + {b}) % {H.P}) * (({a} * user_id + {b}) % {H.P}) + {a}) % {H.P})
+          + {b}) % {H.P} AS h
+  FROM events
+), t AS (
+  SELECT event_type, h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN 21
+              ELSE 21 - length(bin(h // {m})) END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS rho FROM t GROUP BY 1, 2
+), zv AS (
+  SELECT event_type,
+         sum((CAST(1 AS BIGINT) << (30 - rho)))
+           + ({m} - count(*)) * (CAST(1 AS BIGINT) << 30) AS z,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) + ({m} - count(*)) AS v
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1
+), e AS (
+  SELECT zv.event_type,
+         CASE WHEN ({est_num!r} / CAST(z AS DOUBLE)) <= {2.5 * m} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+              ELSE {est_num!r} / CAST(z AS DOUBLE) END AS est,
+         ex.exact_distinct
+  FROM zv JOIN ex ON zv.event_type = ex.event_type
+)
+SELECT event_type, round(est, 4) AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM e
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "table_stats_orders": QuerySpec(
+        table_stats_orders, TABLE_STATS_ORACLE, "ANALYZE column profile, one pass"
+    ),
+    "rollup_incremental_merge": QuerySpec(
+        rollup_incremental_merge, ROLLUP_MERGE_ORACLE,
+        "incremental MV maintenance: merge == recompute",
+    ),
+    "fuzzy_join_part_names": QuerySpec(
+        fuzzy_join_part_names, FUZZY_PART_ORACLE,
+        "edit-distance join, symmetric-delete blocking",
+    ),
+    "dedup_incremental_lsh": QuerySpec(
+        dedup_incremental_lsh, DEDUP_INCR_ORACLE,
+        "incremental batch-vs-corpus MinHash-LSH dedup",
+    ),
+    "decontam_semantic": QuerySpec(
+        decontam_semantic, DECONTAM_SEM_ORACLE,
+        "embedding-space benchmark decontamination",
+    ),
+    "embedding_hard_negatives": QuerySpec(
+        embedding_hard_negatives, HARD_NEG_ORACLE,
+        "contrastive hard-negative mining",
+    ),
+    "hll_users_by_type": QuerySpec(
+        hll_users_by_type, _hll_grouped_oracle(), "grouped HLL cardinality"
+    ),
+}

@@ -138,4 +138,10 @@ def all_specs() -> dict[str, QuerySpec]:
         specs.update(quality_queries.SPECS)
     except ImportError:
         pass
+    try:
+        from . import profiling_queries
+
+        specs.update(profiling_queries.SPECS)
+    except ImportError:
+        pass
     return _priority_order(specs)
