@@ -51,6 +51,12 @@ HEADLINE = [
     "forecast_backtest_rmse_wql",
     "text_repetition_metrics",
     "curation_funnel",
+    # round-3 families: incremental maintenance, fuzzy matching,
+    # steady-state dedup, sketch quantiles
+    "rollup_incremental_merge",
+    "fuzzy_join_part_names",
+    "dedup_incremental_lsh",
+    "approx_quantiles_value",
 ]
 
 # Representative subset for the 100x checkpoint (one per operator
@@ -70,6 +76,7 @@ SCALE100_SUBSET = [
     "decontam_ngram_overlap",
     "sessionize_events",
     "text_repetition_metrics",
+    "dedup_incremental_lsh",
 ]
 
 

@@ -27,7 +27,7 @@ sampled candidate set is the standard two-pass heavy-hitters scheme.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -356,4 +356,67 @@ def hll_cardinality_grouped(
         F.round(
             F.abs(corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 4
         ).alias("rel_err"),
+    )
+
+
+def hist_quantiles(
+    df: DataFrame, value_col: str, probs: tuple[float, ...], bins: int = 128
+) -> DataFrame:
+    """Fixed-grid histogram quantile estimates — the deterministic,
+    MERGEABLE member of the sketch family (CMS / HLL / Bloom / this):
+    per-partition bin counts add, so the sketch composes across
+    increments exactly like the incremental rollup.
+
+    Two passes over the column (bounds, then counts); the shuffle is
+    <= ``bins`` integer rows.  Estimates interpolate linearly inside
+    the first bin whose cumulative count reaches ``p * n`` —
+    deterministic arithmetic on exact integer counts, so the estimate
+    (unlike rank-sampling approx_percentile) is bit-reproducible and
+    DuckDB-oracle-checkable.  Error is bounded by one bin width; at
+    100 TB the bounds pass can reuse table stats and the counts pass
+    map-side partial-aggregates to ``bins`` rows per partition.
+
+    Returns (prob, quantile_est) per requested prob, 6-dp rounded.
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    stats = src.agg(
+        F.min("v").cast("double").alias("mn"),
+        F.max("v").cast("double").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        src.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - F.col("mn")) * bins / (F.col("mx") - F.col("mn"))).cast("int"),
+                ),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(stats)
+    )
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    hit = (
+        cum.join(F.broadcast(probs_df), F.col("cum") >= F.col("prob") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("prob").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    width = (F.col("mx") - F.col("mn")) / bins
+    frac = (F.col("prob") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    return hit.select(
+        "prob",
+        F.round(F.col("mn") + (F.col("bin") + frac) * width, 6).alias("quantile_est"),
     )

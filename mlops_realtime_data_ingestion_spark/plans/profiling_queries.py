@@ -331,3 +331,50 @@ SPECS: dict[str, QuerySpec] = {
         hll_users_by_type, _hll_grouped_oracle(), "grouped HLL cardinality"
     ),
 }
+
+
+# ---------- histogram quantile sketch ----------
+
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value from a 128-bin fixed-grid histogram
+    sketch — deterministic, mergeable, error <= one bin width."""
+    from ..operators.sketches import hist_quantiles
+
+    return hist_quantiles(
+        load_table(spark, sf_dir, "events"), "value", (0.5, 0.9, 0.99), bins=128
+    )
+
+
+APPROX_QUANTILES_ORACLE = """
+WITH src AS (
+  SELECT value AS v FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx,
+         count(*) AS n FROM src
+), binned AS (
+  SELECT least(127, greatest(0,
+           CAST(floor((v - mn) * 128 / (mx - mn)) AS INT))) AS bin
+  FROM src, stats
+), cnts AS (
+  SELECT bin, count(*) AS cnt FROM binned GROUP BY 1
+), cum AS (
+  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM cnts
+), probs AS (
+  SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS prob
+), hit AS (
+  SELECT prob, bin, cnt, cum, mn, mx, n,
+         row_number() OVER (PARTITION BY prob ORDER BY bin) AS rn
+  FROM cum, stats, probs
+  WHERE cum >= prob * n
+)
+SELECT prob,
+       round(mn + (bin + (prob * n - (cum - cnt)) / cnt) * ((mx - mn) / 128), 6)
+         AS quantile_est
+FROM hit WHERE rn = 1
+"""
+
+
+SPECS["approx_quantiles_value"] = QuerySpec(
+    approx_quantiles_value, APPROX_QUANTILES_ORACLE,
+    "mergeable histogram quantile sketch",
+)

@@ -89,6 +89,15 @@ class FeatureStore:
         """Committed batch versions, oldest first."""
         return self.backend.versions(self.path)
 
+    def vacuum(self, keep_versions: int = 10) -> dict:
+        """Table maintenance: drop orphan data files (written but never
+        committed — crashed writers) and checkpoint the commit log to
+        the last ``keep_versions`` versions.  Retained versions'
+        time-travel reads are byte-identical before and after (tested);
+        older versions stop being addressable — the same contract as
+        Delta ``VACUUM`` + log checkpointing."""
+        return self.backend.vacuum(self.path, keep_versions=keep_versions)
+
     # -- offline face ---------------------------------------------------
     def offline(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Full append-only history (S11 scan target).
