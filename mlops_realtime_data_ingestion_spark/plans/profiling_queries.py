@@ -378,3 +378,54 @@ SPECS["approx_quantiles_value"] = QuerySpec(
     approx_quantiles_value, APPROX_QUANTILES_ORACLE,
     "mergeable histogram quantile sketch",
 )
+
+
+# ---------- BPE tokenizer training ----------
+
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merge rules learned from the documents corpus —
+    iterative top-pair-and-merge as DataFrame aggregation, fully
+    deterministic (count desc, pair asc ties), oracle = the same 3
+    rounds unrolled as CTEs."""
+    from ..operators.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), "text", k=3)
+
+
+def _bpe_oracle(k: int = 3) -> str:
+    ctes = [
+        """v0 AS (
+  SELECT substring(regexp_replace(w, '(.)', '||\\1', 'g'), 2) || '|' AS s,
+         cnt
+  FROM (
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x != '')) AS w
+      FROM documents) GROUP BY w)
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"v{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+  FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms FROM {prev})
+), t{i} AS (
+  SELECT {i} AS rank, l AS left_sym, r AS right_sym, l || r AS merged,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM p{i})
+  GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1
+), v{i} AS (
+  SELECT replace(s, '|' || left_sym || '||' || right_sym || '|',
+                 '|' || left_sym || right_sym || '|') AS s, cnt
+  FROM {prev}, t{i}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, left_sym AS left, right_sym AS right, merged, pair_count FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+SPECS["bpe_top_merges"] = QuerySpec(
+    bpe_top_merges, _bpe_oracle(3), "distributed BPE tokenizer training"
+)

@@ -185,3 +185,31 @@ def test_hll_grouped_error_and_global_consistency(spark):
     overall = hll_cardinality(df, "user_id").collect()[0]
     assert grouped["hll_estimate"] == overall["hll_estimate"]
     assert grouped["exact_distinct"] == overall["exact_distinct"]
+
+
+# ---------- BPE merges ----------
+
+def test_bpe_merges_classic_example(spark):
+    from mlops_realtime_data_ingestion_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low newer newest",), ("wider wide new newer",)],
+        "text string",
+    )
+    rows = bpe_merges(df, "text", k=4).collect()
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in rows]
+    # 5x 'low' -> l+o then lo+w; 'er' in lower/newer(x2)/wider;
+    # 'ew' in new/newer(x2)/newest ('e r' < 'e w' breaks the 4-4 tie)
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "e", "r", 4), (4, "e", "w", 4)]
+
+
+def test_bpe_merge_handles_overlapping_runs(spark):
+    """'aaaa' must merge to 'aa','aa' (greedy left-to-right,
+    non-overlapping), giving the merged-pair ('aa','aa') in round 2."""
+    from mlops_realtime_data_ingestion_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    rows = {r["rank"]: (r["left"], r["right"], r["pair_count"]) for r in
+            bpe_merges(df, "text", k=2).collect()}
+    assert rows[1] == ("a", "a", 6)  # 3 adjacent pairs per word x 2
+    assert rows[2] == ("aa", "aa", 2)
