@@ -429,3 +429,45 @@ def _bpe_oracle(k: int = 3) -> str:
 SPECS["bpe_top_merges"] = QuerySpec(
     bpe_top_merges, _bpe_oracle(3), "distributed BPE tokenizer training"
 )
+
+
+# ---------- cross-document boilerplate detection ----------
+
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: 64-token chunk fingerprints
+    shared by >= 2 distinct documents (headers/footers/templates in a
+    real crawl; the planted near-dup docs here).  Downstream removal is
+    an anti-join of chunks against this class table — chunk-granular
+    where whole-doc dedup is too blunt."""
+    from ..operators.training_data import chunk_tokens
+
+    chunks = chunk_tokens(
+        load_table(spark, sf_dir, "documents"), chunk=64, stride=48
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from .training_queries import CHUNK_ORACLE
+
+    return f"""
+SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS example_doc_id
+FROM ({CHUNK_ORACLE}) c
+GROUP BY chunk_fp
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+SPECS["boilerplate_chunks"] = QuerySpec(
+    boilerplate_chunks, _boilerplate_oracle(), "cross-doc boilerplate chunk classes"
+)
