@@ -28,11 +28,12 @@ import glob
 import hashlib
 import os
 import shutil
+from collections.abc import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["targeted_delete"]
+__all__ = ["targeted_delete", "merge_into"]
 
 
 def _local_path(uri: str) -> str:
@@ -64,26 +65,42 @@ def targeted_delete(
         .distinct()
         .collect()
     )
-    hit_files = [_local_path(u) for u in hit_uris]
-    if not hit_files:
+    if not hit_uris:
         return []
+    return _rewrite_hit_files(
+        spark, path, hit_uris, lambda hit: hit.filter(~F.col(id_col).isin(ids))
+    )
 
-    # ONE distributed rewrite job covers every hit file (the old shape
-    # looped on the driver, launching 2 jobs per file — serial at 100 TB
-    # with thousands of hits). Tag each surviving row with a sha256 of
-    # its source file's FULL URI (basenames are NOT unique across Hive
-    # partition directories — one write task emits identically-named
-    # part files into many partitions, so keying on basename would
-    # merge two files' survivors and silently move rows between
-    # partitions), hash-partition on it so each source file's rows land
-    # in one task, and partitionBy it so each source yields exactly one
-    # output file under tmp/_src=<hash>/. The hex hash is [0-9a-f] so
-    # Hive partition-value escaping is a no-op.
+
+def _rewrite_hit_files(
+    spark: SparkSession,
+    path: str,
+    hit_uris: list[str],
+    transform: Callable[[DataFrame], DataFrame],
+) -> list[str]:
+    """Copy-on-write core shared by delete and MERGE: rewrite exactly
+    the files in ``hit_uris``, replacing each file's rows with
+    ``transform(rows)`` (the ``_src`` provenance column must survive
+    the transform), and atomically swap each output over its source.
+
+    ONE distributed rewrite job covers every hit file (a driver loop
+    would be serial at 100 TB with thousands of hits). Each row is
+    tagged with a sha256 of its source file's FULL URI (basenames are
+    NOT unique across Hive partition directories — one write task
+    emits identically-named part files into many partitions, so keying
+    on basename would merge two files' survivors and silently move
+    rows between partitions), hash-partitioned on it so each source
+    file's rows land in one task, and partitionBy'd so each source
+    yields exactly one output file under tmp/_src=<hash>/. The hex
+    hash is [0-9a-f] so Hive partition-value escaping is a no-op.
+    """
+    hit_files = [_local_path(u) for u in hit_uris]
     tmp = path.rstrip("/") + ".rewrite.tmp"
+    hit = spark.read.parquet(*hit_files).withColumn(
+        "_src", F.sha2(F.input_file_name(), 256)
+    )
     (
-        spark.read.parquet(*hit_files)
-        .withColumn("_src", F.sha2(F.input_file_name(), 256))
-        .filter(~F.col(id_col).isin(ids))
+        transform(hit)
         .repartition(len(hit_files), "_src")
         .write.partitionBy("_src")
         .mode("overwrite")
@@ -104,14 +121,14 @@ def targeted_delete(
     if unexpected:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            f"targeted_delete: rewrite produced unmapped source ids {sorted(unexpected)[:3]}"
+            f"file rewrite produced unmapped source ids {sorted(unexpected)[:3]}"
         )
     for h, f in expected.items():
         parts = glob.glob(os.path.join(tmp, f"_src={h}", "part-*.parquet"))
         if parts:
             os.replace(parts[0], f)  # atomic same-filesystem swap
         else:
-            os.remove(f)  # every row in this file was a target
+            os.remove(f)  # transform kept no rows from this file
         # drop the local-FS checksum sidecar: it describes the old
         # bytes (on an object store this concern doesn't exist)
         crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
@@ -119,3 +136,116 @@ def targeted_delete(
             os.remove(crc)
     shutil.rmtree(tmp, ignore_errors=True)
     return hit_files
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    delete_col: str | None = None,
+    check_unique: bool = True,
+) -> dict:
+    """Key-equality MERGE INTO over a parquet dataset — the
+    Delta/Iceberg/Hudi upsert shape on plain files:
+
+    - WHEN MATCHED (and ``delete_col`` false/absent): the target row
+      is REPLACED by the source row's values for every shared
+      non-key column;
+    - WHEN MATCHED and ``source.delete_col`` is true: the target row
+      is DELETED;
+    - WHEN NOT MATCHED (and not a delete): the source row is INSERTED.
+
+    Copy-on-write at file granularity: only files containing a
+    matching key are rewritten (atomic per-file swap via
+    ``_rewrite_hit_files``); inserts append as new files; untouched
+    files stay byte-identical.  The reference's closest shape is the
+    feature-store upsert (streaming/feature_store.upsert_latest),
+    which MERGEs a latest-per-key table — this is the general-table
+    version a lakehouse exposes as SQL MERGE.
+
+    Source must be unique on ``on`` (the standard MERGE precondition;
+    Delta raises on multiple matches).  ``check_unique=True`` asserts
+    it with one small aggregate over the SOURCE (never the target).
+
+    Returns {"rewritten_files": [...], "inserted": n} — counting
+    updates/deletes would re-run the join, so only the insert count
+    (already needed to decide whether to append) is reported.
+    """
+    key = F.col(on)
+    if check_unique:
+        dup = source.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"merge_into: source has duplicate keys, e.g. {on}={dup[0][0]!r}"
+            )
+    target = spark.read.parquet(path)
+    data_cols = [c for c in target.columns if c != on]
+    shared = [c for c in data_cols if c in source.columns]
+
+    # 1. hit files: target files holding any source key.  The file
+    # name is projected BEFORE the join: input_file_name() is only
+    # defined on the scan side of the plan — evaluated above a join
+    # exchange it returns empty strings.
+    keyed = target.select(key.alias("__tk"), F.input_file_name().alias("__f"))
+    hit_uris = sorted(
+        r["__f"]
+        for r in keyed.join(
+            source.select(key.alias("__tk")).distinct(), "__tk", "left_semi"
+        )
+        .select("__f")
+        .distinct()
+        .collect()
+        if r["__f"]
+    )
+
+    # source columns renamed so the rewrite join is collision-free
+    src = source.select(
+        key.alias("__mk"),
+        *[F.col(c).alias(f"__s_{c}") for c in shared],
+        (
+            F.col(delete_col).cast("boolean")
+            if delete_col is not None
+            else F.lit(False)
+        ).alias("__del"),
+    )
+
+    rewritten: list[str] = []
+    if hit_uris:
+
+        def apply_merge(hit: DataFrame) -> DataFrame:
+            joined = hit.join(src, hit[on] == F.col("__mk"), "left")
+            matched = F.col("__mk").isNotNull()
+            kept = joined.filter(~(matched & F.col("__del")))
+            out_cols = [F.col(on)]
+            for c in data_cols:
+                if c in shared:
+                    out_cols.append(
+                        F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(c))
+            return kept.select(*out_cols, "_src")
+
+        rewritten = _rewrite_hit_files(spark, path, hit_uris, apply_merge)
+
+    # 2. inserts: source keys absent from the target, minus deletes
+    inserts = (
+        src.filter(~F.col("__del"))
+        .join(target.select(key.alias("__mk")), "__mk", "left_anti")
+        .select(
+            F.col("__mk").alias(on),
+            *[F.col(f"__s_{c}").alias(c) for c in shared],
+        )
+    )
+    # align to the full target schema (unshared columns null, typed —
+    # an untyped VOID null would poison the parquet schema on append)
+    types = {f.name: f.dataType for f in target.schema.fields}
+    for c in data_cols:
+        if c not in shared:
+            inserts = inserts.withColumn(c, F.lit(None).cast(types[c]))
+    inserts = inserts.select(on, *data_cols)
+    n_ins = inserts.count()
+    if n_ins:
+        inserts.write.mode("append").parquet(path)
+    return {"rewritten_files": rewritten, "inserted": n_ins}
