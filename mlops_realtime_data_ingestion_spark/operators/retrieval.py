@@ -101,3 +101,79 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality metrics of ``results`` against ``truth``
+    (both (query, item, rank) frames): macro-averaged recall@k, MRR,
+    and binary NDCG@k in ONE row — the in-engine eval loop for the
+    ANN/BM25 stack (measure recall where the index runs, instead of
+    sampling results to the driver).
+
+    Determinism: every order-free float sum (per-query DCG, the macro
+    averages) adds 12-dp-rounded DECIMAL terms, so partitioning can
+    never change the result; IDCG folds ascending ranks sequentially
+    (identical op order in any engine).
+
+    Scale: two (query, item) equi-joins plus one query-level
+    aggregation — costs track |results| + |truth| (≈ queries x k),
+    never the corpus behind them.
+    """
+    q = F.col(query_col)
+    t = truth.select(q.alias("__q"), F.col(item_col).alias("__i"))
+    n_truth = t.groupBy("__q").agg(F.count(F.lit(1)).alias("__nt"))
+    r = results.select(
+        q.alias("__q"), F.col(item_col).alias("__i"), F.col(rank_col).alias("__rk")
+    ).filter(F.col("__rk") <= k)
+
+    hits = r.join(t, ["__q", "__i"])
+    dec = "decimal(18,12)"
+    per_q = (
+        n_truth.join(
+            hits.groupBy("__q").agg(
+                F.count(F.lit(1)).alias("__nh"),
+                F.sum(
+                    F.round(F.lit(1.0) / F.log2(F.col("__rk") + 1), 12).cast(dec)
+                ).alias("__dcg"),
+                F.min("__rk").alias("__minrk"),
+            ),
+            "__q",
+            "left",
+        )
+        .withColumn("__nh", F.coalesce("__nh", F.lit(0)))
+        .withColumn("__dcg", F.coalesce(F.col("__dcg").cast("double"), F.lit(0.0)))
+        .withColumn(
+            "__idcg",
+            F.expr(
+                f"aggregate(sequence(1, least({k}, __nt)), CAST(0 AS DOUBLE),"
+                " (a, i) -> a + 1.0 / log2(CAST(i + 1 AS DOUBLE)))"
+            ),
+        )
+        .select(
+            F.round(F.col("__nh") / F.col("__nt"), 12).cast(dec).alias("__recall"),
+            F.round(
+                F.when(F.col("__minrk").isNotNull(), F.lit(1.0) / F.col("__minrk"))
+                .otherwise(F.lit(0.0)),
+                12,
+            ).cast(dec).alias("__rr"),
+            F.round(F.col("__dcg") / F.col("__idcg"), 12).cast(dec).alias("__ndcg"),
+        )
+    )
+    return per_q.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.sum("__recall").cast("double") / F.count(F.lit(1)), 6).alias(
+            f"recall_at_{k}"
+        ),
+        F.round(F.sum("__rr").cast("double") / F.count(F.lit(1)), 6).alias("mrr"),
+        F.round(F.sum("__ndcg").cast("double") / F.count(F.lit(1)), 6).alias(
+            f"ndcg_at_{k}"
+        ),
+    )

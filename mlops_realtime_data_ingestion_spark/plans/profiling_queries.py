@@ -471,3 +471,61 @@ HAVING count(DISTINCT doc_id) >= 2
 SPECS["boilerplate_chunks"] = QuerySpec(
     boilerplate_chunks, _boilerplate_oracle(), "cross-doc boilerplate chunk classes"
 )
+
+
+# ---------- retrieval evaluation ----------
+
+def retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality, measured in-engine: the hyperplane-LSH top-5
+    scored against brute-force exact top-5 as ground truth —
+    macro recall@5 / MRR / NDCG@5 in one row.  The eval loop for the
+    retrieval stack runs where the index runs (no result sampling to
+    the driver)."""
+    from ..operators.retrieval import retrieval_eval
+    from .extension_queries import sim_search_cosine_topk, sim_search_lsh_topk
+
+    truth = sim_search_cosine_topk(spark, sf_dir)
+    results = sim_search_lsh_topk(spark, sf_dir)
+    return retrieval_eval(results, truth, k=5)
+
+
+def _retrieval_eval_oracle() -> str:
+    from .extension_queries import SIM_LSH_ORACLE, SIM_TOPK_ORACLE
+
+    idcg = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list_transform(range(1, least(5, nt) + 1),"
+        " i -> 1.0 / log2(CAST(i + 1 AS DOUBLE)))), (a, x) -> a + x)"
+    )
+    return f"""
+WITH truth AS ({SIM_TOPK_ORACLE}),
+res AS ({SIM_LSH_ORACLE}),
+nt AS (SELECT query_id, count(*) AS nt FROM truth GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rank FROM res r
+  JOIN truth t ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+  WHERE r.rank <= 5
+), agg AS (
+  SELECT query_id, count(*) AS nh, min(rank) AS minrk,
+         sum(CAST(round(1.0 / log2(rank + 1), 12) AS DECIMAL(18,12))) AS dcg
+  FROM hits GROUP BY 1
+), perq AS (
+  SELECT
+    CAST(round(CAST(coalesce(nh, 0) AS DOUBLE) / nt, 12) AS DECIMAL(18,12)) AS recall,
+    CAST(round(CASE WHEN minrk IS NOT NULL THEN 1.0 / minrk ELSE 0.0 END, 12)
+         AS DECIMAL(18,12)) AS rr,
+    CAST(round(coalesce(CAST(dcg AS DOUBLE), 0.0) / ({idcg}), 12)
+         AS DECIMAL(18,12)) AS ndcg
+  FROM nt LEFT JOIN agg USING (query_id)
+)
+SELECT CAST(5 AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(recall) AS DOUBLE) / count(*), 6) AS recall_at_5,
+       round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr,
+       round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_5
+FROM perq
+"""
+
+
+SPECS["retrieval_eval_ann"] = QuerySpec(
+    retrieval_eval_ann, _retrieval_eval_oracle(), "in-engine recall@k / MRR / NDCG"
+)

@@ -213,3 +213,28 @@ def test_bpe_merge_handles_overlapping_runs(spark):
             bpe_merges(df, "text", k=2).collect()}
     assert rows[1] == ("a", "a", 6)  # 3 adjacent pairs per word x 2
     assert rows[2] == ("aa", "aa", 2)
+
+
+# ---------- retrieval eval ----------
+
+def test_retrieval_eval_hand_computed(spark):
+    import math
+
+    from mlops_realtime_data_ingestion_spark.operators.retrieval import retrieval_eval
+
+    truth = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (2, 200, 1), (2, 201, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # q1 finds both truth items (ranks 1 and 3); q2 finds nothing
+    results = spark.createDataFrame(
+        [(1, 100, 1), (1, 999, 2), (1, 101, 3), (2, 998, 1), (2, 997, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    row = retrieval_eval(results, truth, k=5).collect()[0]
+    assert row["n_queries"] == 2
+    assert row["recall_at_5"] == 0.5          # (2/2 + 0/2) / 2
+    assert row["mrr"] == 0.5                  # (1/1 + 0) / 2
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert row["ndcg_at_5"] == round(round(dcg / idcg, 12) / 2, 6)
