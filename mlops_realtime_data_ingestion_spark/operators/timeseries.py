@@ -238,3 +238,59 @@ def ordered_gather(
             "target"
         )
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_points: int = 5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-series anomaly flags: rows whose value deviates more than
+    ``z_threshold`` sample standard deviations from the rolling mean
+    of the PRECEDING ``lookback`` points (the current point never
+    contaminates its own baseline).
+
+    The rolling mean/std derive from DECIMAL window sums of v and v²
+    (std = sqrt((Σv² - n·mean²)/(n-1))), so the result is exact under
+    any partitioning — a float sliding-window sum would drift by ULPs
+    between engines and between add/evict strategies.
+
+    Scale: ONE shuffle on the series key; the single per-series sort
+    serves both window sums.  Output is anomalies only (plus the
+    z-score), so the result tracks anomaly density, not corpus size.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("decimal(18,4)")
+    n = F.count(value_col).over(w)
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(28,8)")).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - n * mean * mean) / (n - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col(value_col) - mean) / std
+    return (
+        df.withColumn("__n", n)
+        .withColumn("__z", z)
+        .filter(
+            (F.col("__n") >= min_points)
+            & (F.abs(F.col("__z")) > z_threshold)
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            value_col,
+            F.round("__z", 6).alias("zscore"),
+        )
+    )

@@ -529,3 +529,188 @@ FROM perq
 SPECS["retrieval_eval_ann"] = QuerySpec(
     retrieval_eval_ann, _retrieval_eval_oracle(), "in-engine recall@k / MRR / NDCG"
 )
+
+
+# ---------- time-series anomaly detection ----------
+
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomalies over events.value: |z| > 3
+    vs the preceding-20-event baseline (decimal window sums — exact
+    under any partitioning)."""
+    from ..operators.timeseries import rolling_zscore_anomalies
+
+    return rolling_zscore_anomalies(
+        load_table(spark, sf_dir, "events"),
+        series_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        lookback=20,
+        z_threshold=3.0,
+        min_points=5,
+        tiebreak_col="event_id",
+    )
+
+
+TS_ANOMALY_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts, event_id, value,
+         count(value) OVER win AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER win AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                       AS DECIMAL(28,8))) OVER win AS DOUBLE) AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT user_id, ts, value, n,
+         (value - s1 / n)
+           / sqrt(greatest((s2 - n * (s1 / n) * (s1 / n)) / (n - 1), 0.0)) AS zv
+  FROM w
+)
+SELECT user_id, ts, value, round(zv, 6) AS zscore
+FROM z WHERE n >= 5 AND abs(zv) > 3.0
+"""
+
+
+# ---------- funnel analysis ----------
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view -> first click
+    AFTER it -> first purchase AFTER that; one row of stage counts and
+    conversion rates.  The ordered-sequence-match shape
+    (MATCH_RECOGNIZE-lite) as three stage aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv, nc, np_ = [d.agg(F.count(F.lit(1)).alias(a)) for d, a in
+                   ((v, "users_view"), (c, "users_click"), (p, "users_purchase"))]
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            F.col("users_view").cast("long").alias("users_view"),
+            F.col("users_click").cast("long").alias("users_click"),
+            F.col("users_purchase").cast("long").alias("users_purchase"),
+            F.round(F.col("users_click") / F.col("users_view"), 6).alias("rate_click"),
+            F.round(F.col("users_purchase") / F.col("users_click"), 6).alias(
+                "rate_purchase"
+            ),
+        )
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS users_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS users_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS users_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 6) AS rate_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 6) AS rate_purchase
+"""
+
+
+# ---------- mutual information / entropy ----------
+
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-selection statistics: entropies of o_orderstatus and
+    o_orderpriority and their mutual information, from one joint
+    contingency aggregation (12-dp decimal term sums — ln() ULP
+    differences between engines cannot move the result)."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    joint = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    mx = joint.groupBy("o_orderstatus").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("o_orderpriority").agg(F.sum("nxy").alias("ny"))
+    dec = "decimal(18,12)"
+    cells = (
+        joint.join(F.broadcast(mx), "o_orderstatus")
+        .join(F.broadcast(my), "o_orderpriority")
+        .select(
+            F.round(
+                (F.col("nxy") / n)
+                * F.log((F.col("nxy") / n) / ((F.col("nx") / n) * (F.col("ny") / n))),
+                12,
+            ).cast(dec).alias("mi_term"),
+        )
+    )
+    hx = mx.select(
+        F.round(-(F.col("nx") / n) * F.log(F.col("nx") / n), 12).cast(dec).alias("t")
+    ).agg(F.round(F.sum("t").cast("double"), 6).alias("h_status"))
+    hy = my.select(
+        F.round(-(F.col("ny") / n) * F.log(F.col("ny") / n), 12).cast(dec).alias("t")
+    ).agg(F.round(F.sum("t").cast("double"), 6).alias("h_priority"))
+    mi = cells.agg(F.round(F.sum("mi_term").cast("double"), 6).alias("mutual_info"))
+    return (
+        hx.crossJoin(hy)
+        .crossJoin(mi)
+        .select(
+            F.lit(n).cast("long").alias("n_rows"),
+            "h_status",
+            "h_priority",
+            "mutual_info",
+        )
+    )
+
+
+MI_ORACLE = """
+WITH joint AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS nxy FROM orders GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint),
+mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY 1),
+my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1),
+mi AS (
+  SELECT sum(CAST(round((nxy / n) * ln((nxy / n) / ((nx / n) * (ny / n))), 12)
+                  AS DECIMAL(18,12))) AS v
+  FROM joint JOIN mx USING (x) JOIN my USING (y), tot
+), hx AS (
+  SELECT sum(CAST(round(-(nx / n) * ln(nx / n), 12) AS DECIMAL(18,12))) AS v
+  FROM mx, tot
+), hy AS (
+  SELECT sum(CAST(round(-(ny / n) * ln(ny / n), 12) AS DECIMAL(18,12))) AS v
+  FROM my, tot
+)
+SELECT CAST((SELECT CAST(n AS BIGINT) FROM tot) AS BIGINT) AS n_rows,
+       round(CAST((SELECT v FROM hx) AS DOUBLE), 6) AS h_status,
+       round(CAST((SELECT v FROM hy) AS DOUBLE), 6) AS h_priority,
+       round(CAST((SELECT v FROM mi) AS DOUBLE), 6) AS mutual_info
+"""
+
+
+SPECS["ts_anomaly_zscore"] = QuerySpec(
+    ts_anomaly_zscore, TS_ANOMALY_ORACLE, "rolling z-score anomaly flags"
+)
+SPECS["funnel_view_click_purchase"] = QuerySpec(
+    funnel_view_click_purchase, FUNNEL_ORACLE, "ordered conversion funnel"
+)
+SPECS["feature_mutual_info"] = QuerySpec(
+    feature_mutual_info, MI_ORACLE, "entropy / mutual information"
+)

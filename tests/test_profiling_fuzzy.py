@@ -238,3 +238,66 @@ def test_retrieval_eval_hand_computed(spark):
     dcg = 1 / math.log2(2) + 1 / math.log2(4)
     idcg = 1 / math.log2(2) + 1 / math.log2(3)
     assert row["ndcg_at_5"] == round(round(dcg / idcg, 12) / 2, 6)
+
+
+# ---------- anomaly / funnel / MI ----------
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from mlops_realtime_data_ingestion_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    rows = [(1, float(i), 10.0 + (i % 3) * 0.1, i) for i in range(30)]
+    rows[25] = (1, 25.0, 99.0, 25)  # the spike
+    df = spark.createDataFrame(rows, "user_id long, ts double, value double, event_id long")
+    df = df.withColumn("ts", F.timestamp_seconds("ts"))
+    got = rolling_zscore_anomalies(
+        df, ["user_id"], "ts", "value", lookback=20, z_threshold=3.0,
+        min_points=5, tiebreak_col="event_id",
+    ).collect()
+    assert [r["value"] for r in got] == [99.0]
+    assert got[0]["zscore"] > 100  # far outside a 0.1-ish std baseline
+
+
+def test_funnel_ordering_is_strict(spark):
+    # user 1 converts fully in order; user 2 clicked BEFORE viewing
+    # (must not count); user 3 views only
+    rows = [
+        (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+        (2, "click", 1.0), (2, "view", 2.0),
+        (3, "view", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    ev = ev.withColumn("ts", F.timestamp_seconds("ts"))
+    # the registered query's stage logic, driven on the crafted frame
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") > F.col("vt")).groupBy("user_id").agg(F.min("ts").alias("ct")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") > F.col("ct")).groupBy("user_id").agg(F.min("ts").alias("pt")))
+    assert v.count() == 3 and c.count() == 1 and p.count() == 1
+
+
+def test_mutual_info_independent_vs_dependent(spark):
+    from mlops_realtime_data_ingestion_spark.plans.profiling_queries import (
+        feature_mutual_info,
+    )
+    import math
+
+    # dependent: y == x  => MI == H(X) == ln(2); write as orders-shaped table
+    dep = spark.createDataFrame(
+        [("A", "A")] * 50 + [("B", "B")] * 50,
+        "o_orderstatus string, o_orderpriority string",
+    )
+    # independent: all four combos equally likely => MI == 0
+    ind = spark.createDataFrame(
+        [("A", "A"), ("A", "B"), ("B", "A"), ("B", "B")] * 25,
+        "o_orderstatus string, o_orderpriority string",
+    )
+    import tempfile, os
+    for df, want_mi in ((dep, round(math.log(2), 6)), (ind, 0.0)):
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        row = feature_mutual_info(spark, d).collect()[0]
+        assert row["mutual_info"] == want_mi
+        assert row["h_status"] == round(math.log(2), 6)
