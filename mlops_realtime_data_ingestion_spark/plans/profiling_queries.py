@@ -714,3 +714,127 @@ SPECS["funnel_view_click_purchase"] = QuerySpec(
 SPECS["feature_mutual_info"] = QuerySpec(
     feature_mutual_info, MI_ORACLE, "entropy / mutual information"
 )
+
+
+# ---------- windowed co-occurrence PMI ----------
+
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token pairs by windowed PMI (co-occurrence within ±2
+    positions) — the distributional-semantics statistic behind
+    count-based embeddings.  Pair and marginal probabilities both
+    derive from the SAME pair table (marginal = slot occurrences /
+    2·N_pairs), so the measure is self-consistent; ranking sorts
+    6-dp-rounded PMI with a pair tiebreak.
+
+    Plan: tokens stay an ARRAY — distance-d pairs come from zipping
+    the array against its d-shifted self (JVM-side, no self-join on
+    positions); one explode feeds the pair aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(H.spark_tokens("text")).alias("t"))
+    pair_expr = (
+        "flatten(transform(sequence(1, 2), d -> CASE WHEN size(t) > d THEN "
+        "zip_with(slice(t, 1, size(t) - d), slice(t, d + 1, size(t) - d), "
+        "(a, b) -> struct(least(a, b) AS x, greatest(a, b) AS y)) "
+        "ELSE array() END))"
+    )
+    pairs = (
+        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    tot = pairs.agg(F.sum("nxy").cast("double").alias("np"))
+    mx = (
+        pairs.select(F.col("x").alias("tok"), "nxy")
+        .unionByName(pairs.select(F.col("y").alias("tok"), "nxy"))
+        .groupBy("tok")
+        .agg(F.sum("nxy").alias("nt"))
+    )
+    scored = (
+        pairs.join(F.broadcast(mx.select(F.col("tok").alias("x"), F.col("nt").alias("nx"))), "x")
+        .join(F.broadcast(mx.select(F.col("tok").alias("y"), F.col("nt").alias("ny"))), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x", "y", "nxy",
+            F.round(
+                F.log(
+                    (F.col("nxy") / F.col("np"))
+                    / ((F.col("nx") / (2.0 * F.col("np"))) * (F.col("ny") / (2.0 * F.col("np"))))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(20)
+        .select("x", "y", F.col("nxy").cast("long").alias("nxy"), "pmi")
+    )
+
+
+def _pmi_oracle() -> str:
+    toks = H.duck_tokens("text")
+    return f"""
+WITH toks AS (
+  SELECT {toks} AS t FROM documents
+), pr AS (
+  SELECT least(t[i], t[i + d]) AS x, greatest(t[i], t[i + d]) AS y
+  FROM (
+    SELECT t, unnest(range(1, 3)) AS d FROM toks
+  ), LATERAL (SELECT unnest(range(1, greatest(len(t) - d + 1, 1))) AS i)
+), pairs AS (
+  SELECT x, y, count(*) AS nxy FROM pr GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(nxy) AS DOUBLE) AS np FROM pairs),
+mx AS (
+  SELECT tok, sum(nxy) AS nt FROM (
+    SELECT x AS tok, nxy FROM pairs UNION ALL SELECT y AS tok, nxy FROM pairs
+  ) GROUP BY 1
+)
+SELECT x, y, CAST(nxy AS BIGINT) AS nxy,
+       round(ln((nxy / np) / ((a.nt / (2.0 * np)) * (b.nt / (2.0 * np)))), 6) AS pmi
+FROM pairs JOIN mx a ON a.tok = pairs.x JOIN mx b ON b.tok = pairs.y, tot
+ORDER BY pmi DESC, x, y LIMIT 20
+"""
+
+
+SPECS["token_pmi_topk"] = QuerySpec(
+    token_pmi_topk, _pmi_oracle(), "windowed co-occurrence PMI"
+)
+
+
+# ---------- deterministic weighted sampling ----------
+
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): key = u^(1/w) with u a deterministic id-hash uniform and
+    w = n_chars; the global top-25 keys are the sample.  One scan +
+    a TakeOrdered top-k — the distributed replacement for sequential
+    reservoir sampling; inclusion follows doc length
+    (P[first] = w_i/Σw)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a, b = H.MINHASH_A[7], H.MINHASH_B[7]
+    u = ((F.lit(a) * F.col("doc_id") + F.lit(b)) % F.lit(H.P) + 1.0) / F.lit(
+        float(H.P + 1)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", F.round(key, 12).alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    a, b = H.MINHASH_A[7], H.MINHASH_B[7]
+    return f"""
+SELECT doc_id, n_chars,
+       round(pow((({a} * doc_id + {b}) % {H.P} + 1.0) / {float(H.P + 1)!r},
+                 1.0 / n_chars), 12) AS skey
+FROM documents
+ORDER BY skey DESC, doc_id LIMIT 25
+"""
+
+
+SPECS["sample_weighted_docs"] = QuerySpec(
+    sample_weighted_docs, _weighted_sample_oracle(), "A-ES weighted sampling"
+)

@@ -301,3 +301,48 @@ def test_mutual_info_independent_vs_dependent(spark):
         row = feature_mutual_info(spark, d).collect()[0]
         assert row["mutual_info"] == want_mi
         assert row["h_status"] == round(math.log(2), 6)
+
+
+# ---------- PMI / weighted sampling ----------
+
+def test_weighted_sampling_prefers_heavy_docs(spark):
+    import os
+    import tempfile
+
+    from mlops_realtime_data_ingestion_spark.plans.profiling_queries import (
+        sample_weighted_docs,
+    )
+
+    d = tempfile.mkdtemp()
+    rows = [(i, "t", "en", "s", 1) for i in range(1000)]
+    rows[500] = (500, "t", "en", "s", 10_000_000)  # overwhelming weight
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = sample_weighted_docs(spark, d)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert ids[0] == 500  # u^(1/w) -> 1 as w grows: heavy doc ranks first
+    # deterministic under repartitioning: a second plan yields the same rows
+    again = [r["doc_id"] for r in sample_weighted_docs(spark, d).collect()]
+    assert ids == again
+
+
+def test_pmi_rewards_exclusive_cooccurrence(spark):
+    import os
+    import tempfile
+
+    from mlops_realtime_data_ingestion_spark.plans.profiling_queries import (
+        token_pmi_topk,
+    )
+
+    d = tempfile.mkdtemp()
+    docs = [(i, "alpha beta", "en", "s", 10) for i in range(10)]
+    docs += [(100 + i, "gamma delta epsilon zeta eta theta", "en", "s", 30)
+             for i in range(10)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    top = token_pmi_topk(spark, d).collect()
+    # (alpha, beta) co-occur only with each other -> highest PMI
+    assert (top[0]["x"], top[0]["y"]) == ("alpha", "beta")
+    assert top[0]["pmi"] > 0
