@@ -104,3 +104,48 @@ def test_targeted_delete_still_green_after_refactor(spark, tmp_path):
     assert len(rewritten) == 1
     keys = sorted(r["k"] for r in spark.read.parquet(path).collect())
     assert keys == [0, 1, 2, 3, 4, 100, 102, 104]
+
+
+# ---------- model-based property ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_merge_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),   # key
+        st.integers(min_value=0, max_value=99),   # payload
+        st.booleans(),                            # delete flag
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],                     # MERGE precondition
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=10,
+                unique=True),
+       _merge_ops)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_merge_matches_dict_model(spark, tmp_path_factory, initial_keys, ops):
+    """merge_into over random (update/delete/insert) batches must equal
+    the obvious dict model."""
+    path = str(tmp_path_factory.mktemp("mprop") / "t")
+    spark.createDataFrame(
+        [(k, -1) for k in initial_keys], "k long, v long"
+    ).coalesce(2).write.parquet(path)
+    model = {k: -1 for k in initial_keys}
+    for k, v, is_del in ops:
+        if is_del:
+            model.pop(k, None)
+        else:
+            model[k] = v
+    src = spark.createDataFrame(
+        [(k, v, d) for k, v, d in ops], "k long, v long, is_del boolean"
+    )
+    if ops:
+        merge_into(spark, path, src, on="k", delete_col="is_del")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == model
