@@ -838,3 +838,66 @@ ORDER BY skey DESC, doc_id LIMIT 25
 SPECS["sample_weighted_docs"] = QuerySpec(
     sample_weighted_docs, _weighted_sample_oracle(), "A-ES weighted sampling"
 )
+
+
+# ---------- leakage-safe (near-dup aware) split ----------
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can NEVER separate near-duplicates:
+    assignment hashes the doc's dedup-component canonical id (min doc
+    in its near-dup group; itself when unduplicated), so a document
+    and its near-copies always land on the same side — closing the
+    eval-leakage hole a plain per-doc hash split leaves open.
+    Composes the Jaccard pair graph + connected components + the
+    deterministic id-hash bucket."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.training_data import _id_hash, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=2, threshold=0.5,
+        block_cols=("lang",), length_band=50,
+    )
+    comp = connected_components(edges)
+    canon = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("canonical_id", F.coalesce("component_id", "doc_id"))
+    )
+    bucket = (_id_hash("canonical_id") % 100).cast("int")
+    return canon.select(
+        "doc_id",
+        "canonical_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).select("doc_id", "canonical_id", "bucket", "split")
+
+
+def _leakage_safe_oracle() -> str:
+    from .training_queries import CC_ORACLE
+
+    canon_hash = (
+        f"({H.MINHASH_A[0]} * ({H.duck_str_hash('CAST(canonical_id AS VARCHAR)')})"
+        f" + {H.MINHASH_B[0]}) % {H.P}"
+    )
+    return f"""
+SELECT doc_id, canonical_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, canonical_id, CAST({canon_hash} % 100 AS INTEGER) AS bucket
+  FROM (
+    SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN ({CC_ORACLE}) c USING (doc_id)
+  )
+)
+"""
+
+
+SPECS["split_leakage_safe"] = QuerySpec(
+    split_leakage_safe, _leakage_safe_oracle(), "near-dup-aware leakage-safe split"
+)

@@ -346,3 +346,26 @@ def test_pmi_rewards_exclusive_cooccurrence(spark):
     # (alpha, beta) co-occur only with each other -> highest PMI
     assert (top[0]["x"], top[0]["y"]) == ("alpha", "beta")
     assert top[0]["pmi"] > 0
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    from mlops_realtime_data_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+    from mlops_realtime_data_ingestion_spark.plans.profiling_queries import (
+        split_leakage_safe,
+    )
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+    split = split_leakage_safe(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        n=2, threshold=0.5, block_cols=("lang",), length_band=50,
+    )
+    assert pairs.count() > 0  # the testdata plants near-dups
+    a = split.select(F.col("doc_id").alias("doc_id_1"), F.col("split").alias("s1"))
+    b = split.select(F.col("doc_id").alias("doc_id_2"), F.col("split").alias("s2"))
+    crossed = pairs.join(a, "doc_id_1").join(b, "doc_id_2").filter(
+        F.col("s1") != F.col("s2")
+    )
+    assert crossed.count() == 0  # no near-dup pair straddles a split
+    # and every doc got exactly one assignment
+    assert split.count() == load_table(spark, sf_dir, "documents").count()
