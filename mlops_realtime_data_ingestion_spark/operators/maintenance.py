@@ -210,26 +210,11 @@ def merge_into(
         ).alias("__del"),
     )
 
-    rewritten: list[str] = []
-    if hit_uris:
-
-        def apply_merge(hit: DataFrame) -> DataFrame:
-            joined = hit.join(src, hit[on] == F.col("__mk"), "left")
-            matched = F.col("__mk").isNotNull()
-            kept = joined.filter(~(matched & F.col("__del")))
-            out_cols = [F.col(on)]
-            for c in data_cols:
-                if c in shared:
-                    out_cols.append(
-                        F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
-                    )
-                else:
-                    out_cols.append(F.col(c))
-            return kept.select(*out_cols, "_src")
-
-        rewritten = _rewrite_hit_files(spark, path, hit_uris, apply_merge)
-
-    # 2. inserts: source keys absent from the target, minus deletes
+    # 2. inserts FIRST: the anti-join must run against the
+    # pre-mutation file listing — the rewrite below may REMOVE hit
+    # files whose every row was deleted, and a post-rewrite action on
+    # the stale `target` plan would hit FILE_NOT_EXIST.  Appending new
+    # files cannot disturb step 3, which reads an explicit file list.
     inserts = (
         src.filter(~F.col("__del"))
         .join(target.select(key.alias("__mk")), "__mk", "left_anti")
@@ -248,4 +233,24 @@ def merge_into(
     n_ins = inserts.count()
     if n_ins:
         inserts.write.mode("append").parquet(path)
+
+    # 3. copy-on-write rewrite of the hit files (updates + deletes)
+    rewritten: list[str] = []
+    if hit_uris:
+
+        def apply_merge(hit: DataFrame) -> DataFrame:
+            joined = hit.join(src, hit[on] == F.col("__mk"), "left")
+            matched = F.col("__mk").isNotNull()
+            kept = joined.filter(~(matched & F.col("__del")))
+            out_cols = [F.col(on)]
+            for c in data_cols:
+                if c in shared:
+                    out_cols.append(
+                        F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(c))
+            return kept.select(*out_cols, "_src")
+
+        rewritten = _rewrite_hit_files(spark, path, hit_uris, apply_merge)
     return {"rewritten_files": rewritten, "inserted": n_ins}

@@ -1,14 +1,17 @@
-"""Registered queries: table profiling, incremental rollup
-maintenance, fuzzy entity matching, incremental corpus dedup, semantic
-decontamination, hard-negative mining, per-group HLL.
+"""Round-3 registered queries: warehouse maintenance, curation, and
+analytics widening — table profiling, incremental rollup merge, fuzzy
+entity matching, incremental corpus dedup, semantic decontamination,
+hard-negative mining, grouped HLL, histogram quantiles, BPE tokenizer
+training, cross-doc boilerplate detection, retrieval evaluation
+(recall/MRR/NDCG), rolling z-score anomalies, ordered funnels, mutual
+information, windowed PMI, A-ES weighted sampling, and the
+near-dup-aware leakage-safe split.
 
-Round-3 widening of the warehouse-maintenance + curation surface: the
-reference recomputes every aggregate from scratch per run
-(resources/glue/FeatureStoreAggregateParquet.py) and has no fuzzy /
-semantic matching at all; these queries add the incremental and
-approximate shapes a 100 TB deployment actually runs, each with a
-bit-exact DuckDB oracle per the engine determinism rules
-(plans/spec.py).
+The reference recomputes every aggregate from scratch per run
+(resources/glue/FeatureStoreAggregateParquet.py) and has none of the
+fuzzy/semantic/incremental shapes; these queries add what a 100 TB
+deployment actually runs, each with a bit-exact DuckDB oracle per the
+engine determinism rules (plans/spec.py).
 """
 
 from __future__ import annotations
@@ -900,4 +903,114 @@ FROM (
 
 SPECS["split_leakage_safe"] = QuerySpec(
     split_leakage_safe, _leakage_safe_oracle(), "near-dup-aware leakage-safe split"
+)
+
+
+# ---------- sketch mergeability (HLL register union) ----------
+
+def hll_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge identity, proven in-engine: HLL registers built
+    independently on two halves of events (user_id parity) and
+    max-merged produce EXACTLY the whole-corpus estimate — the
+    algebraic property that lets per-shard sketches roll up without
+    rescanning (the fixed-memory analogue of rollup_incremental_merge).
+    One output row: merged estimate, direct estimate, equal flag."""
+    from ..operators.sketches import _HLL_MIX, hll_cardinality
+
+    ev = load_table(spark, sf_dir, "events")
+    m = 1 << 10
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+
+    h1 = (F.lit(a) * F.col("user_id").cast("long") + F.lit(b)) % F.lit(H.P)
+    t = (
+        ev.select((F.col("user_id") % 2).alias("half"), h1.alias("h1"))
+        .withColumn("h2", (F.col("h1") * F.col("h1") + F.lit(a)) % F.lit(H.P))
+        .withColumn("h", (F.col("h2") * F.col("h2") + F.lit(b)) % F.lit(H.P))
+        .select(
+            "half",
+            (F.col("h") % m).alias("bucket"),
+            F.when(F.expr(f"h div {m}") == 0, F.lit(21))
+            .otherwise(F.lit(21) - F.length(F.expr(f"bin(h div {m})")))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    # per-half registers (the shard sketches), then the MERGE: max per
+    # bucket across halves — associative, so any shard tree works
+    half_regs = t.groupBy("half", "bucket").agg(F.max("rho").alias("rho"))
+    merged_regs = half_regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    zv = merged_regs.agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 30 - rho)"))
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 30)")
+        ).alias("z"),
+        (
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+            + (F.lit(m) - F.count(F.lit(1)))
+        ).alias("v"),
+    )
+    raw = F.lit(est_num) / F.col("z").cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    merged = zv.select(F.round(corrected, 4).alias("merged_estimate"))
+    direct = hll_cardinality(ev, "user_id", p=10).select(
+        F.col("hll_estimate").alias("direct_estimate")
+    )
+    return merged.crossJoin(direct).select(
+        "merged_estimate",
+        "direct_estimate",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias("merge_exact"),
+    )
+
+
+def _hll_merge_oracle() -> str:
+    from ..operators.sketches import _HLL_MIX
+    from .training_queries import HLL_ORACLE
+
+    m = 1 << 10
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+    return f"""
+WITH h AS (
+  SELECT user_id % 2 AS half,
+         ((((({a} * user_id + {b}) % {H.P}) * (({a} * user_id + {b}) % {H.P}) + {a}) % {H.P})
+          * (((({a} * user_id + {b}) % {H.P}) * (({a} * user_id + {b}) % {H.P}) + {a}) % {H.P})
+          + {b}) % {H.P} AS h
+  FROM events
+), t AS (
+  SELECT half, h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN 21
+              ELSE 21 - length(bin(h // {m})) END AS rho
+  FROM h
+), half_regs AS (
+  SELECT half, bucket, max(rho) AS rho FROM t GROUP BY 1, 2
+), merged_regs AS (
+  SELECT bucket, max(rho) AS rho FROM half_regs GROUP BY 1
+), zv AS (
+  SELECT sum((CAST(1 AS BIGINT) << (30 - rho)))
+           + ({m} - count(*)) * (CAST(1 AS BIGINT) << 30) AS z,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) + ({m} - count(*)) AS v
+  FROM merged_regs
+), merged AS (
+  SELECT round(CASE WHEN ({est_num!r} / CAST(z AS DOUBLE)) <= {2.5 * m} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+              ELSE {est_num!r} / CAST(z AS DOUBLE) END, 4) AS merged_estimate
+  FROM zv
+), direct AS (
+  SELECT hll_estimate AS direct_estimate FROM ({HLL_ORACLE})
+)
+SELECT merged_estimate, direct_estimate,
+       merged_estimate = direct_estimate AS merge_exact
+FROM merged, direct
+"""
+
+
+SPECS["hll_merge_identity"] = QuerySpec(
+    hll_merge_identity, _hll_merge_oracle(), "sketch merge == direct (HLL)"
 )
