@@ -420,3 +420,69 @@ def hist_quantiles(
         "prob",
         F.round(F.col("mn") + (F.col("bin") + frac) * width, 6).alias("quantile_est"),
     )
+
+
+def hist_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: tuple[float, ...],
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group histogram quantiles — ``hist_quantiles`` with the bin
+    table keyed by group.  Bounds are PER GROUP (each group's grid
+    spans its own min/max, so a wide-range group cannot crush a narrow
+    one's resolution); the shuffle is <= groups x bins integer rows.
+    Returns (group..., prob, quantile_est)."""
+    src = df.select(*group_cols, F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    stats = src.groupBy(*group_cols).agg(
+        F.min("v").cast("double").alias("mn"),
+        F.max("v").cast("double").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        src.join(F.broadcast(stats), group_cols)
+        .select(
+            *group_cols,
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("mn")) * bins / (F.col("mx") - F.col("mn"))
+                    ).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(stats), group_cols
+    )
+    spark = df.sparkSession
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    hit = (
+        cum.join(F.broadcast(probs_df), F.col("cum") >= F.col("prob") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "prob").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    width = (F.col("mx") - F.col("mn")) / bins
+    frac = (F.col("prob") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    return hit.select(
+        *group_cols,
+        "prob",
+        F.round(F.col("mn") + (F.col("bin") + frac) * width, 6).alias("quantile_est"),
+    )

@@ -1014,3 +1014,55 @@ FROM merged, direct
 SPECS["hll_merge_identity"] = QuerySpec(
     hll_merge_identity, _hll_merge_oracle(), "sketch merge == direct (HLL)"
 )
+
+
+# ---------- grouped histogram quantiles ----------
+
+def approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95 of events.value from per-group 128-bin
+    histogram sketches (each group's grid spans its own range)."""
+    from ..operators.sketches import hist_quantiles_grouped
+
+    return hist_quantiles_grouped(
+        load_table(spark, sf_dir, "events"), "value", ["event_type"], (0.5, 0.95),
+        bins=128,
+    )
+
+
+APPROX_QUANTILES_GROUPED_ORACLE = """
+WITH src AS (
+  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx,
+         count(*) AS n
+  FROM src GROUP BY 1
+), binned AS (
+  SELECT s.event_type,
+         least(127, greatest(0,
+           CAST(floor((v - mn) * 128 / (mx - mn)) AS INT))) AS bin
+  FROM src s JOIN stats USING (event_type)
+), cnts AS (
+  SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM cnts
+), probs AS (
+  SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS prob
+), hit AS (
+  SELECT c.event_type, prob, bin, cnt, cum, mn, mx, n,
+         row_number() OVER (PARTITION BY c.event_type, prob ORDER BY bin) AS rn
+  FROM cum c JOIN stats USING (event_type), probs
+  WHERE cum >= prob * n
+)
+SELECT event_type, prob,
+       round(mn + (bin + (prob * n - (cum - cnt)) / cnt) * ((mx - mn) / 128), 6)
+         AS quantile_est
+FROM hit WHERE rn = 1
+"""
+
+
+SPECS["approx_quantiles_by_type"] = QuerySpec(
+    approx_quantiles_by_type, APPROX_QUANTILES_GROUPED_ORACLE,
+    "grouped histogram quantile sketch",
+)

@@ -110,3 +110,33 @@ def test_hist_quantiles_merge_property(spark):
     b = {r["prob"]: r["quantile_est"] for r in
          hist_quantiles(shuffled, "x", (0.5, 0.9), bins=64).collect()}
     assert a == b  # bit-identical under re-partitioning
+
+
+def test_grouped_quantiles_match_global_per_group(spark):
+    from mlops_realtime_data_ingestion_spark.operators.sketches import (
+        hist_quantiles_grouped,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        # group 0 spans 0..999, group 1 spans 0..99: per-group grids
+        (F.col("id") % F.when(F.col("id") % 2 == 0, 1000).otherwise(100))
+        .cast("double")
+        .alias("x"),
+    )
+    got = {
+        (r["g"], r["prob"]): r["quantile_est"]
+        for r in hist_quantiles_grouped(df, "x", ["g"], (0.5, 0.9), bins=64).collect()
+    }
+    # each group must match the single-group sketch computed alone
+    for g in ("0", "1"):
+        alone = {
+            r["prob"]: r["quantile_est"]
+            for r in hist_quantiles(
+                df.filter(F.col("g") == g), "x", (0.5, 0.9), bins=64
+            ).collect()
+        }
+        assert got[(g, 0.5)] == alone[0.5]
+        assert got[(g, 0.9)] == alone[0.9]
+    # and the narrow group keeps full resolution (its own grid)
+    assert abs(got[("1", 0.5)] - 50.0) <= 99.0 / 64
