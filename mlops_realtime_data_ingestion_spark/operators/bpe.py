@@ -16,7 +16,9 @@ apply leftmost-first non-overlapping — exactly BPE's greedy merge
 order.  Consecutive occurrences never collide because the doubled
 inner delimiter gives each boundary one pipe per side, so adjacent
 matches don't compete for a shared character.  No UDF, no regex
-lookarounds, bit-identical across engines.
+lookarounds, bit-identical across engines.  Tokens containing a
+literal '|' are excluded from the vocabulary (they would corrupt the
+delimited encoding); see bpe_merges.
 
 Scale: the corpus is scanned ONCE into a (word, count) vocabulary
 (shuffle = distinct words); each round then shuffles only
@@ -70,10 +72,17 @@ def bpe_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     pair count break on (left, right) ascending, so the training is
     fully deterministic.
     """
+    # tokens containing the delimiter itself would corrupt symbol
+    # boundaries in the '|s1||s2|' encoding (silently wrong pair
+    # counts), so '|'-bearing tokens are excluded from the vocabulary
+    # — mirrored in the oracle. They are tokenizer junk, not words.
     vocab = (
         df.select(
             F.explode(
-                F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+                F.expr(
+                    f"filter(split(lower(trim({text_col})), '\\\\s+'), "
+                    "x -> x != '' AND NOT contains(x, '|'))"
+                )
             ).alias("w")
         )
         .groupBy("w")

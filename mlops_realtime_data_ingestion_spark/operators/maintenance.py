@@ -210,11 +210,17 @@ def merge_into(
         ).alias("__del"),
     )
 
-    # 2. inserts FIRST: the anti-join must run against the
-    # pre-mutation file listing — the rewrite below may REMOVE hit
-    # files whose every row was deleted, and a post-rewrite action on
-    # the stale `target` plan would hit FILE_NOT_EXIST.  Appending new
-    # files cannot disturb step 3, which reads an explicit file list.
+    # 2. STAGE inserts first (evaluated once, into a temp dir): the
+    # anti-join must run against the pre-mutation file listing — the
+    # rewrite below may REMOVE hit files whose every row was deleted,
+    # and a post-rewrite action on the stale `target` plan would hit
+    # FILE_NOT_EXIST.  But the staged files only become VISIBLE after
+    # the rewrite succeeds (step 4), so a failure mid-MERGE never
+    # leaves inserts live while updates/deletes are missing.  Residual
+    # non-atomicity on plain parquet (a table format's metadata commit
+    # closes it): a crash during the step-4 move can expose a subset
+    # of the inserts — but only ever AFTER all updates/deletes are
+    # fully applied.
     inserts = (
         src.filter(~F.col("__del"))
         .join(target.select(key.alias("__mk")), "__mk", "left_anti")
@@ -230,27 +236,41 @@ def merge_into(
         if c not in shared:
             inserts = inserts.withColumn(c, F.lit(None).cast(types[c]))
     inserts = inserts.select(on, *data_cols)
-    n_ins = inserts.count()
-    if n_ins:
-        inserts.write.mode("append").parquet(path)
+    ins_tmp = path.rstrip("/") + ".insert.tmp"
+    inserts.write.mode("overwrite").parquet(ins_tmp)
+    staged = sorted(glob.glob(os.path.join(ins_tmp, "part-*.parquet")))
+    n_ins = 0
+    if staged:
+        # one count over the staged files (the anti-join ran once)
+        n_ins = spark.read.parquet(ins_tmp).count()
 
     # 3. copy-on-write rewrite of the hit files (updates + deletes)
     rewritten: list[str] = []
-    if hit_uris:
+    try:
+        if hit_uris:
 
-        def apply_merge(hit: DataFrame) -> DataFrame:
-            joined = hit.join(src, hit[on] == F.col("__mk"), "left")
-            matched = F.col("__mk").isNotNull()
-            kept = joined.filter(~(matched & F.col("__del")))
-            out_cols = [F.col(on)]
-            for c in data_cols:
-                if c in shared:
-                    out_cols.append(
-                        F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
-                    )
-                else:
-                    out_cols.append(F.col(c))
-            return kept.select(*out_cols, "_src")
+            def apply_merge(hit: DataFrame) -> DataFrame:
+                joined = hit.join(src, hit[on] == F.col("__mk"), "left")
+                matched = F.col("__mk").isNotNull()
+                kept = joined.filter(~(matched & F.col("__del")))
+                out_cols = [F.col(on)]
+                for c in data_cols:
+                    if c in shared:
+                        out_cols.append(
+                            F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+                        )
+                    else:
+                        out_cols.append(F.col(c))
+                return kept.select(*out_cols, "_src")
 
-        rewritten = _rewrite_hit_files(spark, path, hit_uris, apply_merge)
+            rewritten = _rewrite_hit_files(spark, path, hit_uris, apply_merge)
+
+        # 4. publish the staged inserts (same-filesystem renames; the
+        # staged part names are task-UUID-unique so no collision with
+        # existing files)
+        if n_ins:
+            for f in staged:
+                os.replace(f, os.path.join(path, os.path.basename(f)))
+    finally:
+        shutil.rmtree(ins_tmp, ignore_errors=True)
     return {"rewritten_files": rewritten, "inserted": n_ins}

@@ -317,7 +317,13 @@ def hll_cardinality_grouped(
     est_num = alpha * m * m * float(1 << 30)
     h1 = (F.lit(a) * F.col(key_col).cast("long") + F.lit(b)) % F.lit(H.P)
     t = (
-        df.select(*group_cols, h1.alias("h1"))
+        # NULL keys would hash to a NULL bucket that survives the
+        # groupBy as a phantom register row and skews the arithmetic
+        # absent-register fold (z and v both off by one register);
+        # count(DISTINCT) excludes NULLs, so dropping them here also
+        # aligns the rel_err denominator with the global version.
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h1.alias("h1"))
         .withColumn("h2", (F.col("h1") * F.col("h1") + F.lit(a)) % F.lit(H.P))
         .withColumn("h", (F.col("h2") * F.col("h2") + F.lit(b)) % F.lit(H.P))
         .select(

@@ -276,15 +276,29 @@ def rolling_zscore_anomalies(
     n = F.count(value_col).over(w)
     s1 = F.sum(v).over(w).cast("double")
     s2 = F.sum((v * v).cast("decimal(28,8)")).over(w).cast("double")
-    mean = s1 / n
-    var = (s2 - n * mean * mean) / (n - 1)
+    # try_divide throughout: under ANSI mode a plain division RAISES
+    # on the n = 0 / n = 1 / std = 0 rows (they exist in every series
+    # head), even though the filter below discards them — predicate
+    # short-circuit order is an optimizer artifact, not a guarantee.
+    # On the rows that survive the filter (n >= min_points, std > 0)
+    # try_divide equals plain division.
+    mean = F.try_divide(s1, n)
+    var = F.try_divide(s2 - n * mean * mean, n - 1)
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    z = (F.col(value_col) - mean) / std
+    z = F.try_divide(F.col(value_col) - mean, std)
+    # std == 0 (a constant lookback window) means the value has no
+    # scale to deviate against: z is NULL under try_divide (and was
+    # ±Inf / NaN under plain division — with NaN ordered ABOVE all
+    # numerics, an on-baseline point would have been flagged). The
+    # explicit std > 0 filter keeps the contract engine-independent
+    # and mirrors the oracle.
     return (
         df.withColumn("__n", n)
+        .withColumn("__std", std)
         .withColumn("__z", z)
         .filter(
             (F.col("__n") >= min_points)
+            & (F.col("__std") > 0)
             & (F.abs(F.col("__z")) > z_threshold)
         )
         .select(

@@ -403,7 +403,7 @@ def _bpe_oracle(k: int = 3) -> str:
   FROM (
     SELECT w, count(*) AS cnt FROM (
       SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                x -> x != '')) AS w
+                                x -> x != '' AND NOT contains(x, '|'))) AS w
       FROM documents) GROUP BY w)
 )"""
     ]
@@ -566,12 +566,13 @@ WITH w AS (
                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 ), z AS (
   SELECT user_id, ts, value, n,
+         sqrt(greatest((s2 - n * (s1 / n) * (s1 / n)) / (n - 1), 0.0)) AS stdv,
          (value - s1 / n)
            / sqrt(greatest((s2 - n * (s1 / n) * (s1 / n)) / (n - 1), 0.0)) AS zv
   FROM w
 )
 SELECT user_id, ts, value, round(zv, 6) AS zscore
-FROM z WHERE n >= 5 AND abs(zv) > 3.0
+FROM z WHERE n >= 5 AND stdv > 0 AND abs(zv) > 3.0
 """
 
 

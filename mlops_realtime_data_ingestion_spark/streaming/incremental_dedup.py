@@ -152,7 +152,14 @@ class StreamingDedup:
     def attach(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
         def process(batch: DataFrame, batch_id: int) -> None:
             spark = batch.sparkSession
-            clean, dups, entries, cached = self.dedup_batch(batch, self._index(spark))
+            # Replay safety requires excluding THIS batch's own prior
+            # attempt from the index: a crash after the index partition
+            # is written (it is the last of the three writes) but before
+            # the checkpoint commits would otherwise make the re-run
+            # match every document against its own signatures
+            # (jaccard 1.0) and reject the whole batch as 'corpus' dups.
+            index = self._index(spark).filter(F.col("batch_id") < F.lit(batch_id))
+            clean, dups, entries, cached = self.dedup_batch(batch, index)
             try:
                 for df, path in (
                     (clean, self.clean_path),

@@ -72,13 +72,19 @@ def test_streaming_dedup_end_to_end(spark, tmp_path):
 
 def test_batch_replay_is_idempotent(spark, tmp_path):
     """Re-running a micro-batch id rewrites its own partition instead
-    of double-appending (the at-least-once foreachBatch contract)."""
+    of double-appending (the at-least-once foreachBatch contract).
+
+    The index is re-read INSIDE the loop, exactly as process() does on
+    a real replay: the second attempt sees the first attempt's index
+    partition, and only the batch_id < current filter stops the batch
+    from matching its own prior signatures (jaccard 1.0 self-matches
+    that would reject every row as a 'corpus' dup)."""
     sd = StreamingDedup(str(tmp_path / "dd2"))
     batch = spark.createDataFrame(
         [_doc(1, 1), _doc(2, 2)], "doc_id long, text string"
     )
-    index = sd._index(spark)
     for _ in range(2):  # same batch id processed twice
+        index = sd._index(spark).filter(F.col("batch_id") < F.lit(0))
         clean, dups, entries, cached = sd.dedup_batch(batch, index)
         try:
             for df, path in (
@@ -97,3 +103,6 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
             cached.unpersist()
     assert sd.clean(spark).count() == 2
     assert spark.read.parquet(sd.index_path).count() == 2
+    # the replay must NOT have matched the batch against its own
+    # first-attempt signatures
+    assert sd.dups(spark).count() == 0

@@ -185,6 +185,14 @@ def test_hll_grouped_error_and_global_consistency(spark):
     overall = hll_cardinality(df, "user_id").collect()[0]
     assert grouped["hll_estimate"] == overall["hll_estimate"]
     assert grouped["exact_distinct"] == overall["exact_distinct"]
+    # NULL keys must not become a phantom register: estimates match
+    # the null-free frame exactly (countDistinct already drops NULLs)
+    with_nulls = one.unionByName(
+        spark.createDataFrame([("all", None)], "g string, user_id long")
+    )
+    grouped_n = hll_cardinality_grouped(with_nulls, "user_id", ["g"]).collect()[0]
+    assert grouped_n["hll_estimate"] == grouped["hll_estimate"]
+    assert grouped_n["exact_distinct"] == grouped["exact_distinct"]
 
 
 # ---------- BPE merges ----------
@@ -201,6 +209,24 @@ def test_bpe_merges_classic_example(spark):
     # 5x 'low' -> l+o then lo+w; 'er' in lower/newer(x2)/wider;
     # 'ew' in new/newer(x2)/newest ('e r' < 'e w' breaks the 4-4 tie)
     assert got == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "e", "r", 4), (4, "e", "w", 4)]
+
+
+def test_bpe_pipe_tokens_are_excluded(spark):
+    """A token containing the encoding delimiter '|' must not corrupt
+    symbol boundaries: it is dropped from the vocabulary, so merge
+    rules equal those of the pipe-free corpus."""
+    from mlops_realtime_data_ingestion_spark.operators.bpe import bpe_merges
+
+    clean = spark.createDataFrame(
+        [("low lower lowest low low newer newest",)], "text string"
+    )
+    dirty = spark.createDataFrame(
+        [("low lower lowest low low newer newest a|b || lo|w",)], "text string"
+    )
+    key = lambda rows: [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in rows]
+    assert key(bpe_merges(dirty, "text", k=3).collect()) == key(
+        bpe_merges(clean, "text", k=3).collect()
+    )
 
 
 def test_bpe_merge_handles_overlapping_runs(spark):
@@ -257,6 +283,26 @@ def test_rolling_zscore_flags_planted_spike(spark):
     ).collect()
     assert [r["value"] for r in got] == [99.0]
     assert got[0]["zscore"] > 100  # far outside a 0.1-ish std baseline
+
+
+def test_rolling_zscore_constant_baseline_never_flags(spark):
+    """std == 0 (constant lookback window) must flag nothing: a
+    deviating value is ±Inf and an on-baseline value is NaN (which
+    Spark orders ABOVE all numerics, so abs(NaN) > 3 is true without
+    the std > 0 guard)."""
+    from mlops_realtime_data_ingestion_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    rows = [(1, float(i), 10.0, i) for i in range(25)]
+    rows[20] = (1, 20.0, 99.0, 20)  # deviation against a zero-std baseline
+    df = spark.createDataFrame(rows, "user_id long, ts double, value double, event_id long")
+    df = df.withColumn("ts", F.timestamp_seconds("ts"))
+    got = rolling_zscore_anomalies(
+        df, ["user_id"], "ts", "value", lookback=20, z_threshold=3.0,
+        min_points=5, tiebreak_col="event_id",
+    ).collect()
+    assert got == []
 
 
 def test_funnel_ordering_is_strict(spark):
