@@ -59,25 +59,13 @@ HEADLINE = [
     "approx_quantiles_value",
 ]
 
-# Representative subset for the 100x checkpoint (one per operator
-# family; matches the manual run recorded in SCALE.md).
-SCALE100_SUBSET = [
-    "flagship_tx_window_1min",
-    "tpch_q1_pricing_summary",
-    "join_3way_brand_nation",
-    "p1_dedup_keep_first",
-    "wf_rank_lag_lead",
-    "metrics_rmse_wql",
-    "w1_train_test_split",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "sim_search_cosine_topk",
-    "text_quality_score",
-    "decontam_ngram_overlap",
-    "sessionize_events",
-    "text_repetition_metrics",
-    "dedup_incremental_lsh",
-]
+# The 100x checkpoint now covers the FULL headline set (it used to be
+# a 15-query representative subset, which left 13 queries unmeasured
+# at 100x).  Best-of-2 like the other scales, except a second run is
+# skipped when the first already took >= 30 s (the rerun would double
+# the bench's wall clock for queries whose single-shot spread is
+# small relative to their cost); "single_shot" in the JSON lists those.
+SCALE100_RERUN_CAP_S = 30.0
 
 
 def main() -> None:
@@ -188,12 +176,15 @@ def main() -> None:
             "total_sec": round(sum(s_timings.values()), 3),
             "queries": s_timings,
             "superlinear": anomalies,
-            # Candidate-vs-survivor accounting for the Jaccard dedup at
+            # Candidate-vs-survivor accounting for every dedup path at
             # BOTH scales: lets a super-linear wall-clock number be
             # adjudicated as candidate-set growth (work tracks the
             # candidate count, which grows with near-dup density) vs a
             # quadratic plan regression.
             "dedup_ngram_jaccard_accounting": _jaccard_accounting(
+                spark, {"sf": sf_dir, "scaled": scaled_dir}
+            ),
+            "dedup_lsh_accounting": _lsh_accounting(
                 spark, {"sf": sf_dir, "scaled": scaled_dir}
             ),
         }
@@ -206,7 +197,8 @@ def main() -> None:
     s100_dir = os.environ.get("SPARK_GRAFT_SCALED100_DIR", "/root/repo/.data/sf10")
     if os.path.isdir(s100_dir):
         h_timings: dict[str, float] = {}
-        for name in SCALE100_SUBSET:
+        single_shot: list[str] = []
+        for name in HEADLINE:
             spec = specs.get(name)
             if spec is None:
                 continue
@@ -214,7 +206,15 @@ def main() -> None:
                 df = spec.fn(spark, s100_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                h_timings[name] = round(time.perf_counter() - t0, 3)
+                best = time.perf_counter() - t0
+                if best < SCALE100_RERUN_CAP_S:
+                    df = spec.fn(spark, s100_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                else:
+                    single_shot.append(name)
+                h_timings[name] = round(best, 3)
             except Exception:
                 continue
         scale100 = {
@@ -222,6 +222,8 @@ def main() -> None:
             "factor_vs_sf": 100.0,
             "total_sec": round(sum(h_timings.values()), 3),
             "queries": h_timings,
+            "single_shot": single_shot,
+            "dedup_lsh_accounting": _lsh_accounting(spark, {"scale100": s100_dir}),
         }
 
     total = round(sum(timings.values()), 3)
@@ -260,6 +262,36 @@ def _jaccard_accounting(spark, dirs: dict[str, str]) -> dict | None:
                 docs, id_col="doc_id", text_col="text", n=2,
                 threshold=0.5, block_cols=("lang",), length_band=50,
             )
+        return out
+    except Exception:
+        return None
+
+
+def _lsh_accounting(spark, dirs: dict[str, str]) -> dict | None:
+    """Candidates vs survivors for BOTH MinHash-LSH paths (self-dedup
+    and incremental batch-vs-corpus, same params as the registered
+    queries) at each labeled data dir; None on failure."""
+    try:
+        from mlops_realtime_data_ingestion_spark.operators.dedup import (
+            minhash_lsh_join_accounting,
+            minhash_lsh_pairs_accounting,
+        )
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+        from pyspark.sql import functions as F
+
+        out = {}
+        for label, d in dirs.items():
+            docs = load_table(spark, d, "documents")
+            out[label] = {
+                "self": minhash_lsh_pairs_accounting(
+                    docs, id_col="doc_id", text_col="text", n=2, threshold=0.5
+                ),
+                "incremental": minhash_lsh_join_accounting(
+                    docs.filter(F.col("doc_id") % 5 != 0),
+                    docs.filter(F.col("doc_id") % 5 == 0),
+                    id_col="doc_id", text_col="text", n=2, threshold=0.5,
+                ),
+            }
         return out
     except Exception:
         return None

@@ -164,6 +164,55 @@ def test_minhash_lsh_join_consistent_with_self_dedup(spark):
     assert incr == want
 
 
+def test_minhash_lsh_join_collapse_is_lossless(spark):
+    """A corpus full of EXACT duplicates (the degenerate-band case the
+    signature collapse exists for) must still produce every doc-level
+    pair: identical shingle sets are interchangeable for banding and
+    verification, so collapsing them changes the plan, not the output."""
+    # 12 corpus docs = 3 distinct texts x 4 copies; batch = 1 copy of
+    # text A, 1 near-dup of text B, 1 unrelated
+    texts = {
+        "A": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "B": "one two three four five six seven eight nine ten eleven",
+        "C": "red orange yellow green blue indigo violet pink brown black",
+    }
+    corpus_rows = [
+        (10 * k + c, texts[t])
+        for k, t in enumerate("ABC")
+        for c in range(4)
+    ]
+    batch_rows = [
+        (100, texts["A"]),
+        (101, texts["B"] + " twelve"),
+        (102, "unrelated words about tectonic plates drifting apart slowly"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = {
+        (r["batch_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in minhash_lsh_join(corpus, batch, "doc_id", "text", threshold=0.5).collect()
+    }
+    # 100 matches ALL FOUR copies of A (jaccard 1.0); 101 matches all
+    # four copies of B; 102 matches nothing
+    assert {k for k in got} == {(100, c) for c in range(4)} | {
+        (101, 10 + c) for c in range(4)
+    }
+    assert all(got[(100, c)] == 1.0 for c in range(4))
+
+    from mlops_realtime_data_ingestion_spark.operators.dedup import (
+        minhash_lsh_join_accounting,
+    )
+
+    acct = minhash_lsh_join_accounting(corpus, batch, "doc_id", "text", threshold=0.5)
+    # 12 corpus docs collapse to 3 groups; candidate group pairs stay
+    # tiny even though doc-level expansion is 8 pairs
+    assert acct["corpus_groups"] == 3
+    assert acct["batch_groups"] == 3
+    assert acct["out_pairs"] == 8
+    assert acct["survivors"] == 2  # (A,A) and (B~,B) group pairs
+    assert acct["candidates"] <= 4  # bands shared only by true dups here
+
+
 # ---------- grouped HLL ----------
 
 def test_hll_grouped_error_and_global_consistency(spark):
