@@ -24,7 +24,18 @@ def streaming_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: events (first 3 days) -> JSONL backlog -> dedup ->
     bronze -> 1-min windowed agg -> feature-store upsert -> online
     view. Returns the online latest-per-window records (the
-    reference's feature-group content, agg-fg-schema.json:3-34)."""
+    reference's feature-group content, agg-fg-schema.json:3-34).
+
+    ORACLE-CHECKABLE (round-4): the availableNow drain reads the whole
+    backlog as one micro-batch per stage, so nothing is ever late and
+    the emitted windows equal the batch 1-min aggregation restricted
+    to FINALIZED windows (window_end <= max(tx_time) - the 60 s
+    watermark — the final in-flight windows stay in state, exactly as
+    a live run would hold them). Determinism choices that make the
+    hash comparable across engines: fee is decimal(18,4) (exact sums
+    under any partitioning), avg is recomputed at return time as
+    double division of the exact sum, and the wall-clock event_time
+    stamp is not part of the result."""
     tmp = tempfile.mkdtemp(prefix="spark_stream_e2e_")
     # streaming state partitions are fixed at first checkpoint: pin to
     # the core count rather than inheriting a harness default of 200
@@ -52,7 +63,7 @@ def streaming_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = raw.select(
         F.col("event_id").cast("string").alias("hash"),
         F.timestamp_micros("ts_micros").alias("tx_time"),
-        F.col("value").alias("fee"),
+        F.col("value").cast("decimal(18,4)").alias("fee"),
     )
     pipe = StreamingPipeline(
         PipelineConfig(
@@ -66,7 +77,12 @@ def streaming_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return pipe.store.online_view(spark).select(
-        "tx_minute", "total_nb_trx_1min", "total_fee_1min", "avg_fee_1min", "event_time"
+        "tx_minute",
+        "total_nb_trx_1min",
+        F.col("total_fee_1min").cast("double").alias("total_fee_1min"),
+        (
+            F.col("total_fee_1min").cast("double") / F.col("total_nb_trx_1min")
+        ).alias("avg_fee_1min"),
     )
 
 
@@ -76,8 +92,14 @@ def streaming_breach_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (model-monitor-template.yml:786-795) evaluated over a replayed
     metric stream. Metric series = hourly mean event value; threshold
     chosen so the synthetic data produces both breaches and
-    recoveries. Rows-only check (keyed mutable state with reset is not
-    batch-SQL-expressible)."""
+    recoveries.
+
+    ORACLE-CHECKABLE (round-4): the metric backlog drains as ONE
+    micro-batch, within which the operator sorts by event time — so
+    the per-key counter walk equals a batch gaps-and-islands rewrite
+    (same SQL family as the green monitoring_consecutive_breach).
+    The hourly mean is decimal-sum exact so the value column (and the
+    >= threshold comparison) is bit-stable across engines."""
     import tempfile
 
     from ..streaming.stateful import consecutive_breach_alarm
@@ -86,7 +108,12 @@ def streaming_breach_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     (
         ev.groupBy(F.date_trunc("hour", "ts").alias("ts"))
-        .agg(F.avg("value").alias("value"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("value")
+            ).alias("value")
+        )
         .select(
             F.lit("hourly_avg_value").alias("metric"),
             F.unix_micros("ts").alias("ts_micros"),
@@ -244,9 +271,64 @@ FROM v JOIN c
 """
 
 
+# The availableNow drain is one micro-batch per stage, so the emitted
+# result equals the batch 1-min aggregation restricted to FINALIZED
+# windows: Spark append mode emits a window once the event-time
+# watermark (max tx_time - 60 s) is PAST its end.  Decimal-exact fee
+# sums; avg recomputed as double division of the exact sum (both
+# engines do the identical final division).
+PIPELINE_E2E_ORACLE = """
+WITH src AS (
+  SELECT ts, CAST(value AS DECIMAL(18,4)) AS fee FROM events
+  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+), agg AS (
+  SELECT date_trunc('minute', ts) AS tx_minute,
+         CAST(count(*) AS BIGINT) AS total_nb_trx_1min,
+         CAST(sum(fee) AS DOUBLE) AS total_fee_1min
+  FROM src GROUP BY 1
+)
+SELECT tx_minute, total_nb_trx_1min, total_fee_1min,
+       total_fee_1min / total_nb_trx_1min AS avg_fee_1min
+FROM agg
+WHERE tx_minute + INTERVAL 1 MINUTE
+      <= (SELECT max(ts) - INTERVAL 60 SECOND FROM src)
+"""
+
+
+# Gaps-and-islands rewrite of the stateful counter walk: island id =
+# running count of non-breach rows; consecutive = breach row_number
+# within the island; emit rows at count >= 3, transition marks the
+# count == 3 edge.  Matches consecutive_breach_alarm over a
+# single-batch drain (per-key rows sorted by ts).
+BREACH_ALARM_ORACLE = """
+WITH m AS (
+  SELECT 'hourly_avg_value' AS metric, date_trunc('hour', ts) AS ts,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS value
+  FROM events GROUP BY 2
+), f AS (
+  SELECT metric, ts, value,
+         CASE WHEN value >= 50.5 THEN 1 ELSE 0 END AS b,
+         sum(CASE WHEN value >= 50.5 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY metric ORDER BY ts) AS isl
+  FROM m
+), r AS (
+  SELECT metric, ts, value,
+         CAST(sum(b) OVER (PARTITION BY metric, isl ORDER BY ts) AS INTEGER)
+           AS consecutive
+  FROM f WHERE b = 1
+)
+SELECT metric, ts, value, consecutive, (consecutive = 3) AS transition
+FROM r WHERE consecutive >= 3
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
-    "streaming_pipeline_e2e": QuerySpec(streaming_pipeline_e2e, None, "§3.1,T1-T8 (stateful)"),
-    "streaming_breach_alarm": QuerySpec(streaming_breach_alarm, None, "§2.9 applyInPandasWithState, alarm"),
+    "streaming_pipeline_e2e": QuerySpec(
+        streaming_pipeline_e2e, PIPELINE_E2E_ORACLE, "§3.1,T1-T8 e2e pipeline"
+    ),
+    "streaming_breach_alarm": QuerySpec(
+        streaming_breach_alarm, BREACH_ALARM_ORACLE, "§2.9 applyInPandasWithState, alarm"
+    ),
     "s1_http_poll_ingest": QuerySpec(s1_http_poll_ingest, None, "§2.1 S1 Python Data Source"),
     "streaming_stream_join": QuerySpec(streaming_stream_join, STREAM_JOIN_ORACLE, "stream-stream interval join"),
 }
