@@ -306,22 +306,29 @@ def _candidate_pair_frame(
         )
 
     if prefix_filter:
-        # Driver-side split decision (an AQE-style metadata choice):
-        # block count is bounded by the blocking-key cardinality, so
-        # collecting the sizes is cheap, and the job that computes
-        # them also materializes the shingle cache. When every block
-        # is small the prefix subtree is skipped entirely — its plan
+        # Driver-side split decision (an AQE-style metadata choice),
+        # bounded by the HOT-block list rather than the blocking-key
+        # cardinality: sizes are aggregated and filtered to > block_cap
+        # SERVER-SIDE, and only a capped sample (65 rows) ever reaches
+        # the driver — per-domain blocking on a real corpus can have
+        # 10^7-10^8 blocks, and collecting every size would be a
+        # driver-memory cliff.  The job also materializes the shingle
+        # cache.  Few hot blocks => literal predicates split the rows
+        # (no extra shuffle); many => semi/anti joins on the hot-key
+        # frame (AQE broadcasts it when it is small).  When no block
+        # is hot the prefix subtree is skipped entirely — its plan
         # overhead (index build + three extra shuffles) is pure waste
         # there.
-        sizes = shingled.groupBy(*keys).agg(F.count("*").alias("__bn")).collect()
-        big_keys = [
-            tuple(r[k] for k in keys) for r in sizes if r["__bn"] > block_cap
-        ]
-        if not big_keys:
+        big = (
+            shingled.groupBy(*keys)
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > block_cap)
+            .select(*keys)
+        )
+        big_rows = big.limit(65).collect()  # bounded driver metadata
+        if not big_rows:
             pairs = direct_pairs(shingled)
-        elif len(big_keys) == len(sizes):
-            pairs = _prefix_pairs(shingled, keys, threshold)
-        else:
+        elif len(big_rows) <= 64:
             import functools
             import operator
 
@@ -330,13 +337,21 @@ def _candidate_pair_frame(
                 (
                     functools.reduce(
                         operator.and_,
-                        (F.col(k) == F.lit(v) for k, v in zip(keys, bk)),
+                        (F.col(k) == F.lit(r[k]) for k in keys),
                     )
-                    for bk in big_keys
+                    for r in big_rows
                 ),
             )
             pairs = direct_pairs(shingled.filter(~is_big)).unionByName(
                 _prefix_pairs(shingled.filter(is_big), keys, threshold)
+            )
+        else:
+            pairs = direct_pairs(
+                shingled.join(big, list(keys), "left_anti")
+            ).unionByName(
+                _prefix_pairs(
+                    shingled.join(big, list(keys), "left_semi"), keys, threshold
+                )
             )
     else:
         pairs = direct_pairs(shingled)
