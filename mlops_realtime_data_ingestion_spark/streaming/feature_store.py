@@ -304,63 +304,76 @@ class FeatureStore:
             )
             for key in touched
         }
-        existing = [d for d in live_dirs.values() if os.path.isdir(d)]
-        if existing:
-            current = spark.read.option("basePath", lp).parquet(*existing)
-            merged = current.withColumn("_pri", F.lit(0)).unionByName(
-                batch.withColumn("_pri", F.lit(1))
+        # Concurrent writers: the read-merge-swap below is a critical
+        # section — two writers merging into the same key-partition
+        # would each read the pre-merge state and the second swap would
+        # silently drop the first writer's updates (lost update).  The
+        # backend's exclusive() serializes writers per table (a no-op
+        # on transactional formats, whose MERGE commit detects the
+        # conflict instead); the staging dir is writer-unique so even
+        # a misbehaving concurrent caller can't clobber it.
+        import uuid
+
+        tmp = lp + f".__upsert_tmp-{uuid.uuid4().hex}"
+        with self.backend.exclusive(lp):
+            existing = [d for d in live_dirs.values() if os.path.isdir(d)]
+            if existing:
+                current = spark.read.option("basePath", lp).parquet(*existing)
+                merged = current.withColumn("_pri", F.lit(0)).unionByName(
+                    batch.withColumn("_pri", F.lit(1))
+                )
+                w2 = Window.partitionBy(self.key_col).orderBy(
+                    F.col(self.event_time_col).desc(), F.col("_pri").desc()
+                )
+                merged = (
+                    merged.withColumn("__rn", F.row_number().over(w2))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "_pri")
+                )
+            else:
+                merged = batch
+            (
+                merged.repartition(*self._PCOLS)
+                .write.partitionBy(*self._PCOLS)
+                .mode("overwrite")
+                .parquet(tmp)
             )
-            w2 = Window.partitionBy(self.key_col).orderBy(
-                F.col(self.event_time_col).desc(), F.col("_pri").desc()
-            )
-            merged = (
-                merged.withColumn("__rn", F.row_number().over(w2))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "_pri")
-            )
-        else:
-            merged = batch
-        tmp = lp + ".__upsert_tmp"
-        (
-            merged.repartition(*self._PCOLS)
-            .write.partitionBy(*self._PCOLS)
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        rewritten = []
-        for key, live in live_dirs.items():
-            tdir = os.path.join(
-                tmp, *(f"{c}={v}" for c, v in zip(self._PCOLS, key))
-            )
-            if not os.path.isdir(tdir):
-                continue  # batch rows all lost to older-than-store keys
-            self.backend.swap_directory(tdir, live)
-            rewritten.append(live)
+            rewritten = []
+            for key, live in live_dirs.items():
+                tdir = os.path.join(
+                    tmp, *(f"{c}={v}" for c, v in zip(self._PCOLS, key))
+                )
+                if not os.path.isdir(tdir):
+                    continue  # batch rows all lost to older-than-store keys
+                self.backend.swap_directory(tdir, live)
+                rewritten.append(live)
         shutil.rmtree(tmp, ignore_errors=True)
         return rewritten
 
     def _upsert_whole(self, spark: SparkSession, batch: DataFrame) -> list[str]:
         """Unpartitioned fallback: MERGE over the whole (small) table
-        with one atomic directory swap."""
-        import shutil
+        with one atomic directory swap, serialized against concurrent
+        writers by the backend's table lock (see upsert_latest)."""
+        import uuid
 
         lp = self.latest_path
-        if os.path.isdir(lp):
-            current = self.backend.read(spark, lp)
-            merged = current.withColumn("_pri", F.lit(0)).unionByName(
-                batch.withColumn("_pri", F.lit(1))
-            )
-            w2 = Window.partitionBy(self.key_col).orderBy(
-                F.col(self.event_time_col).desc(), F.col("_pri").desc()
-            )
-            merged = (
-                merged.withColumn("__rn", F.row_number().over(w2))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "_pri")
-            )
-        else:
-            merged = batch
-        tmp = lp + ".__upsert_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.backend.swap_directory(tmp, lp)
+        tmp = lp + f".__upsert_tmp-{uuid.uuid4().hex}"
+        with self.backend.exclusive(lp):
+            if os.path.isdir(lp):
+                current = self.backend.read(spark, lp)
+                merged = current.withColumn("_pri", F.lit(0)).unionByName(
+                    batch.withColumn("_pri", F.lit(1))
+                )
+                w2 = Window.partitionBy(self.key_col).orderBy(
+                    F.col(self.event_time_col).desc(), F.col("_pri").desc()
+                )
+                merged = (
+                    merged.withColumn("__rn", F.row_number().over(w2))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "_pri")
+                )
+            else:
+                merged = batch
+            merged.write.mode("overwrite").parquet(tmp)
+            self.backend.swap_directory(tmp, lp)
         return [lp]

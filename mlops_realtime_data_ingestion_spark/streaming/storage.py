@@ -18,9 +18,12 @@ reference's analogous seam is SageMaker's offline-store S3 layout
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
+import uuid
 from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +71,15 @@ class StorageBackend(ABC):
         """Atomically replace directory ``live`` with ``tmp``
         (readers see old or new, never a mix beyond one rename)."""
 
+    @contextlib.contextmanager
+    def exclusive(self, path: str, timeout_s: float = 60.0):
+        """Mutual exclusion for a read-merge-swap critical section on
+        ``path``.  Transactional formats (Delta/Iceberg) don't need
+        it — their commit protocol detects write conflicts and retries
+        the MERGE — so the base implementation is a no-op; the plain-
+        parquet backend overrides it with a filesystem lock."""
+        yield
+
     @abstractmethod
     def vacuum(self, path: str, keep_versions: int = 10) -> dict:
         """Table maintenance (the Delta VACUUM + checkpoint analogue):
@@ -88,12 +100,33 @@ class ParquetManifestBackend(StorageBackend):
         return os.path.join(path, "_manifests")
 
     def append(self, df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> list[str]:
-        before = self.list_data_files(path) if os.path.isdir(path) else set()
-        writer = df.write.mode("append")
+        """Stage-then-move append: the write lands in a private staging
+        dir and its part files (task-UUID-unique names, no collision
+        risk) are moved into the table.  The returned 'added' list is
+        exactly the files THIS writer moved — a plain before/after
+        directory diff would attribute a concurrent writer's files to
+        this commit and double-count them across manifests."""
+        stage = path.rstrip("/") + f".__stage-{uuid.uuid4().hex}"
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-        return sorted(self.list_data_files(path) - before)
+        writer.parquet(stage)
+        added: list[str] = []
+        try:
+            for root, dirs, files in os.walk(stage):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, f)
+                    rel = os.path.relpath(src, stage)
+                    dst = os.path.join(path, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+                    added.append(rel)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return sorted(added)
 
     def read(self, spark: SparkSession, path: str, files: list[str] | None = None) -> DataFrame:
         if files is None:
@@ -103,15 +136,31 @@ class ParquetManifestBackend(StorageBackend):
         )
 
     def commit_version(self, path: str, added: list[str]) -> int:
+        """Optimistic-concurrency commit (the Delta/Iceberg protocol on
+        a filesystem): compute next = max(versions) + 1, then publish
+        manifest-next via CREATE-IF-ABSENT — ``os.link`` fails with
+        EEXIST instead of overwriting, unlike ``os.replace`` — and on
+        losing the race re-read the log and retry with the next number.
+        Two concurrent writers therefore get consecutive versions and
+        both commits survive; the loop is bounded by the number of
+        concurrent committers."""
         mdir = self._manifest_dir(path)
         os.makedirs(mdir, exist_ok=True)
-        have = self.versions(path)
-        v = (max(have) + 1) if have else 0
-        tmp = os.path.join(mdir, f".v{v:06d}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "added": added}, f)
-        os.replace(tmp, os.path.join(mdir, f"v{v:06d}.json"))
-        return v
+        tmp = os.path.join(mdir, f".commit-{uuid.uuid4().hex}.json.tmp")
+        try:
+            while True:
+                have = self.versions(path)
+                v = (max(have) + 1) if have else 0
+                with open(tmp, "w") as f:
+                    json.dump({"version": v, "added": added}, f)
+                try:
+                    os.link(tmp, os.path.join(mdir, f"v{v:06d}.json"))
+                    return v
+                except FileExistsError:
+                    continue  # lost the CAS: re-read the log, retry
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def versions(self, path: str) -> list[int]:
         mdir = self._manifest_dir(path)
@@ -150,12 +199,40 @@ class ParquetManifestBackend(StorageBackend):
         )
 
     def swap_directory(self, tmp: str, live: str) -> None:
-        old = live.rstrip("/") + ".__old"
+        old = live.rstrip("/") + f".__old-{uuid.uuid4().hex}"
         if os.path.isdir(live):
             os.rename(live, old)
         os.makedirs(os.path.dirname(live), exist_ok=True)
         os.rename(tmp, live)
         shutil.rmtree(old, ignore_errors=True)
+
+    @contextlib.contextmanager
+    def exclusive(self, path: str, timeout_s: float = 60.0):
+        """Filesystem mutex via atomic ``mkdir`` (create-if-absent):
+        serializes read-merge-swap writers on the same table.  A crash
+        inside the critical section leaves the lock dir behind; the
+        timeout raises rather than deadlocking, and the error names
+        the stale dir to remove.  On an object store this whole
+        primitive disappears into the table format's optimistic commit
+        (see the base class)."""
+        lock = path.rstrip("/") + ".__lock"
+        os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"could not acquire table lock {lock} within "
+                        f"{timeout_s}s; remove it if a writer crashed"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.rmdir(lock)
 
     def vacuum(self, path: str, keep_versions: int = 10) -> dict:
         """Driver-side METADATA operation: both the orphan diff and
