@@ -63,7 +63,33 @@ _R2_CHECKED = frozenset({
     "text_heavy_hitters_cms",
 })
 
-_DRIVER_CHECKED = _R1_CHECKED | _R2_CHECKED
+# Queries with a green hash-match row in CORRECTNESS_r03.json. The
+# three r3 rows-only streaming queries are NOT listed:
+# streaming_pipeline_e2e and streaming_breach_alarm gained full SQL
+# oracles in round 4 and should be (re-)checked first; s1_http_poll
+# stays rows-only (live-source shape) but has had its weak check.
+_R3_CHECKED = frozenset({
+    "a6_minute_bucket", "a7_minmax_span", "approx_quantiles_by_type",
+    "approx_quantiles_value", "boilerplate_chunks", "bpe_top_merges",
+    "cdc_snapshot_diff", "decontam_semantic", "dedup_cc_star",
+    "dedup_connected_components", "dedup_incremental_lsh",
+    "doc_chunk_sliding", "drift_psi_events", "embedding_hard_negatives",
+    "embedding_normalize_quantize", "embedding_pq_codes",
+    "f1_epoch_roundtrip", "f4_base64_json", "f5_json_encode_size",
+    "f6_json_extract", "f7_f8_scalar_math", "feature_mutual_info",
+    "flagship_tx_window_1min", "funnel_view_click_purchase",
+    "fuzzy_join_part_names", "graph_pagerank_topk", "hll_merge_identity",
+    "hll_users_by_type", "join_bloom_prefilter", "multimodal_decode",
+    "multimodal_resize", "p1_dedup_keep_first", "retrieval_eval_ann",
+    "rollup_incremental_merge", "s10_latest_per_key",
+    "sample_domain_mixture", "sample_weighted_docs", "session_window_agg",
+    "sliding_window_agg", "split_leakage_safe", "table_stats_orders",
+    "text_bm25_topk", "text_perplexity_filter", "text_pii_redact",
+    "text_tfidf_topk", "token_pmi_topk", "ts_anomaly_zscore",
+    "s1_http_poll_ingest",
+})
+
+_DRIVER_CHECKED = _R1_CHECKED | _R2_CHECKED | _R3_CHECKED
 
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
@@ -142,6 +168,12 @@ def all_specs() -> dict[str, QuerySpec]:
         from . import profiling_queries
 
         specs.update(profiling_queries.SPECS)
+    except ImportError:
+        pass
+    try:
+        from . import tpch_partsupp
+
+        specs.update(tpch_partsupp.SPECS)
     except ImportError:
         pass
     return _priority_order(specs)

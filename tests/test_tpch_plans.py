@@ -85,3 +85,35 @@ def test_q20_nested_semi_joins(spark, sf_dir):
 def test_q21_semi_and_anti_share_key(spark, sf_dir):
     plan = _plan(tq.tpch_q21_waiting_suppliers(spark, sf_dir))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+# ---------- true-shape variants over the derived partsupp ----------
+
+from mlops_realtime_data_ingestion_spark.plans import tpch_partsupp as tps
+
+
+def test_q2_true_single_lineitem_scan_and_topn(spark, sf_dir):
+    # partsupp derives from ONE lineitem scan (the distinct pair set);
+    # the correlated min is a window, not a join-back
+    plan = _plan(tps.tpch_q2_true(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # supp/nation/region/part
+
+
+def test_q9_true_part_filter_pushed(spark, sf_dir):
+    plan = _plan(tps.tpch_q9_true(spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan
+
+
+def test_q11_true_broadcasts_scalar_cut(spark, sf_dir):
+    # HAVING-vs-scalar: the one-row threshold joins back as a
+    # broadcast, never a shuffle
+    plan = _plan(tps.tpch_q11_true(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_true_semi_joins(spark, sf_dir):
+    plan = _plan(tps.tpch_q20_true(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 3  # part family, nation group, qualifying
