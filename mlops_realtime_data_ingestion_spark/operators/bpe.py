@@ -72,25 +72,35 @@ def bpe_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     pair count break on (left, right) ascending, so the training is
     fully deterministic.
     """
+    rules, _ = _train(_word_vocab(df, text_col), k)
+    return rules
+
+
+def _spark_words(text_col: str) -> str:
     # tokens containing the delimiter itself would corrupt symbol
     # boundaries in the '|s1||s2|' encoding (silently wrong pair
     # counts), so '|'-bearing tokens are excluded from the vocabulary
     # — mirrored in the oracle. They are tokenizer junk, not words.
-    vocab = (
-        df.select(
-            F.explode(
-                F.expr(
-                    f"filter(split(lower(trim({text_col})), '\\\\s+'), "
-                    "x -> x != '' AND NOT contains(x, '|'))"
-                )
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(_to_delimited("w").alias("s"), "cnt")
+    return (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), "
+        "x -> x != '' AND NOT contains(x, '|'))"
     )
 
-    spark = df.sparkSession
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, s, cnt): corpus vocabulary with the delimited symbol state."""
+    return (
+        df.select(F.explode(F.expr(_spark_words(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", _to_delimited("w").alias("s"), "cnt")
+    )
+
+
+def _train(vocab: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """k merge rounds over a (.., s, cnt) vocabulary; returns (rules,
+    final vocabulary with merges applied).  Extra vocabulary columns
+    (e.g. the word itself) pass through untouched."""
     out: DataFrame | None = None
     for rank in range(1, k + 1):
         pairs = vocab.select("cnt", F.explode(_pairs("s")).alias("p")).select(
@@ -125,4 +135,39 @@ def bpe_merges(df: DataFrame, text_col: str, k: int = 3) -> DataFrame:
             .drop("left", "right")
         )
     assert out is not None
-    return out
+    return out, vocab
+
+
+def bpe_encode_counts(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """APPLY the learned tokenizer: per-document BPE token count after
+    the first ``k`` merges — the encode stage that actually runs over
+    100 TB once training has converged.
+
+    Encoding happens on the VOCABULARY (one delimited-replace chain
+    per distinct word, the same broadcast-literal plan as training),
+    never on raw text: each document then just sums its words' symbol
+    counts through one (word -> n_tokens) join.  Cost = train (vocab-
+    sized rounds) + one explode-join-aggregate over the corpus; the
+    per-word encode work is proportional to |vocab|, not corpus size.
+
+    Returns (doc_id, n_words, n_bpe_tokens) for documents with >= 1
+    valid word, where n_bpe_tokens <= chars and decreases as k grows.
+    """
+    _, vocab = _train(_word_vocab(df, text_col), k)
+    word_tokens = vocab.select(
+        "w", F.size(_symbols("s")).cast("long").alias("ntok")
+    )
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_spark_words(text_col))).alias("w"),
+    )
+    return (
+        words.join(word_tokens, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("n_bpe_tokens"),
+        )
+    )

@@ -31,17 +31,54 @@ from pyspark.sql.types import NumericType, StringType, TimestampType
 from ..plans.determinism import dsum
 
 
-def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def _hll_key_expr(c: str, dt) -> object | None:
+    """Cross-engine numeric key for sketch-NDV profiling: a long in
+    [0, P) per non-null value, distinct-preserving per type (doubles
+    via a 4-dp decimal grid — the profile's documented precision
+    contract; strings via the engines' shared char-fold hash)."""
+    from ..functions import hashing as H
+    from pyspark.sql.types import (
+        DecimalType, DoubleType, FloatType, IntegralType,
+    )
+
+    if isinstance(dt, IntegralType):
+        k = F.col(c).cast("long")
+    elif isinstance(dt, (DoubleType, FloatType, DecimalType)):
+        k = (F.col(c).cast("decimal(18,4)") * 10000).cast("long")
+    elif isinstance(dt, TimestampType):
+        k = F.unix_micros(F.col(c))
+    elif isinstance(dt, StringType):
+        k = F.expr(H.spark_str_hash(c))
+    else:
+        return None
+    return F.pmod(k, F.lit(H.P))
+
+
+def table_stats(
+    df: DataFrame, columns: list[str] | None = None, ndv: str = "exact", p: int = 10
+) -> DataFrame:
     """One-pass column profile: (column_name, n_rows, n_null,
     n_distinct, min_val, max_val, avg_len).
 
     min/max are reported as doubles (timestamps as epoch seconds) so
     the output schema is flat and engine-comparable; string columns
-    report an exact 4-dp average length instead.  NDV is exact
-    (count-distinct, null-excluded) — at 100 TB swap in
-    ``approx_count_distinct`` per column for a single-shuffle sketch;
-    the exact spelling is kept here because it is what the oracle can
-    verify bit-for-bit.
+    report an exact 4-dp average length instead.
+
+    NDV comes in two spellings behind ``ndv``:
+
+    - ``"exact"``: count-distinct per column inside the single wide
+      aggregate (null-excluded) — the oracle-bit-exact default.
+    - ``"sketch"``: the 100 TB plan.  Every column's values are mapped
+      to a cross-engine numeric key (_hll_key_expr), unpivoted to
+      (column_name, key) rows, and fed through the deterministic
+      grouped HyperLogLog (operators/sketches.hll_cardinality_grouped)
+      — ONE extra scan and a <= columns x 2^p register shuffle replace
+      the per-column count-distinct expansion, which at 100 TB is the
+      dominant shuffle of the profile job.  Output gains an
+      ``ndv_sketch`` double column (n_distinct stays exact, as the
+      error contract — drop it at true scale).  Deterministic hashing
+      keeps even this approximate plan DuckDB-oracle-checkable
+      (table_stats_orders_sketch).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns if columns is not None else [f.name for f in df.schema.fields]
@@ -84,7 +121,7 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     stack_args = ", ".join(
         f"'{c}', __null_{c}, __ndv_{c}, __min_{c}, __max_{c}, __len_{c}" for c in cols
     )
-    return wide.select(
+    base = wide.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
@@ -98,6 +135,34 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "min_val",
         "max_val",
         "avg_len",
+    )
+    if ndv == "exact":
+        return base
+
+    from .sketches import hll_cardinality_grouped
+
+    keyed = [(c, _hll_key_expr(c, fields[c])) for c in cols]
+    keyed = [(c, k) for c, k in keyed if k is not None]
+    if not keyed:
+        return base.withColumn("ndv_sketch", F.lit(None).cast("double"))
+    # ONE scan: every column's key expression is computed in a single
+    # projection and stack-unpivoted to (column_name, key) rows —
+    # a per-column union would rescan the table once per column.
+    # NULL values produce NULL keys; the grouped HLL drops them (the
+    # same exclusion count-distinct applies).
+    wide_keys = df.select(
+        *[k.alias(f"__k_{i}") for i, (c, k) in enumerate(keyed)]
+    )
+    stack_k = ", ".join(f"'{c}', __k_{i}" for i, (c, _) in enumerate(keyed))
+    u = wide_keys.select(
+        F.expr(f"stack({len(keyed)}, {stack_k}) AS (column_name, __hk)")
+    )
+    sk = hll_cardinality_grouped(u, "__hk", ["column_name"], p=p).select(
+        "column_name", F.col("hll_estimate").alias("ndv_sketch")
+    )
+    return base.join(sk, "column_name", "left").select(
+        "column_name", "n_rows", "n_null", "ndv_sketch", "n_distinct",
+        "min_val", "max_val", "avg_len",
     )
 
 

@@ -38,8 +38,87 @@ def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_stats(load_table(spark, sf_dir, "orders"))
 
 
-def _stats_col(c: str, kind: str) -> str:
+def table_stats_orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile plan, tested: per-column NDV via the
+    deterministic grouped HyperLogLog over cross-engine numeric keys
+    (one unpivot scan + a columns x 1024 register shuffle) instead of
+    the per-column count-distinct expansion.  Exact NDV ships
+    alongside as the error contract."""
+    return table_stats(load_table(spark, sf_dir, "orders"), ndv="sketch")
+
+
+_SKETCH_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "dbl"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _duck_hll_key(c: str, kind: str) -> str:
     if kind == "num":
+        k = f"CAST({c} AS BIGINT)"
+    elif kind == "dbl":
+        k = f"CAST(CAST({c} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    elif kind == "ts":
+        k = f"epoch_us({c})"
+    else:
+        k = H.duck_str_hash(c)
+    return f"((({k}) % {H.P}) + {H.P}) % {H.P}"
+
+
+def _table_stats_sketch_oracle() -> str:
+    m = 1 << 10
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, {_duck_hll_key(c, k)} AS hk "
+        f"FROM orders WHERE {c} IS NOT NULL"
+        for c, k in _SKETCH_COLS
+    )
+    stats = "\nUNION ALL\n".join(_stats_col(c, k) for c, k in _SKETCH_COLS)
+    return f"""
+WITH u AS (
+{unions}
+), h AS (
+  SELECT column_name,
+         ((((({a} * hk + {b}) % {H.P}) * (({a} * hk + {b}) % {H.P}) + {a}) % {H.P})
+          * (((({a} * hk + {b}) % {H.P}) * (({a} * hk + {b}) % {H.P}) + {a}) % {H.P})
+          + {b}) % {H.P} AS h
+  FROM u
+), t AS (
+  SELECT column_name, h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN 21
+              ELSE 21 - length(bin(h // {m})) END AS rho
+  FROM h
+), regs AS (
+  SELECT column_name, bucket, max(rho) AS rho FROM t GROUP BY 1, 2
+), zv AS (
+  SELECT column_name,
+         sum((CAST(1 AS BIGINT) << (30 - rho)))
+           + ({m} - count(*)) * (CAST(1 AS BIGINT) << 30) AS z,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) + ({m} - count(*)) AS v
+  FROM regs GROUP BY 1
+), e AS (
+  SELECT column_name,
+         CASE WHEN ({est_num!r} / CAST(z AS DOUBLE)) <= {2.5 * m} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+              ELSE {est_num!r} / CAST(z AS DOUBLE) END AS est
+  FROM zv
+), s AS (
+{stats}
+)
+SELECT s.column_name, n_rows, n_null, round(e.est, 4) AS ndv_sketch,
+       n_distinct, min_val, max_val, avg_len
+FROM s JOIN e ON s.column_name = e.column_name
+"""
+
+
+def _stats_col(c: str, kind: str) -> str:
+    if kind in ("num", "dbl"):
         mn, mx, ln = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)", "NULL"
     elif kind == "ts":
         mn = f"CAST(epoch(min({c})) AS DOUBLE)"
@@ -310,6 +389,10 @@ SPECS: dict[str, QuerySpec] = {
     "table_stats_orders": QuerySpec(
         table_stats_orders, TABLE_STATS_ORACLE, "ANALYZE column profile, one pass"
     ),
+    "table_stats_orders_sketch": QuerySpec(
+        table_stats_orders_sketch, _table_stats_sketch_oracle(),
+        "column profile with deterministic HLL NDV (the 100 TB plan)",
+    ),
     "rollup_incremental_merge": QuerySpec(
         rollup_incremental_merge, ROLLUP_MERGE_ORACLE,
         "incremental MV maintenance: merge == recompute",
@@ -431,6 +514,69 @@ def _bpe_oracle(k: int = 3) -> str:
 
 SPECS["bpe_top_merges"] = QuerySpec(
     bpe_top_merges, _bpe_oracle(3), "distributed BPE tokenizer training"
+)
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (the 100 TB encode hot path): per-doc BPE
+    token counts after the first 3 learned merges — encoding runs on
+    the distinct-word vocabulary (broadcast literal replaces), each
+    document aggregates its words' symbol counts through one join."""
+    from ..operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+def _bpe_encode_oracle(k: int = 3) -> str:
+    ctes = [
+        """v0 AS (
+  SELECT w, substring(regexp_replace(w, '(.)', '||\\1', 'g'), 2) || '|' AS s,
+         cnt
+  FROM (
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x != '' AND NOT contains(x, '|'))) AS w
+      FROM documents) GROUP BY w)
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"v{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+  FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms FROM {prev})
+), t{i} AS (
+  SELECT l AS left_sym, r AS right_sym
+  FROM (SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM p{i})
+  GROUP BY l, r ORDER BY sum(cnt) DESC, l, r LIMIT 1
+), v{i} AS (
+  SELECT w, replace(s, '|' || left_sym || '||' || right_sym || '|',
+                    '|' || left_sym || right_sym || '|') AS s, cnt
+  FROM {prev}, t{i}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+wt AS (
+  SELECT w, len(string_split(trim(s, '|'), '||')) AS ntok FROM v{k}
+), dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x != '' AND NOT contains(x, '|'))) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wt USING (w) GROUP BY doc_id
+"""
+    )
+
+
+SPECS["bpe_encode_documents"] = QuerySpec(
+    bpe_encode_documents, _bpe_encode_oracle(3),
+    "BPE tokenizer application: per-doc token counts",
 )
 
 

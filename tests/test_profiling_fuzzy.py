@@ -45,6 +45,30 @@ def test_table_stats_values(spark):
     assert rows["v"]["n_null"] == 1 and rows["v"]["max_val"] == 2.5
 
 
+def test_table_stats_sketch_ndv_accuracy(spark, sf_dir):
+    """ndv='sketch' reports a per-column HLL estimate within sketch
+    error of the exact NDV, for every profiled type (int, double,
+    string, timestamp)."""
+    from mlops_realtime_data_ingestion_spark.operators.profiling import table_stats
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = {r["column_name"]: r for r in table_stats(orders, ndv="sketch").collect()}
+    exact = {r["column_name"]: r for r in table_stats(orders).collect()}
+    assert set(rows) == set(exact)
+    for c, r in rows.items():
+        assert r["n_distinct"] == exact[c]["n_distinct"]  # contract col intact
+        if r["n_distinct"] and r["ndv_sketch"] is not None:
+            rel = abs(r["ndv_sketch"] - r["n_distinct"]) / r["n_distinct"]
+            assert rel < 0.25, (c, r["ndv_sketch"], r["n_distinct"])
+    # the HLL keys come from ONE stack-unpivot scan, not one per column
+    plan = (
+        table_stats(orders, ndv="sketch")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("orders.parquet") <= 3  # stats agg + keys + exact contract
+
+
 def test_table_stats_single_scan(spark):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("g"), F.col("id").cast("string").alias("s")
@@ -276,6 +300,27 @@ def test_bpe_pipe_tokens_are_excluded(spark):
     assert key(bpe_merges(dirty, "text", k=3).collect()) == key(
         bpe_merges(clean, "text", k=3).collect()
     )
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    """Applying the learned merges: 'low low lower' with k=2 learns
+    l+o then lo+w, so 'low'→1 token ('low'? no — 2 merges give 'lo','w'
+    then 'low') … asserted against hand-derivation below."""
+    from mlops_realtime_data_ingestion_spark.operators.bpe import (
+        bpe_encode_counts, bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low"), (3, "|||")], "doc_id long, text string"
+    )
+    rules = [(r["left"], r["right"]) for r in bpe_merges(df, "text", k=2).collect()]
+    assert rules == [("l", "o"), ("lo", "w")]
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+           bpe_encode_counts(df, "doc_id", "text", k=2).collect()}
+    # after merges: 'low' -> ['low'] (1 tok), 'lower' -> ['low','e','r'] (3)
+    assert got[1] == (3, 1 + 1 + 3)
+    assert got[2] == (1, 1)
+    assert 3 not in got  # doc of pipe-junk has no valid words
 
 
 def test_bpe_merge_handles_overlapping_runs(spark):
