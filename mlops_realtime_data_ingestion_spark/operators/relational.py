@@ -29,6 +29,7 @@ __all__ = [
     "positional_zip",
     "consecutive_islands",
     "asof_join",
+    "asof_join_cogrouped",
     "range_join",
     "salted_join",
 ]
@@ -210,6 +211,74 @@ def asof_join(
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols if c not in key_cols and c != left_ts],
         *sel_vals,
+    )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — the cogrouped-map
+    member of the pandas-UDF taxonomy (§2.9), result-identical to
+    :func:`asof_join` (asserted in tests/test_asof_chunk.py).
+
+    Plan: both sides shuffle ONCE, co-partitioned on the key; each key
+    group is handed to ``pd.merge_asof`` as one Arrow batch.  Pick
+    this variant when key groups are small and the carried value set
+    is wide (one vectorized merge beats N window-carry columns); pick
+    the window-based :func:`asof_join` for skewed keys — it has no
+    per-group memory bound.  Contract: ``value_cols`` must not collide
+    with left column names (the right timestamp is renamed internally),
+    and right timestamps are unique per key (same tie caveat as
+    asof_join).
+    """
+    import pandas as pd
+
+    lcols = list(left.columns)
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    passthrough = [c for c in lcols if c not in key_cols and c != left_ts]
+    out_cols = [*key_cols, left_ts, *passthrough, *value_cols]
+    schema = ", ".join(
+        [f"`{c}` {ltypes[c]}" for c in (*key_cols, left_ts, *passthrough)]
+        + [f"`{c}` {rtypes[c]}" for c in value_cols]
+    )
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
+
+    # A self-cogroup (both sides carved from the same source frame)
+    # shares attribute ids between the sides, and Spark's plan
+    # de-aliasing silently DROPS the right side's same-named columns
+    # from the cogroup input (observed: right 'ts' vanished when left
+    # also had 'ts' from the same scan). Re-projecting the right side
+    # under fresh __r_ names breaks the collision.
+    right = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in (*key_cols, right_ts, *value_cols)]
+    )
+    r_keys = [f"__r_{c}" for c in key_cols]
+    rts, rvals = f"__r_{right_ts}", [f"__r_{c}" for c in value_cols]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf[[rts, *rvals]].sort_values(rts, kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf, rpdf,
+            left_on=left_ts, right_on=rts,
+            direction="backward", tolerance=tol,
+        )
+        merged = merged.rename(columns={rv: c for rv, c in zip(rvals, value_cols)})
+        return merged[out_cols]
+
+    return (
+        left.groupBy(*key_cols)
+        .cogroup(right.groupBy(*r_keys))
+        .applyInPandas(merge, schema=schema)
     )
 
 

@@ -388,6 +388,37 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def asof_join_cogrouped_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of semantics through the cogrouped-map pandas API
+    (cogroup().applyInPandas + pd.merge_asof) — the §2.9 cogroup
+    surface, sharing asof_join_last_purchase's oracle because the two
+    spellings are result-identical (also asserted directly in
+    tests/test_asof_chunk.py)."""
+    from ..operators.ingest import dedup_keep_first
+    from ..operators.relational import asof_join_cogrouped
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = dedup_keep_first(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        ["user_id", "ts"],
+        [F.col("value").asc()],
+    )
+    out = asof_join_cogrouped(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "user_id", "ts", "event_id", F.col("value").alias("last_purchase_value")
+    )
+
+
 def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (custom operator): every event inside the
     6-hour attribution window that starts at each purchase of a
@@ -613,6 +644,9 @@ SPECS: dict[str, QuerySpec] = {
     "join_anti_no_big_orders": QuerySpec(join_anti_no_big_orders, JOIN_ANTI_ORACLE, "§2.3 anti, J1"),
     "j2_positional_zip": QuerySpec(j2_positional_zip_simple, J2_ORACLE, "J2"),
     "asof_join_last_purchase": QuerySpec(asof_join_last_purchase, ASOF_ORACLE, "custom asof join"),
+    "asof_join_cogrouped_purchase": QuerySpec(
+        asof_join_cogrouped_purchase, ASOF_ORACLE, "asof via cogrouped-map pandas"
+    ),
     "range_join_attribution": QuerySpec(range_join_attribution, RANGE_JOIN_ORACLE, "custom range join"),
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_ORACLE, "skew-salted join"),
     "dq_orders_report": QuerySpec(dq_orders_report, DQ_ORDERS_ORACLE, "data-quality constraint gate"),

@@ -98,3 +98,52 @@ def test_chunk_greedy_packing(spark):
     for r in out:
         sums[(r["poll_id"], r["batch_id"])] += r["sz"]
     assert all(v <= 250 for v in sums.values())
+
+
+def test_asof_join_cogrouped_matches_window_variant(spark):
+    """The cogrouped-map (pd.merge_asof) spelling must reproduce the
+    window-carry asof_join exactly: plain, equal-timestamp, tolerance,
+    and right-only-key cases."""
+    from mlops_realtime_data_ingestion_spark.operators.relational import (
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a"),
+            (1, "2024-01-01 12:00:00", "b"),
+            (2, "2024-01-01 10:30:00", "c"),
+            (1, "2024-01-01 09:00:00", "d"),  # equal-ts match
+        ],
+        "k int, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 10.0),
+            (1, "2024-01-01 11:00:00", 20.0),
+            (2, "2024-01-01 11:00:00", 30.0),
+            (3, "2024-01-01 08:00:00", 40.0),  # right-only key
+        ],
+        "k int, rts string, v double",
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    for tol in (None, "30 minutes", "2 hours"):
+        a = {
+            (r["k"], r["tag"]): r["v"]
+            for r in asof_join(
+                left, right, ["k"], "ts", "rts", ["v"], tolerance=tol
+            ).collect()
+        }
+        b = {
+            (r["k"], r["tag"]): r["v"]
+            for r in asof_join_cogrouped(
+                left, right, ["k"], "ts", "rts", ["v"], tolerance=tol
+            ).collect()
+        }
+        assert a == b, tol
+    # sanity of the no-tolerance case itself
+    none_tol = {
+        (r["k"], r["tag"]): r["v"]
+        for r in asof_join_cogrouped(left, right, ["k"], "ts", "rts", ["v"]).collect()
+    }
+    assert none_tol == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "c"): None, (1, "d"): 10.0}
