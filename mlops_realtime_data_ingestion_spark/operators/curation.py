@@ -1,0 +1,356 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+These extend the engine's curation surface (quality gates, dedup,
+decontamination — see ``operators/text.py`` / ``operators/dedup.py``)
+with four standard large-corpus stages the reference pipeline's
+model-quality loop (resources/sagemaker/pipeline-modelbuild-code/
+pipelines/blockchain/preprocess.py — select, filter, split) implies
+but never needed at its scale:
+
+- ``hashed_quality_classifier`` — fastText-style linear quality model
+  with the hashing trick: token -> feature bucket -> fixed weight,
+  doc score = sigmoid(mean weight). The model weights here are a
+  deterministic pseudo-random table (public constants) so the whole
+  classifier is DuckDB-oracle-checkable; swapping in trained weights
+  is a broadcast-table change, not a plan change.
+- ``dsir_select`` — DSIR-style importance resampling (Xie et al.,
+  "Data Selection for Language Models via Importance Resampling"):
+  hashed-unigram bag features, importance weight = mean log ratio of
+  target-domain vs corpus bucket frequencies, top-k selection.
+- ``duplicate_passage_spans`` — exact substring-duplication accounting
+  (Lee et al., "Deduplicating Training Data Makes Language Models
+  Better"): token n-gram fingerprints occurring more than once in the
+  corpus mark duplicated positions; overlapping positions merge into
+  maximal spans (gaps-and-islands) and each doc reports its
+  duplicated-token fraction.
+- ``k_anonymity_report`` — privacy audit over quasi-identifier
+  columns: group sizes and the k-anonymity at-risk flag.
+- ``semdedup_prune`` — SemDeDup (Abbas et al.): k-means-cluster the
+  embedding space, then prune documents whose cosine similarity to an
+  earlier cluster-mate exceeds tau. Pairwise work is confined to each
+  cluster — the quadratic term is (corpus/k)^2 per cluster, tuned by
+  k, never corpus^2.
+- ``dataset_card`` — per (source, lang) corpus accounting: docs,
+  tokens, exact-dup rate, mean length — the "dataset card" numbers a
+  training-data release ships with.
+
+Determinism: token hashing is the engine-wide 31-base fold mod 1e9+7
+(functions/hashing.py); float reductions go through DECIMAL casts per
+plans/determinism.py; classifier weights are integer arithmetic until
+one final division.
+
+Scale notes per operator in the docstrings; nothing here collects to
+the driver and nothing is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+__all__ = [
+    "hashed_quality_classifier",
+    "dsir_select",
+    "duplicate_passage_spans",
+    "k_anonymity_report",
+    "semdedup_prune",
+    "dataset_card",
+]
+
+# weight-table constants (public, arbitrary): bucket b's weight is
+# w(b) = (((b * KNUTH) % WP) % 2001 - 1000) / 1000  in [-1, 1]
+KNUTH = 2654435761
+WP = 1000003
+
+
+def _spark_weight_sum(text_col: str, buckets: int) -> str:
+    """Integer sum of per-token weights*1000 — stays in codegen."""
+    w = f"((((x % {buckets}) * {KNUTH}) % {WP}) % 2001 - 1000)"
+    return (
+        f"aggregate(transform({H.spark_token_hashes(text_col)}, x -> {w}),"
+        f" 0L, (acc, v) -> acc + v)"
+    )
+
+
+def hashed_quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier.
+
+    Each token hashes to one of ``buckets`` feature buckets; the model
+    is a weight per bucket (here a fixed deterministic table in
+    [-1, 1] scaled to integers); a doc's raw score is the MEAN token
+    weight and the quality probability is sigmoid(raw). ``keep`` is
+    probability >= 0.5 (raw >= 0).
+
+    Scale: the whole classifier is one narrow projection — token
+    hashing, bucket lookup, and the weight sum all run inside
+    whole-stage codegen via higher-order functions (no explode, no
+    shuffle, no Python). At 100 TB this is a pure map stage; trained
+    weights would arrive as a broadcast array literal with the same
+    plan.
+    """
+    wsum = F.expr(_spark_weight_sum(text_col, buckets))
+    n = F.size(F.expr(H.spark_tokens(text_col)))
+    raw = wsum.cast("double") / (n.cast("double") * F.lit(1000.0))
+    # raw is ONE division of exact integers — bit-identical in any
+    # engine, so it ships unrounded (rounding would *introduce*
+    # nondeterminism: the quotient can land exactly on a rounding
+    # boundary, where engines tie-break differently; seen at sf0.1).
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            raw.alias("raw_score"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("quality_prob"),
+            (wsum >= 0).alias("keep"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "lang",
+    target_domain: str = "en",
+    buckets: int = 64,
+    topk: int = 100,
+) -> DataFrame:
+    """DSIR-style importance resampling toward a target domain.
+
+    Features are hashed unigram buckets. Bucket b's importance log
+    ratio is ``ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))`` where t/r are
+    target/corpus bucket counts (add-one smoothing). A doc's weight is
+    the MEAN log ratio over its tokens (length-normalized, so long
+    docs aren't favored); the ``topk`` docs by weight are selected.
+
+    Determinism: the log-ratio doubles are identical in any engine
+    (integer inputs, two lns, one subtract); per-doc sums go through
+    DECIMAL(38,6) casts so summation order cannot move them.
+
+    Scale: the feature table is ``buckets`` rows — broadcast. The
+    corpus is scanned once into (doc, bucket) term frequencies; the
+    only corpus-sized shuffle is the per-doc aggregation. Selection is
+    a TakeOrdered top-k, not a global sort.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("dom"),
+        F.explode(F.expr(H.spark_token_hashes(text_col))).alias("h"),
+    ).withColumn("bucket", F.col("h") % buckets)
+    btbl = toks.groupBy("bucket").agg(
+        F.count("*").alias("r"),
+        F.sum(F.when(F.col("dom") == target_domain, 1).otherwise(0)).alias("t"),
+    )
+    totals = btbl.agg(F.sum("r").alias("rt"), F.sum("t").alias("tt"))
+    lr = F.log((F.col("t") + 1) / (F.col("tt") + buckets)) - F.log(
+        (F.col("r") + 1) / (F.col("rt") + buckets)
+    )
+    btbl = btbl.crossJoin(F.broadcast(totals)).select("bucket", lr.alias("lr"))
+    tf = toks.groupBy("id", "bucket").agg(F.count("*").alias("tf"))
+    per_doc = (
+        tf.join(F.broadcast(btbl), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum((F.col("tf") * F.col("lr")).cast("decimal(38,6)")).alias("w"),
+        )
+        .select(
+            "id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            # exact decimal -> double cast, then ONE division by an
+            # exact integer: bit-identical in any engine, shipped
+            # unrounded (rounding integer-ratio quotients is what
+            # introduces cross-engine tie-break divergence)
+            (F.col("w").cast("double") / F.col("n_tokens")).alias("weight"),
+        )
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("id").asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(F.col("id").alias(id_col), "n_tokens", "weight", "rank")
+    )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Exact duplicated-passage accounting per document.
+
+    A token position is "duplicated" when the n-gram starting there
+    has a fingerprint that occurs >= 2 times corpus-wide (cross-doc
+    duplication AND within-doc repetition both count, as in
+    suffix-array substring dedup). Overlapping duplicated n-gram
+    intervals [i, i+n-1] merge into maximal spans via gaps-and-islands
+    (running max of span end); each doc reports its span count,
+    duplicated token count, and duplicated fraction.
+
+    Scale: one (fingerprint) shuffle to count occurrences, one join
+    back to positions, one per-doc window (sorted within doc — docs
+    bound the sort). Nothing quadratic: work tracks the number of
+    duplicated positions, i.e. the duplication density, exactly like
+    the suffix-array formulation.
+    """
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.expr(H.spark_token_hashes(text_col)).alias("h"),
+    ).withColumn("sh", F.expr(H.spark_shingle_hashes("h", n)))
+    pos = base.select(
+        "id",
+        F.size("h").alias("n_tokens"),
+        F.posexplode("sh").alias("p0", "fp"),
+    ).select("id", "n_tokens", (F.col("p0") + 1).alias("s"), (F.col("p0") + n).alias("e"), "fp")
+    cnt = pos.groupBy("fp").agg(F.count("*").alias("c"))
+    dup = pos.join(cnt.filter(F.col("c") >= 2), "fp")
+    w = Window.partitionBy("id").orderBy(F.col("s").asc())
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup.withColumn(
+            "new_span",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "n_tokens", "island")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
+    )
+    return (
+        islands.groupBy("id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("ee") - F.col("ss") + 1).alias("dup_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            # exact-integer ratio: deterministic unrounded, fragile rounded
+            (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_frac"),
+        )
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns.
+
+    Every QI combination present in the data is reported with its
+    group size and whether it violates k-anonymity (size < k) — the
+    rows an attacker could re-identify. The release decision
+    (suppress / generalize) consumes this report.
+
+    Scale: one groupBy on the QI key — group count is bounded by the
+    QI domain product, never the row count; map-side partial
+    aggregation does the heavy lifting.
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            *qi_cols,
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("group_size") < k).alias("at_risk"),
+        )
+    )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: semantic dedup via cluster-then-prune.
+
+    1. k-means the embedding space (deterministic Lloyd, see
+       ``similarity.kmeans_iterate``);
+    2. within each cluster, any vector whose cosine similarity to a
+       LOWER-id cluster-mate is >= tau is pruned (the lower id is the
+       kept canonical — deterministic, order-free);
+    3. output one row per vector: cluster, the canonical it duplicates
+       (NULL if kept), and the keep/prune flag.
+
+    Scale: the pairwise term is per-cluster, so cost is
+    sum(|cluster|^2) ~ corpus^2 / k — k is chosen so clusters fit the
+    budget (SemDeDup's own design; FAISS-scale k at 100 TB). The
+    cluster assignment itself is linear (broadcast centroids).
+    """
+    from .similarity import cosine, kmeans_iterate
+
+    assign = kmeans_iterate(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    pts = emb.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
+    a = assign.select(F.col(id_col).alias("id1"), "cluster").join(
+        pts.withColumnRenamed("pid", "id1").withColumnRenamed("pv", "e1"), "id1"
+    )
+    b = assign.select(F.col(id_col).alias("id2"), "cluster").join(
+        pts.withColumnRenamed("pid", "id2").withColumnRenamed("pv", "e2"), "id2"
+    )
+    dup_of = (
+        a.join(b, "cluster")
+        .filter(F.col("id2") < F.col("id1"))
+        .withColumn("sim", F.round(cosine("e1", "e2"), 6))
+        .filter(F.col("sim") >= tau)
+        .groupBy("id1")
+        .agg(F.min("id2").alias("dup_of"))
+    )
+    return (
+        assign.join(dup_of, assign[id_col] == dup_of["id1"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(source, lang) dataset-card accounting: docs, tokens,
+    distinct text fingerprints (exact-dup rate), mean char length.
+
+    Scale: one scan, one groupBy on the (small) group key; the
+    distinct-fingerprint count is the only expansion and swaps to the
+    HLL sketch (operators/sketches.py) at 100 TB with the same shape.
+    """
+    group_cols = group_cols or ["source", "lang"]
+    fp = F.expr(H.spark_str_hash(text_col))
+    n_toks = F.size(F.expr(H.spark_tokens(text_col)))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*group_cols, fp.alias("fp"), n_toks.alias("nt"), F.length(text_col).alias("nc"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.countDistinct("fp").alias("distinct_docs"),
+            (F.count("*") - F.countDistinct("fp")).cast("long").alias("exact_dup_docs"),
+            # exact-integer ratio: deterministic unrounded, fragile rounded
+            (F.sum("nc") / F.count("*")).alias("avg_chars"),
+        )
+        .withColumn("distinct_docs", F.col("distinct_docs").cast("long"))
+    )

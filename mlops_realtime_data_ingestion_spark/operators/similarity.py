@@ -31,6 +31,7 @@ __all__ = [
     "lsh_bucket_topk",
     "kmeans_iterate",
     "pq_encode",
+    "ivfpq_topk",
 ]
 
 
@@ -255,7 +256,8 @@ def kmeans_iterate(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Deterministic Lloyd's k-means over an embedding column,
     DataFrame-native and bit-reproducible:
 
@@ -275,7 +277,9 @@ def kmeans_iterate(
     over the exploded corpus; nothing driver-side. ``iters`` is fixed
     (not convergence-tested) so the computation is a finite plan any
     engine can replay — the DuckDB oracle unrolls the same iterations.
-    Returns (id, cluster, dist) with dist rounded to 6 dp.
+    Returns (id, cluster, dist) with dist rounded to 6 dp; with
+    ``return_centroids`` also the trained (cluster, centroid) frame
+    (the codebook IVF-PQ needs for ADC lookup tables).
     """
     init = (
         corpus.filter(F.col(id_col) < k)
@@ -317,11 +321,12 @@ def kmeans_iterate(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    return final.select(
+    assign = final.select(
         id_col,
         F.col("cluster"),
         F.round(F.col("d"), 6).alias("dist"),
     )
+    return (assign, cents) if return_centroids else assign
 
 
 def ivf_topk(
@@ -425,4 +430,114 @@ def pq_encode(
         id_col,
         *[F.col(f"code{s}") for s in range(m)],
         F.round(err, 6).alias("recon_err"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    coarse_k: int = 4,
+    m: int = 4,
+    pq_k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation (ADC) —
+    the index layout production ANN runs at 100 TB (FAISS IVFPQ,
+    Jégou et al. TPAMI'11), expressed as a DataFrame plan:
+
+    1. coarse quantizer: deterministic k-means cells over the corpus
+       (``kmeans_iterate``); queries probe only their ``nprobe``
+       nearest cells (squared-distance probe, ADC's metric);
+    2. product quantizer: an independent deterministic codebook per
+       subspace; the corpus is stored as m code ids per vector;
+    3. ADC: per (query, subspace, code) the distance table
+       ``||q_s - codebook_s[code]||^2`` is precomputed (queries ×
+       m × pq_k rows — broadcast), and a candidate's approximate
+       distance is the SUM of its m looked-up entries. The corpus
+       vectors themselves are never touched at query time.
+
+    Determinism: every stage inherits kmeans_iterate's
+    bit-reproducibility; LUT entries round to 6 dp and the per-
+    candidate sum goes through DECIMAL so addition order is moot.
+
+    Scale: query cost = (candidates in probed cells) × m code-table
+    rows joined against a broadcast LUT — never the corpus, never the
+    raw vectors. The m codebook trainings are |V|-row kmeans runs at
+    build time. Top-k per query is a window over candidates only.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    assign, coarse_cents = kmeans_iterate(
+        corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    # --- probe: nprobe nearest coarse cells per query (sq-dist) ---
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cd").asc(), F.col("cluster").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(coarse_cents))
+        .withColumn("cd", F.round(sq_dist("qv", "centroid"), 6))
+        .withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+
+    # --- per-subspace codebooks, corpus codes, and the query LUT ---
+    code_rows = None   # (vec_id, s, code)
+    lut_rows = None    # (query_id, s, code, d)
+    for s in range(m):
+        sub = corpus.select(
+            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col)
+        )
+        codes_s, cents_s = kmeans_iterate(
+            sub, k=pq_k, iters=iters, id_col=id_col, vec_col=vec_col,
+            return_centroids=True,
+        )
+        cr = codes_s.select(
+            id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
+        )
+        lr = (
+            q.select("query_id", F.slice("qv", s * subdim + 1, subdim).alias("qs"))
+            .crossJoin(F.broadcast(cents_s))
+            .select(
+                "query_id",
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+                F.round(sq_dist("qs", "centroid"), 6).alias("d"),
+            )
+        )
+        code_rows = cr if code_rows is None else code_rows.unionByName(cr)
+        lut_rows = lr if lut_rows is None else lut_rows.unionByName(lr)
+
+    # --- candidates = corpus vectors in probed cells ---
+    cand = (
+        assign.select(id_col, F.col("cluster").alias("cell"))
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(
+            code_rows.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut_rows), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
     )

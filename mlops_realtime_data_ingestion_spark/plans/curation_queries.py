@@ -1,0 +1,322 @@
+"""Registered queries: corpus-curation stages for LLM training data —
+hashed quality classifier, DSIR importance resampling, exact
+duplicate-passage spans, k-anonymity audit, SemDeDup embedding
+pruning, dataset-card accounting.
+
+These complete the curation funnel around the reference's train-data
+path (resources/sagemaker/pipeline-modelbuild-code/pipelines/
+blockchain/preprocess.py selects + filters + splits its series; a
+100 TB text corpus needs the equivalent selection machinery at scale).
+Every query carries a DuckDB oracle built from the engine-wide
+deterministic hashing (functions/hashing.py) and decimal-summation
+(plans/determinism.py) rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators.curation import (
+    dataset_card,
+    dsir_select,
+    duplicate_passage_spans,
+    hashed_quality_classifier,
+    k_anonymity_report,
+    semdedup_prune,
+)
+from ..operators.curation import KNUTH, WP
+from ..sources.batch import load_table
+from .extension_queries import _duck_cosine, kmeans_assign_ctes
+from .spec import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------- fastText-style hashed quality classifier ----------
+
+def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality model over hashed token features (fixed
+    deterministic weight table), sigmoid score + keep verdict."""
+    return hashed_quality_classifier(_docs(spark, sf_dir), buckets=256)
+
+
+_DUCK_WSUM = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th,"
+    f" x -> (((x % 256) * {KNUTH}) % {WP}) % 2001 - 1000)), (acc, v) -> acc + v)"
+)
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {H.duck_token_hashes('text')} AS th
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens, {_DUCK_WSUM} AS ws
+  FROM t WHERE len(th) > 0
+)
+SELECT doc_id, n_tokens,
+       CAST(ws AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS raw_score,
+       round(1.0 / (1.0 + exp(-(CAST(ws AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0)))), 6) AS quality_prob,
+       ws >= 0 AS keep
+FROM s
+"""
+
+
+# ---------- DSIR importance resampling ----------
+
+def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 docs by hashed-unigram importance weight toward the
+    lang='en' target domain (DSIR)."""
+    return dsir_select(_docs(spark, sf_dir), target_domain="en", buckets=64, topk=100)
+
+
+DSIR_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id AS id, lang AS dom,
+         unnest({H.duck_token_hashes('text')}) % 64 AS bucket
+  FROM documents WHERE text IS NOT NULL
+), bt AS (
+  SELECT bucket, count(*) AS r,
+         sum(CASE WHEN dom = 'en' THEN 1 ELSE 0 END) AS t
+  FROM tk GROUP BY 1
+), tot AS (
+  SELECT sum(r) AS rt, sum(t) AS tt FROM bt
+), lrs AS (
+  SELECT bucket,
+         ln(CAST(t + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+         - ln(CAST(r + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)) AS lr
+  FROM bt, tot
+), tf AS (
+  SELECT id, bucket, count(*) AS tf FROM tk GROUP BY 1, 2
+), pd AS (
+  SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         sum(CAST(tf * lr AS DECIMAL(38,6))) AS w
+  FROM tf JOIN lrs USING (bucket) GROUP BY 1
+), ranked AS (
+  SELECT id, n_tokens,
+         CAST(w AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS weight
+  FROM pd
+)
+SELECT id AS doc_id, n_tokens, weight, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY weight DESC, id ASC) AS rank FROM ranked
+) WHERE rank <= 100
+"""
+
+
+# ---------- exact duplicate-passage spans ----------
+
+def passage_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-passage accounting: merged spans of token
+    5-grams whose fingerprint occurs >= 2 times corpus-wide."""
+    return duplicate_passage_spans(_docs(spark, sf_dir), n=5)
+
+
+PASSAGE_SPANS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h
+  FROM documents WHERE text IS NOT NULL
+), pos AS (
+  SELECT id, CAST(len(h) AS BIGINT) AS n_tokens,
+         unnest(range(1, greatest(len(h) - 3, 1))) AS s,
+         unnest(range(1, greatest(len(h) - 3, 1))) + 4 AS e,
+         unnest({H.duck_shingle_hashes('h', 5)}) AS fp
+  FROM base
+), cnt AS (
+  SELECT fp, count(*) AS c FROM pos GROUP BY 1
+), dup AS (
+  SELECT pos.id, pos.n_tokens, pos.s, pos.e
+  FROM pos JOIN cnt USING (fp) WHERE c >= 2
+), isl AS (
+  SELECT id, n_tokens, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+  WINDOW w AS (PARTITION BY id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT id, n_tokens, island, min(s) AS ss, max(e) AS ee
+  FROM isl2 GROUP BY 1, 2, 3
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens, n_tokens,
+       CAST(sum(ee - ss + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+FROM spans GROUP BY id, n_tokens
+"""
+
+
+# ---------- k-anonymity audit ----------
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 anonymity audit of customers under the
+    (c_nationkey, c_mktsegment) quasi-identifier."""
+    return k_anonymity_report(
+        load_table(spark, sf_dir, "customer"),
+        qi_cols=["c_nationkey", "c_mktsegment"],
+        k=10,
+    )
+
+
+K_ANON_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       count(*) < 10 AS at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+
+# ---------- SemDeDup ----------
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune over the embeddings table (k=4
+    deterministic k-means, tau=0.35 intra-cluster cosine)."""
+    return semdedup_prune(load_table(spark, sf_dir, "embeddings"), k=4, iters=2, tau=0.35)
+
+
+SEMDEDUP_ORACLE = (
+    "WITH "
+    + ",\n".join(kmeans_assign_ctes(4, 2))
+    + f""",
+pairs AS (
+  SELECT a1.vec_id AS id1, min(a2.vec_id) AS dup_of
+  FROM assign a1
+  JOIN assign a2 ON a1.cluster = a2.cluster AND a2.vec_id < a1.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+  WHERE round({_duck_cosine('e1.embedding', 'e2.embedding')}, 6) >= 0.35
+  GROUP BY 1
+)
+SELECT a.vec_id, a.cluster, CAST(p.dup_of AS BIGINT) AS dup_of,
+       p.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN pairs p ON p.id1 = a.vec_id
+"""
+)
+
+
+# ---------- IVF-PQ ADC search ----------
+
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 with asymmetric distance computation for query
+    vectors vec_id < 5 — the FAISS-style compressed-index ANN: coarse
+    k-means cells (probe 2 of 4) + per-subspace PQ codebooks, with
+    query-time distances read from a broadcast (query, subspace,
+    code) lookup table instead of the raw vectors."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64,
+        coarse_k=4, m=4, pq_k=4, iters=2, nprobe=2, k=5,
+    )
+
+
+def _ivfpq_oracle(coarse_k: int, m: int, subdim: int, pq_k: int,
+                  iters: int, nprobe: int, topk: int, nq: int) -> str:
+    from .extension_queries import _duck_sq_dist
+    from .quality_queries import pq_subspace_ctes
+
+    ctes = kmeans_assign_ctes(coarse_k, iters) + pq_subspace_ctes(
+        m, subdim, pq_k, iters
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv"
+        f" FROM embeddings WHERE vec_id < {nq})"
+    )
+    probe_d = _duck_sq_dist("q.qv", f"c{iters}.centroid")
+    ctes.append(
+        f"probed AS (SELECT query_id, cell FROM ("
+        f" SELECT q.query_id, c{iters}.cluster AS cell,"
+        f" row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY round({probe_d}, 6) ASC, c{iters}.cluster ASC) AS cr"
+        f" FROM q CROSS JOIN c{iters}) WHERE cr <= {nprobe})"
+    )
+    lut_parts = []
+    code_parts = []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        d = _duck_sq_dist(f"q.qv[{lo}:{hi}]", "cb.centroid")
+        lut_parts.append(
+            f"SELECT q.query_id, {s} AS s, cb.cluster AS code,"
+            f" round({d}, 6) AS d FROM q CROSS JOIN s{s}c{iters} cb"
+        )
+        code_parts.append(f"SELECT vec_id, {s} AS s, code{s} AS code FROM asg{s}")
+    ctes.append("lut AS (" + " UNION ALL ".join(lut_parts) + ")")
+    ctes.append("codes AS (" + " UNION ALL ".join(code_parts) + ")")
+    ctes.append(
+        "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id"
+        " FROM assign a JOIN probed p ON a.cluster = p.cell"
+        " WHERE a.vec_id != p.query_id)"
+    )
+    ctes.append(
+        "adc AS (SELECT c.query_id, c.neighbor_id,"
+        " CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist"
+        " FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id"
+        " JOIN lut l ON l.query_id = c.query_id AND l.s = co.s"
+        " AND l.code = co.code GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+"""
+    )
+
+
+IVFPQ_ORACLE = _ivfpq_oracle(4, 4, 16, 4, 2, nprobe=2, topk=5, nq=5)
+
+
+# ---------- dataset card ----------
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) release accounting: docs, tokens, exact-dup
+    docs, mean char length."""
+    return dataset_card(_docs(spark, sf_dir))
+
+
+DATASET_CARD_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, text, {H.duck_str_hash('text')} AS fp,
+         CAST(len({H.duck_tokens('text')}) AS BIGINT) AS nt
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_docs,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+       CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+FROM d GROUP BY 1, 2
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "quality_classifier_hashed": QuerySpec(
+        quality_classifier_hashed, QUALITY_CLASSIFIER_ORACLE,
+        "fastText-style hashed linear quality classifier (codegen-only)"),
+    "dsir_select_en": QuerySpec(
+        dsir_select_en, DSIR_ORACLE,
+        "DSIR importance resampling toward a target domain"),
+    "passage_dedup_spans": QuerySpec(
+        passage_dedup_spans, PASSAGE_SPANS_ORACLE,
+        "exact duplicate-passage spans (gaps-and-islands merge)"),
+    "k_anonymity_customers": QuerySpec(
+        k_anonymity_customers, K_ANON_ORACLE,
+        "k-anonymity audit over quasi-identifiers"),
+    "dedup_semdedup": QuerySpec(
+        dedup_semdedup, SEMDEDUP_ORACLE,
+        "SemDeDup: k-means cluster + intra-cluster cosine prune"),
+    "sim_search_ivfpq": QuerySpec(
+        sim_search_ivfpq, IVFPQ_ORACLE,
+        "IVF-PQ ANN with ADC lookup tables (deterministic)"),
+    "dataset_card_report": QuerySpec(
+        dataset_card_report, DATASET_CARD_ORACLE,
+        "per-(source,lang) dataset-card accounting"),
+}

@@ -716,7 +716,10 @@ def _duck_sq_dist(p: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
+def kmeans_assign_ctes(k: int, iters: int) -> list[str]:
+    """CTE chain (shared with the SemDeDup oracle) that unrolls the
+    deterministic Lloyd iterations and ends with
+    ``assign(vec_id, cluster, dist)`` — dist rounded to 6 dp."""
     ctes = [
         "pts AS (SELECT vec_id, embedding AS p FROM embeddings)",
         f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid"
@@ -746,13 +749,20 @@ def _kmeans_oracle(k: int, iters: int) -> str:
         )
     last = f"c{iters}"
     dist = _duck_sq_dist("pts.p", f"{last}.centroid")
-    return (
-        "WITH " + ",\n".join(ctes) + f"\n"
-        f"SELECT vec_id, cluster, round(d, 6) AS dist FROM ("
+    ctes.append(
+        f"assign AS (SELECT vec_id, cluster, round(d, 6) AS dist FROM ("
         f" SELECT pts.vec_id, {last}.cluster, {dist} AS d,"
         f" row_number() OVER (PARTITION BY pts.vec_id"
         f" ORDER BY {dist} ASC, {last}.cluster ASC) AS rn"
-        f" FROM pts CROSS JOIN {last}) WHERE rn = 1"
+        f" FROM pts CROSS JOIN {last}) WHERE rn = 1)"
+    )
+    return ctes
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    return (
+        "WITH " + ",\n".join(kmeans_assign_ctes(k, iters))
+        + "\nSELECT vec_id, cluster, dist FROM assign"
     )
 
 

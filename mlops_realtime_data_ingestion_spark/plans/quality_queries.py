@@ -360,7 +360,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, sf_dir, "embeddings"), dim=64, m=4, k=4)
 
 
-def _pq_oracle(m: int, subdim: int, k: int, iters: int) -> str:
+def pq_subspace_ctes(m: int, subdim: int, k: int, iters: int) -> list[str]:
+    """Per-subspace deterministic-kmeans CTE chains (shared with the
+    IVF-PQ oracle): for each subspace s the chain ends with the
+    codebook ``s{s}c{iters}(cluster, centroid)`` and the assignment
+    ``asg{s}(vec_id, code{s}, d{s})``."""
     from .extension_queries import _duck_sq_dist
 
     ctes: list[str] = []
@@ -405,6 +409,11 @@ def _pq_oracle(m: int, subdim: int, k: int, iters: int) -> str:
             f" ORDER BY {dist} ASC, {last}.cluster ASC) AS rn"
             f" FROM pts{s} CROSS JOIN {last}) WHERE rn = 1)"
         )
+    return ctes
+
+
+def _pq_oracle(m: int, subdim: int, k: int, iters: int) -> str:
+    ctes = pq_subspace_ctes(m, subdim, k, iters)
     joins = "asg0" + "".join(
         f" JOIN asg{s} USING (vec_id)" for s in range(1, m)
     )

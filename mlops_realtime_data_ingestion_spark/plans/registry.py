@@ -176,4 +176,10 @@ def all_specs() -> dict[str, QuerySpec]:
         specs.update(tpch_partsupp.SPECS)
     except ImportError:
         pass
+    try:
+        from . import curation_queries
+
+        specs.update(curation_queries.SPECS)
+    except ImportError:
+        pass
     return _priority_order(specs)

@@ -1,0 +1,142 @@
+"""Behavior + plan-shape tests for the curation operators
+(operators/curation.py): hashed quality classifier, DSIR selection,
+duplicate-passage spans, k-anonymity, SemDeDup, dataset card."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlops_realtime_data_ingestion_spark.operators.curation import (
+    duplicate_passage_spans,
+    hashed_quality_classifier,
+    k_anonymity_report,
+    semdedup_prune,
+)
+from mlops_realtime_data_ingestion_spark.plans import curation_queries as cq
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------- behavior ----------
+
+def test_passage_spans_merge_overlaps(spark):
+    """Two docs sharing a 7-token passage: positions 1..3 all carry
+    duplicated 5-grams and must merge into ONE span covering tokens
+    1..7 in each doc."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 one two"),
+            (2, shared + " other2 words2 here2 now2"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_passage_spans(df, n=5).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["n_spans"] == 1
+        assert r["dup_tokens"] == 7
+        assert r["n_tokens"] == 11
+    # a doc with no shared 5-gram reports nothing
+    df2 = df.union(
+        spark.createDataFrame([(3, "totally different words nothing shared at all")],
+                              ["doc_id", "text"])
+    )
+    out = duplicate_passage_spans(df2, n=5)
+    assert out.filter(F.col("doc_id") == 3).count() == 0
+
+
+def test_passage_spans_within_doc_repetition_counts(spark):
+    """A passage repeated INSIDE one doc is duplication too (total
+    fingerprint count >= 2, not distinct-doc count)."""
+    rep = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, rep + " filler " + rep)], ["doc_id", "text"]
+    )
+    r = duplicate_passage_spans(df, n=5).collect()[0]
+    assert r["n_spans"] == 2
+    assert r["dup_tokens"] == 10
+
+
+def test_classifier_deterministic_and_filters_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "spark rows data"), (2, "   "), (3, None)], ["doc_id", "text"]
+    )
+    out = hashed_quality_classifier(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_tokens"] == 3
+    assert 0.0 <= r["quality_prob"] <= 1.0
+    assert r["keep"] == (r["raw_score"] >= 0)
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 12 else "b") for i in range(15)], ["id", "qi"]
+    )
+    rows = {r["qi"]: r for r in k_anonymity_report(df, ["qi"], k=10).collect()}
+    assert rows["a"]["group_size"] == 12 and not rows["a"]["at_risk"]
+    assert rows["b"]["group_size"] == 3 and rows["b"]["at_risk"]
+
+
+def test_semdedup_prunes_identical_vectors(spark):
+    """Exact duplicate vectors land in the same cluster with cosine
+    1.0 — the higher id must be pruned against the lower."""
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0]), (3, [0.0, -1.0]),
+        (10, [1.0, 0.05]), (11, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r for r in semdedup_prune(df, k=4, iters=1, tau=0.9999).collect()}
+    assert out[11]["is_dup"] and out[11]["dup_of"] == 10
+    assert not out[10]["is_dup"]
+    assert math.isclose(sum(1 for r in out.values() if r["is_dup"]), 1)
+
+
+# ---------- plan shape ----------
+
+def test_classifier_plan_is_shuffle_free(spark, sf_dir):
+    """The whole classifier is a narrow projection: no Exchange, no
+    Python workers — token hashing and the weight fold stay in
+    codegen."""
+    plan = _plan(cq.quality_classifier_hashed(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    """The 64-row feature table rides a broadcast; the corpus never
+    joins shuffled at token width."""
+    plan = _plan(cq.dsir_select_en(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # top-k selection must not be a global sort of all docs
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_passage_spans_plan_no_nested_loop(spark, sf_dir):
+    plan = _plan(cq.passage_dedup_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster(spark, sf_dir):
+    """Intra-cluster pairing is an equi-join on the cluster id; the
+    only nested-loop allowed is the broadcast of the k centroids."""
+    plan = _plan(cq.dedup_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_adc_never_touches_corpus_vectors(spark, sf_dir):
+    """Query-time ADC reads the broadcast LUT, never raw corpus
+    vectors: the candidate scoring join must be broadcast-fed with no
+    cartesian and no nested loop on the corpus side."""
+    plan = _plan(cq.sim_search_ivfpq(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
