@@ -57,6 +57,16 @@ HEADLINE = [
     "fuzzy_join_part_names",
     "dedup_incremental_lsh",
     "approx_quantiles_value",
+    # round-4 curation families: passage-level exact dedup,
+    # compressed-index ANN, hashed-classifier scoring.
+    # (dedup_semdedup is deliberately NOT here: its scale knob is the
+    # cluster count k, which must grow with the corpus — benching the
+    # oracle-checkable fixed-k=4 configuration at 100x would measure
+    # a misconfiguration (corpus²/4 intra-cluster pairs), not the
+    # plan. See SCALE.md.)
+    "passage_dedup_spans",
+    "sim_search_ivfpq",
+    "quality_classifier_hashed",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

@@ -140,3 +140,72 @@ def test_ivfpq_adc_never_touches_corpus_vectors(spark, sf_dir):
     plan = _plan(cq.sim_search_ivfpq(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+# ---------- properties (hypothesis) ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]),
+    min_size=0, max_size=20,
+)
+_corpus = st.lists(_words, min_size=1, max_size=8)
+
+
+@given(_corpus)
+@_SET
+def test_passage_spans_bounded_and_consistent(spark, docs):
+    """dup_tokens <= n_tokens; spans only exist for docs long enough
+    to hold an n-gram; dup_frac = dup_tokens / n_tokens exactly."""
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    for r in duplicate_passage_spans(df, n=5).collect():
+        assert 5 <= r["dup_tokens"] <= r["n_tokens"]
+        assert r["n_spans"] >= 1
+        assert r["dup_frac"] == r["dup_tokens"] / r["n_tokens"]
+        assert len(docs[r["doc_id"]]) == r["n_tokens"]
+
+
+@given(_corpus)
+@_SET
+def test_classifier_score_matches_local_model(spark, docs):
+    """The distributed classifier equals the reference Python model
+    computed locally (same fold hash, bucket, weight table)."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import KNUTH, WP
+
+    P = 1_000_000_007
+
+    def local(ws):
+        toks = [w for w in ws if w]
+        if not toks:
+            return None
+        s = 0
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % P
+            s += ((h % 256) * KNUTH) % WP % 2001 - 1000
+        return s, len(toks)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in hashed_quality_classifier(df).collect()}
+    for i, ws in enumerate(docs):
+        exp = local(ws)
+        if exp is None:
+            assert i not in got
+        else:
+            s, n = exp
+            assert got[i]["n_tokens"] == n
+            assert got[i]["raw_score"] == s / (n * 1000.0)
+            assert got[i]["keep"] == (s >= 0)
