@@ -56,6 +56,7 @@ __all__ = [
     "duplicate_passage_spans",
     "k_anonymity_report",
     "semdedup_prune",
+    "semdedup_prune_scaled",
     "dataset_card",
 ]
 
@@ -321,6 +322,117 @@ def semdedup_prune(
             F.col("dup_of").cast("long").alias("dup_of"),
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
+    )
+
+
+def semdedup_prune_scaled(
+    emb: DataFrame,
+    k: int = 16,
+    tau: float = 0.35,
+    sample_cap: int = 10_000,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """SemDeDup at production scale — the Arrow-vectorized sibling of
+    :func:`semdedup_prune` (which is the exact, oracle-checked
+    spelling; this one is the configuration you run at 100 TB):
+
+    1. **Train on a sample** (FAISS practice): deterministic k-means
+       over an id-hash sample of <= ``sample_cap`` vectors; the k
+       centroids (a k x dim table — bounded metadata) broadcast to
+       every task as a numpy matrix.
+    2. **Assign all vectors** in ONE ``mapInPandas`` pass: vectorized
+       argmin of squared distance against the broadcast centroids —
+       no per-row Python, no crossJoin, linear in the corpus.
+    3. **Prune per cluster** via ``applyInPandas``: rows sort by id,
+       cosine similarities come from CHUNKED matrix products
+       (``chunk`` rows at a time vs all earlier rows), so peak memory
+       is chunk x cluster floats however large the cluster. A vector
+       is pruned when some lower-id cluster-mate has sim >= tau.
+
+    The quadratic term is per-cluster (SemDeDup's design); ``k`` is
+    the knob and can grow to FAISS-scale values here because
+    assignment cost no longer depends on k (one numpy argmin), unlike
+    the exact path's k-way crossJoin. Different centroid
+    initialization means cluster boundaries (and thus borderline dup
+    decisions) can differ from the exact path — this is the
+    documented ANN trade, tested on recall of planted duplicates and
+    run-to-run determinism rather than oracle equality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import kmeans_iterate
+
+    # deterministic id-hash sample, bounded by sample_cap in expectation
+    n = emb.count()
+    rate = min(1.0, sample_cap / max(n, 1))
+    permille = int(rate * 1000)
+    sample = emb.filter(
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)) < permille)
+        | (F.col(id_col) < k)  # keep the k init vectors present
+    )
+    _, cents = kmeans_iterate(
+        sample, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
+    cent_rows = cents.orderBy("cluster").collect()  # k rows — bounded
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cluster_ids = np.array([r["cluster"] for r in cent_rows])
+
+    src = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    def _assign(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2.0 * X @ C.T
+                + (C * C).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "v": pdf["v"],
+                    "cluster": cluster_ids[np.argmin(d, axis=1)].astype("int32"),
+                }
+            )
+
+    assigned = src.mapInPandas(
+        _assign, schema="vid long, v array<double>, cluster int"
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        m = len(pdf)
+        dup_of = np.full(m, -1, dtype=np.int64)
+        for lo in range(1, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = np.round(Xn[lo:hi] @ Xn[:hi].T, 6)
+            for i in range(lo, hi):
+                hits = np.nonzero(sims[i - lo, :i] >= tau)[0]
+                if hits.size:
+                    dup_of[i] = pdf["vid"].iloc[hits[0]]
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vid"],
+                "cluster": pdf["cluster"],
+                "dup_of": pd.array(
+                    [int(v) if v >= 0 else None for v in dup_of], dtype="Int64"
+                ),
+                "is_dup": dup_of >= 0,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _prune, schema="vec_id long, cluster int, dup_of long, is_dup boolean"
     )
 
 

@@ -209,3 +209,36 @@ def test_classifier_score_matches_local_model(spark, docs):
             assert got[i]["n_tokens"] == n
             assert got[i]["raw_score"] == s / (n * 1000.0)
             assert got[i]["keep"] == (s >= 0)
+
+
+def test_semdedup_scaled_finds_planted_dups_and_is_deterministic(spark):
+    """The Arrow scale path: planted exact duplicates are pruned
+    (higher id against lower), kept/pruned partition is consistent,
+    and two runs agree exactly."""
+    import random
+
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        semdedup_prune_scaled,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # plant 20 exact dup pairs
+    for j in range(20):
+        rows.append((1000 + j, list(rows[j * 3][1])))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    out1 = {r["vec_id"]: r for r in semdedup_prune_scaled(df, k=8, tau=0.9999).collect()}
+    assert len(out1) == 420
+    for j in range(20):
+        r = out1[1000 + j]
+        assert r["is_dup"], f"planted dup {1000+j} not pruned"
+        assert r["dup_of"] == j * 3
+        assert not out1[j * 3]["is_dup"] or out1[j * 3]["dup_of"] != 1000 + j
+    out2 = {r["vec_id"]: r for r in semdedup_prune_scaled(df, k=8, tau=0.9999).collect()}
+    assert out1.keys() == out2.keys()
+    for k_ in out1:
+        assert (out1[k_]["cluster"], out1[k_]["dup_of"], out1[k_]["is_dup"]) == (
+            out2[k_]["cluster"], out2[k_]["dup_of"], out2[k_]["is_dup"]
+        )
