@@ -45,10 +45,12 @@ the driver and nothing is quadratic in the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import hashing_pandas as HP
 
 __all__ = [
     "hashed_quality_classifier",
@@ -80,6 +82,7 @@ def hashed_quality_classifier(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 256,
+    impl: str = "pandas",
 ) -> DataFrame:
     """fastText-style hashed linear quality classifier.
 
@@ -89,23 +92,47 @@ def hashed_quality_classifier(
     weight and the quality probability is sigmoid(raw). ``keep`` is
     probability >= 0.5 (raw >= 0).
 
-    Scale: the whole classifier is one narrow projection — token
-    hashing, bucket lookup, and the weight sum all run inside
-    whole-stage codegen via higher-order functions (no explode, no
-    shuffle, no Python). At 100 TB this is a pure map stage; trained
-    weights would arrive as a broadcast array literal with the same
-    plan.
+    impl="pandas" (default): the per-character hash fold runs
+    Arrow-batched in numpy — same int64 math, ~20x the interpreted
+    higher-order-function speed (the engine-wide rule for per-char
+    hot loops). impl="sql" keeps the expression spelling: the entire
+    classifier inside whole-stage codegen with NO shuffle, no Python
+    — the oracle-documented reference (bit-equality asserted in
+    tests). Both are one map stage over the corpus; trained weights
+    would arrive as a broadcast array literal with the same plan.
+
+    raw_score is ONE division of exact integers — bit-identical in
+    any engine, so it ships unrounded (rounding would *introduce*
+    nondeterminism: the quotient can land exactly on a rounding
+    boundary, where engines tie-break differently; seen at sf0.1).
     """
-    wsum = F.expr(_spark_weight_sum(text_col, buckets))
-    n = F.size(F.expr(H.spark_tokens(text_col)))
+    src = df.filter(F.col(text_col).isNotNull())
+    if impl == "sql":
+        wsum = F.expr(_spark_weight_sum(text_col, buckets))
+        n = F.size(F.expr(H.spark_tokens(text_col)))
+    else:
+        @F.pandas_udf("struct<ws: long, n: long>")
+        def wsn_udf(texts: pd.Series) -> pd.DataFrame:
+            hs = texts.map(lambda t: HP.token_hashes(t or ""))
+            return pd.DataFrame(
+                {
+                    "ws": hs.map(
+                        lambda h: int(
+                            (((h % buckets) * KNUTH) % WP % 2001 - 1000).sum()
+                        )
+                        if len(h)
+                        else 0
+                    ),
+                    "n": hs.map(len),
+                }
+            )
+
+        src = src.withColumn("__wsn", wsn_udf(F.col(text_col)))
+        wsum = F.col("__wsn.ws")
+        n = F.col("__wsn.n")
     raw = wsum.cast("double") / (n.cast("double") * F.lit(1000.0))
-    # raw is ONE division of exact integers — bit-identical in any
-    # engine, so it ships unrounded (rounding would *introduce*
-    # nondeterminism: the quotient can land exactly on a rounding
-    # boundary, where engines tie-break differently; seen at sf0.1).
     return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
+        src.select(
             F.col(id_col),
             n.cast("long").alias("n_tokens"),
             raw.alias("raw_score"),
@@ -116,6 +143,20 @@ def hashed_quality_classifier(
     )
 
 
+def _token_hash_arr(text_col: str, impl: str):
+    """Column of positional token hashes: Arrow numpy fold (default)
+    or the interpreted expression spelling (oracle reference) — same
+    int64 values bit for bit."""
+    if impl == "sql":
+        return F.expr(H.spark_token_hashes(text_col))
+
+    @F.pandas_udf("array<long>")
+    def th_udf(texts: pd.Series) -> pd.Series:
+        return HP.token_hash_series(texts)
+
+    return th_udf(F.col(text_col))
+
+
 def dsir_select(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -124,6 +165,7 @@ def dsir_select(
     target_domain: str = "en",
     buckets: int = 64,
     topk: int = 100,
+    impl: str = "pandas",
 ) -> DataFrame:
     """DSIR-style importance resampling toward a target domain.
 
@@ -145,7 +187,7 @@ def dsir_select(
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(domain_col).alias("dom"),
-        F.explode(F.expr(H.spark_token_hashes(text_col))).alias("h"),
+        F.explode(_token_hash_arr(text_col, impl)).alias("h"),
     ).withColumn("bucket", F.col("h") % buckets)
     btbl = toks.groupBy("bucket").agg(
         F.count("*").alias("r"),
@@ -187,6 +229,7 @@ def duplicate_passage_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Exact duplicated-passage accounting per document.
 
@@ -204,10 +247,23 @@ def duplicate_passage_spans(
     duplicated positions, i.e. the duplication density, exactly like
     the suffix-array formulation.
     """
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.expr(H.spark_token_hashes(text_col)).alias("h"),
-    ).withColumn("sh", F.expr(H.spark_shingle_hashes("h", n)))
+    src = df.filter(F.col(text_col).isNotNull())
+    if impl == "sql":
+        base = src.select(
+            F.col(id_col).alias("id"),
+            F.expr(H.spark_token_hashes(text_col)).alias("h"),
+        ).withColumn("sh", F.expr(H.spark_shingle_hashes("h", n)))
+    else:
+        @F.pandas_udf("struct<h: array<long>, sh: array<long>>")
+        def hsh_udf(texts: pd.Series) -> pd.DataFrame:
+            hs = texts.map(lambda t: HP.token_hashes(t or ""))
+            return pd.DataFrame(
+                {"h": hs, "sh": hs.map(lambda h: HP.shingle_hashes(h, n))}
+            )
+
+        base = src.select(
+            F.col(id_col).alias("id"), hsh_udf(F.col(text_col)).alias("r")
+        ).select("id", F.col("r.h").alias("h"), F.col("r.sh").alias("sh"))
     pos = base.select(
         "id",
         F.size("h").alias("n_tokens"),
@@ -441,6 +497,7 @@ def dataset_card(
     group_cols: list[str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Per-(source, lang) dataset-card accounting: docs, tokens,
     distinct text fingerprints (exact-dup rate), mean char length.
@@ -448,12 +505,30 @@ def dataset_card(
     Scale: one scan, one groupBy on the (small) group key; the
     distinct-fingerprint count is the only expansion and swaps to the
     HLL sketch (operators/sketches.py) at 100 TB with the same shape.
+    The text fold runs Arrow-batched by default (impl="sql" keeps the
+    codegen expression spelling; bit-equal, tested).
     """
     group_cols = group_cols or ["source", "lang"]
-    fp = F.expr(H.spark_str_hash(text_col))
-    n_toks = F.size(F.expr(H.spark_tokens(text_col)))
+    if impl == "sql":
+        fp = F.expr(H.spark_str_hash(text_col))
+        n_toks = F.size(F.expr(H.spark_tokens(text_col)))
+    else:
+        @F.pandas_udf("struct<fp: long, nt: int>")
+        def fpnt_udf(texts: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "fp": texts.map(lambda t: HP.str_hash(t or "")),
+                    "nt": texts.map(lambda t: len((t or "").lower().strip().split())),
+                }
+            )
+
+        fp = F.col("__fpnt.fp")
+        n_toks = F.col("__fpnt.nt")
+    src = df.filter(F.col(text_col).isNotNull())
+    if impl != "sql":
+        src = src.withColumn("__fpnt", fpnt_udf(F.col(text_col)))
     return (
-        df.filter(F.col(text_col).isNotNull())
+        src
         .select(*group_cols, fp.alias("fp"), n_toks.alias("nt"), F.length(text_col).alias("nc"))
         .groupBy(*group_cols)
         .agg(

@@ -102,12 +102,41 @@ def test_semdedup_prunes_identical_vectors(spark):
 # ---------- plan shape ----------
 
 def test_classifier_plan_is_shuffle_free(spark, sf_dir):
-    """The whole classifier is a narrow projection: no Exchange, no
-    Python workers — token hashing and the weight fold stay in
-    codegen."""
+    """Both spellings are one narrow map stage (no Exchange). The
+    default rides Arrow for the per-char fold; the sql spelling stays
+    entirely inside codegen with no Python at all."""
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
     plan = _plan(cq.quality_classifier_hashed(spark, sf_dir))
     assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan_sql = _plan(hashed_quality_classifier(docs, impl="sql"))
+    assert "Exchange" not in plan_sql
+    assert "BatchEvalPython" not in plan_sql and "ArrowEvalPython" not in plan_sql
+
+
+def test_arrow_and_sql_spellings_bit_equal(spark, sf_dir):
+    """The Arrow numpy fold computes the same int64 values as the
+    interpreted expression spelling — whole-result equality for every
+    retrofitted operator."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        dataset_card,
+        dsir_select,
+    )
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn, kwargs in (
+        (hashed_quality_classifier, {}),
+        (dsir_select, {"topk": 50}),
+        (duplicate_passage_spans, {"n": 5}),
+        (dataset_card, {}),
+    ):
+        a = sorted(map(tuple, fn(docs, impl="pandas", **kwargs).collect()))
+        b = sorted(map(tuple, fn(docs, impl="sql", **kwargs).collect()))
+        assert a == b, fn.__name__
 
 
 def test_dsir_bucket_table_broadcasts(spark, sf_dir):
