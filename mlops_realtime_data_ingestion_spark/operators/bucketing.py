@@ -19,6 +19,7 @@ write task — in practice 16-64k, with AQE coalescing small reads).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["write_bucketed", "read_bucketed", "write_clustered"]
 
@@ -74,6 +75,64 @@ def write_clustered(
     (
         df.repartitionByRange(n_files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional Z-order (Morton) clustered parquet layout —
+    the multi-column generalization of :func:`write_clustered`.
+
+    Each of the two cluster columns is min-max normalized to a
+    ``bits``-bit integer (the min/max pair is one tiny aggregate —
+    bounded driver metadata, like compaction's file counts), the two
+    integers are bit-interleaved into the Morton code, and files are
+    range-partitioned + sorted on that code. Points close in (a, b)
+    space land in the same file, so parquet min/max stats prune
+    predicates on EITHER column — a single-column range layout prunes
+    only its leading column.
+
+    Scale: one write-time shuffle buys file pruning forever after
+    (the Delta/Iceberg OPTIMIZE ZORDER shape). The interleave is pure
+    codegen bit arithmetic; n_files sizes files to the 512 MB target
+    like compaction.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    span_a = max(float(hi_a) - float(lo_a), 1e-12)
+    span_b = max(float(hi_b) - float(lo_b), 1e-12)
+    cap = (1 << bits) - 1
+    qa = F.least(
+        F.lit(cap),
+        ((F.col(col_a).cast("double") - lo_a) / span_a * cap).cast("long"),
+    )
+    qb = F.least(
+        F.lit(cap),
+        ((F.col(col_b).cast("double") - lo_b) / span_b * cap).cast("long"),
+    )
+    # bit positions are disjoint, so + is bitwise-OR here (PySpark's
+    # Column | is logical, not bitwise)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qa, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(qb, i) % 2, 2 * i + 1)
+        )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

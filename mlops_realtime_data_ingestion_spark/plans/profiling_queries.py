@@ -1213,3 +1213,135 @@ SPECS["approx_quantiles_by_type"] = QuerySpec(
     approx_quantiles_by_type, APPROX_QUANTILES_GROUPED_ORACLE,
     "grouped histogram quantile sketch",
 )
+
+
+# ---------- incremental JOIN-view maintenance (round 4) ----------
+
+def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view delta maintenance: the per-segment revenue view
+    (orders ⋈ customer, grouped by c_mktsegment) maintained by merging
+    the partial aggregate of the DELTA orders (since 1998) into the
+    partial built from the base orders — the ΔA⋈B term of incremental
+    join-view maintenance (the dimension side is static, so the A⋈ΔB
+    and ΔA⋈ΔB terms vanish; a changing dimension adds the symmetric
+    terms with the same plan shape). The oracle is the FULL recompute,
+    so the green row proves delta-merge == recompute exactly.
+
+    Scale: each increment pays delta ⋈ broadcast(dim) + a
+    segment-cardinality partial; the base table is never rescanned —
+    MV maintenance cost tracks the delta, exactly like
+    rollup_incremental_merge but across a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def part(o):
+        return (
+            o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_d"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    base = part(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = part(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("rev_d").alias("rev_d"), F.sum("n").alias("n_orders"))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+MV_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+SPECS["mv_join_incremental"] = QuerySpec(
+    mv_join_incremental, MV_JOIN_ORACLE,
+    "incremental join-view maintenance: delta-merge == recompute",
+)
+
+
+# ---------- CCNet perplexity buckets (round 4) ----------
+
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: docs ranked by unigram-LM
+    perplexity and cut into tertiles; per-bucket counts and ppl
+    bounds. The mixture recipe keeps head+middle and drops (or
+    down-weights) the tail.
+
+    Scale note: ntile here is one window over the |docs|-row scored
+    frame; at 100 TB the cuts come from the mergeable histogram
+    quantile sketch (operators/sketches.hist_quantiles) and the
+    bucket assignment becomes a broadcast range lookup — same
+    output, no global sort."""
+    from ..operators.lm import unigram_perplexity
+
+    scored = unigram_perplexity(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    lab = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.withColumn("t", F.ntile(3).over(w))
+        .groupBy(lab.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+        .select("bucket", F.col("n_docs").cast("long").alias("n_docs"),
+                "min_ppl", "max_ppl")
+    )
+
+
+
+CCNET_BUCKETS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), stats AS (
+  SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab
+), tf AS (
+  SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok
+), scored AS (
+  SELECT id, tf,
+         CAST(tf * ln((coalesce(c, 0) + 1) / (n_total + v_size))
+              AS DECIMAL(38,6)) AS ll_term
+  FROM tf LEFT JOIN vocab USING (tok), stats
+), per_doc AS (
+  SELECT id, sum(tf) AS n_tokens, sum(ll_term) AS ll
+  FROM scored GROUP BY id
+), ppl AS (
+  SELECT id AS doc_id,
+         round(exp(-(CAST(ll AS DOUBLE) / n_tokens)), 4) AS ppl
+  FROM per_doc
+), tiled AS (
+  SELECT doc_id, ppl, ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS t
+  FROM ppl
+)
+SELECT CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+FROM tiled GROUP BY 1
+"""
+
+SPECS["ccnet_ppl_buckets"] = QuerySpec(
+    ccnet_ppl_buckets, CCNET_BUCKETS_ORACLE,
+    "CCNet head/middle/tail perplexity tertiles",
+)
