@@ -269,6 +269,10 @@ def duplicate_passage_spans(
         F.size("h").alias("n_tokens"),
         F.posexplode("sh").alias("p0", "fp"),
     ).select("id", "n_tokens", (F.col("p0") + 1).alias("s"), (F.col("p0") + n).alias("e"), "fp")
+    # pos feeds BOTH the fingerprint count and the join back — persist
+    # it so the text scan + hash fold run once, not twice (the dedup
+    # module's signature-frame pattern)
+    pos = pos.persist()
     cnt = pos.groupBy("fp").agg(F.count("*").alias("c"))
     dup = pos.join(cnt.filter(F.col("c") >= 2), "fp")
     w = Window.partitionBy("id").orderBy(F.col("s").asc())
