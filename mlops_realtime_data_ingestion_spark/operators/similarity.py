@@ -32,6 +32,8 @@ __all__ = [
     "kmeans_iterate",
     "pq_encode",
     "ivfpq_topk",
+    "ivfpq_build",
+    "ivfpq_search",
 ]
 
 
@@ -470,6 +472,28 @@ def ivfpq_topk(
     raw vectors. The m codebook trainings are |V|-row kmeans runs at
     build time. Top-k per query is a window over candidates only.
     """
+    assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
+        corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col
+    )
+    return _ivfpq_query(
+        assign, coarse_cents, code_rows, codebooks, queries,
+        dim, m, nprobe, k, id_col, vec_col,
+    )
+
+
+def _ivfpq_train(
+    corpus: DataFrame,
+    dim: int,
+    coarse_k: int,
+    m: int,
+    pq_k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Index-build stage shared by ivfpq_topk (inline) and ivfpq_build
+    (persisted): coarse assignment + centroids, corpus PQ code rows,
+    and the per-subspace codebooks as one (s, code, centroid) frame."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
@@ -477,23 +501,8 @@ def ivfpq_topk(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
         return_centroids=True,
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-
-    # --- probe: nprobe nearest coarse cells per query (sq-dist) ---
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("cd").asc(), F.col("cluster").asc()
-    )
-    probed = (
-        q.crossJoin(F.broadcast(coarse_cents))
-        .withColumn("cd", F.round(sq_dist("qv", "centroid"), 6))
-        .withColumn("cr", F.row_number().over(wc))
-        .filter(F.col("cr") <= nprobe)
-        .select("query_id", F.col("cluster").alias("cell"))
-    )
-
-    # --- per-subspace codebooks, corpus codes, and the query LUT ---
     code_rows = None   # (vec_id, s, code)
-    lut_rows = None    # (query_id, s, code, d)
+    codebooks = None   # (s, code, centroid)
     for s in range(m):
         sub = corpus.select(
             id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col)
@@ -505,23 +514,77 @@ def ivfpq_topk(
         cr = codes_s.select(
             id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
         )
-        lr = (
-            q.select("query_id", F.slice("qv", s * subdim + 1, subdim).alias("qs"))
-            .crossJoin(F.broadcast(cents_s))
-            .select(
-                "query_id",
-                F.lit(s).alias("s"),
-                F.col("cluster").alias("code"),
-                F.round(sq_dist("qs", "centroid"), 6).alias("d"),
-            )
+        cb = cents_s.select(
+            F.lit(s).alias("s"), F.col("cluster").alias("code"), "centroid"
         )
         code_rows = cr if code_rows is None else code_rows.unionByName(cr)
-        lut_rows = lr if lut_rows is None else lut_rows.unionByName(lr)
+        codebooks = cb if codebooks is None else codebooks.unionByName(cb)
+    return (
+        assign.select(id_col, F.col("cluster").alias("cell")),
+        coarse_cents,
+        code_rows,
+        codebooks,
+    )
 
-    # --- candidates = corpus vectors in probed cells ---
+
+def _ivfpq_query(
+    assign: DataFrame,
+    coarse_cents: DataFrame,
+    code_rows: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    nprobe: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query stage: probe cells, build the (query, subspace, code)
+    ADC lookup table from the codebooks, sum per-candidate entries."""
+    subdim = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cd").asc(), F.col("cluster").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(coarse_cents))
+        .withColumn("cd", F.round(sq_dist("qv", "centroid"), 6))
+        .withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+
+    # q subvector per subspace, joined to that subspace's codebook
+    qsub = None
+    for s in range(m):
+        part = q.select(
+            "query_id", F.lit(s).alias("s"),
+            F.slice("qv", s * subdim + 1, subdim).alias("qs"),
+        )
+        qsub = part if qsub is None else qsub.unionByName(part)
+    lut_rows = (
+        qsub.join(F.broadcast(codebooks), "s")
+        .select(
+            "query_id", "s", "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qs"), F.col("centroid"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+        )
+    )
+
     cand = (
-        assign.select(id_col, F.col("cluster").alias("cell"))
-        .join(F.broadcast(probed), "cell")
+        assign.join(F.broadcast(probed), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
@@ -540,4 +603,59 @@ def ivfpq_topk(
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    coarse_k: int = 4,
+    m: int = 4,
+    pq_k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index: cell assignment, PQ code rows, coarse
+    centroids, and codebooks — the build-once artifact ``ivfpq_search``
+    serves queries from without touching the corpus vectors again
+    (what the inline ``ivfpq_topk`` retrains per call; at 100 TB the
+    build is a scheduled job and searches amortize it to zero).
+
+    Layout: ``path/{assign,codes,coarse,codebooks}`` parquet;
+    assignment and code rows bucket-ready (keyed by cell / id)."""
+    import os
+
+    assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
+        corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col
+    )
+    assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
+    code_rows.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    coarse_cents.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
+    codebooks.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against a persisted IVF-PQ index (see
+    :func:`ivfpq_build`): zero training cost per query batch, corpus
+    vectors never read — the steady-state ANN serving shape."""
+    import os
+
+    return _ivfpq_query(
+        spark.read.parquet(os.path.join(path, "assign")),
+        spark.read.parquet(os.path.join(path, "coarse")),
+        spark.read.parquet(os.path.join(path, "codes")),
+        spark.read.parquet(os.path.join(path, "codebooks")),
+        queries, dim, m, nprobe, k, id_col, vec_col,
     )

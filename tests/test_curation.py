@@ -271,3 +271,27 @@ def test_semdedup_scaled_finds_planted_dups_and_is_deterministic(spark):
         assert (out1[k_]["cluster"], out1[k_]["dup_of"], out1[k_]["is_dup"]) == (
             out2[k_]["cluster"], out2[k_]["dup_of"], out2[k_]["is_dup"]
         )
+
+
+def test_ivfpq_stored_index_matches_inline(spark, sf_dir, tmp_path):
+    """Build-once/search-many: ADC results from the persisted index
+    are identical to the inline (retrain-per-call) spelling — same
+    deterministic training, so bit-equal ranks and distances."""
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F2.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build(emb, idx, dim=64)
+    stored = sorted(map(tuple, ivfpq_search(spark, idx, queries, dim=64).collect()))
+    inline = sorted(map(tuple, ivfpq_topk(emb, queries, dim=64).collect()))
+    assert stored == inline
+    # the search plan never references the corpus vector column
+    plan = ivfpq_search(spark, idx, queries, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
