@@ -320,3 +320,45 @@ SPECS: dict[str, QuerySpec] = {
         dataset_card_report, DATASET_CARD_ORACLE,
         "per-(source,lang) dataset-card accounting"),
 }
+
+
+# ---------- Johnson-Lindenstrauss random projection ----------
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 8 dims: p_j(v) = v . w_j with the
+    engine's fixed pseudo-random hyperplane weights (functions/
+    hashing.py — the same public-constant planes the LSH bucketer
+    uses). Distance-preserving sketch vectors for cheap downstream
+    clustering/dedup; every output double is a sequential fold, so
+    the projection is bit-identical cross-engine and ships unrounded.
+
+    Scale: a narrow per-row projection — zero shuffle, no Python; at
+    100 TB this is the embedding-side analogue of the hashed-feature
+    trick (dim cost drops 8x before any index build)."""
+    from ..functions.hashing import _spark_plane_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            F.expr(_spark_plane_dot("embedding", j)).alias(f"p{j}")
+            for j in range(8)
+        ],
+    )
+
+
+def _jl_oracle() -> str:
+    from ..functions.hashing import _duck_plane_dot
+
+    cols = ", ".join(
+        f"{_duck_plane_dot('embedding', j)} AS p{j}" for j in range(8)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+JL_PROJECTION_ORACLE = _jl_oracle()
+
+SPECS["embedding_jl_projection"] = QuerySpec(
+    embedding_jl_projection, JL_PROJECTION_ORACLE,
+    "Johnson-Lindenstrauss projection 64->8 (fixed planes, bit-exact)",
+)

@@ -1345,3 +1345,56 @@ SPECS["ccnet_ppl_buckets"] = QuerySpec(
     ccnet_ppl_buckets, CCNET_BUCKETS_ORACLE,
     "CCNet head/middle/tail perplexity tertiles",
 )
+
+
+# ---------- shuffle-skew diagnostics (round 4) ----------
+
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a prospective join/agg key: the top-10
+    heaviest l_partkey groups with each group's share of the table and
+    its ratio to the mean group size — the numbers that decide whether
+    a key needs salting or AQE skew-join before a 100 TB shuffle.
+
+    Scale: one groupBy on the key (map-side partials) + a broadcast
+    one-row stats frame + TakeOrdered(10); never sorts the full key
+    space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    stats = grp.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_groups")
+    )
+    return (
+        grp.crossJoin(F.broadcast(stats))
+        .select(
+            "l_partkey",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_groups").cast("double")
+                / F.col("total").cast("double")
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("l_partkey").asc())
+        .limit(10)
+    )
+
+
+SKEW_REPORT_ORACLE = """
+WITH grp AS (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT sum(cnt) AS total, count(*) AS n_groups FROM grp
+)
+SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cnt AS DOUBLE) * CAST(n_groups AS DOUBLE) / CAST(total AS DOUBLE) AS x_mean
+FROM grp, stats
+ORDER BY cnt DESC, l_partkey ASC
+LIMIT 10
+"""
+
+SPECS["skew_report_lineitem"] = QuerySpec(
+    skew_report_lineitem, SKEW_REPORT_ORACLE,
+    "join-key skew audit: top heavy keys, share, x-mean ratio",
+)
