@@ -940,3 +940,72 @@ SPECS: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE, "multimodal frame fan-out"),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_ORACLE, "multimodal resize contract (flat bucket stats)"),
 }
+
+
+# ---------- clustering evaluation: label purity (round 4) ----------
+
+def clustering_eval_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation: per-cluster label purity of the
+    deterministic k-means (k=4, 2 Lloyd iterations) against the
+    embeddings' ground-truth ``label`` — the in-engine quality gate a
+    pipeline runs before trusting cluster-scoped operators (SemDeDup
+    pruning, IVF cell routing) built on those assignments.
+
+    Scale: assignment is the broadcast-centroid narrow pass; the eval
+    itself is two tiny shuffles over (cluster,label) partial counts —
+    never the vectors. Purity = majority-label count / cluster size
+    (one integer division: bit-exact cross-engine)."""
+    from ..operators.similarity import kmeans_iterate
+
+    emb = _emb(spark, sf_dir)
+    assign = kmeans_iterate(emb, k=4, iters=2).select("vec_id", "cluster")
+    per = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    size = per.groupBy("cluster").agg(F.sum("cnt").alias("size"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("label"))
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"), F.col("cnt").alias("top_cnt"))
+    )
+    return (
+        top.join(size, "cluster")
+        .select(
+            "cluster",
+            F.col("size").cast("long").alias("size"),
+            "top_label",
+            F.col("top_cnt").cast("long").alias("top_cnt"),
+            (F.col("top_cnt").cast("double") / F.col("size")).alias("purity"),
+        )
+    )
+
+
+CLUSTER_PURITY_ORACLE = (
+    "WITH " + ",\n".join(kmeans_assign_ctes(4, 2)) + """,
+per AS (
+  SELECT a.cluster, e.label, count(*) AS cnt
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT cluster, CAST(sum(cnt) AS BIGINT) AS size FROM per GROUP BY 1
+), top AS (
+  SELECT cluster, label AS top_label, CAST(cnt AS BIGINT) AS top_cnt
+  FROM (SELECT cluster, label, cnt,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM per)
+  WHERE rn = 1
+)
+SELECT t.cluster, s.size, t.top_label, t.top_cnt,
+       CAST(t.top_cnt AS DOUBLE) / s.size AS purity
+FROM top t JOIN sz s ON t.cluster = s.cluster
+"""
+)
+
+SPECS["clustering_eval_purity"] = QuerySpec(
+    clustering_eval_purity, CLUSTER_PURITY_ORACLE,
+    "per-cluster label purity of the deterministic k-means",
+)

@@ -1398,3 +1398,95 @@ SPECS["skew_report_lineitem"] = QuerySpec(
     skew_report_lineitem, SKEW_REPORT_ORACLE,
     "join-key skew audit: top heavy keys, share, x-mean ratio",
 )
+
+
+# ---------- Zipf vocabulary fit (round 4) ----------
+
+_ZIPF_TOPN = 50
+
+
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope/intercept of
+    ln(freq) on ln(rank) over the top-50 terms — the one-row
+    distribution fingerprint that flags boilerplate-heavy or
+    synthetic corpora (natural text slopes ~ -1). Per-row ln() terms
+    are rounded to 12 dp and summed in DECIMAL (the engine
+    determinism rule), so the fit is bit-identical cross-engine.
+
+    Scale: the only corpus-sized work is the token count (explode ->
+    map-side partial agg, one vocab-keyed shuffle); the rank window
+    and the OLS fold touch TakeOrdered(50) rows."""
+    dec = "decimal(18,12)"
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(H.spark_tokens("text"))).alias("token"))
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ranked = (
+        cnt.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+        )
+        .filter(F.col("rank") <= _ZIPF_TOPN)
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    terms = ranked.select(
+        F.round(x, 12).cast(dec).alias("x"),
+        F.round(y, 12).cast(dec).alias("y"),
+        F.round(x * y, 12).cast(dec).alias("xy"),
+        F.round(x * x, 12).cast(dec).alias("xx"),
+    )
+    s = terms.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n_terms",
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("zipf_intercept"),
+    )
+
+
+VOCAB_ZIPF_ORACLE = f"""
+WITH cnt AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest({H.duck_tokens('text')}) AS token FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM cnt
+  QUALIFY rank <= {_ZIPF_TOPN}
+), terms AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(18,12)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(18,12)) AS y,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 12)
+              AS DECIMAL(18,12)) AS xy,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 12)
+              AS DECIMAL(18,12)) AS xx
+  FROM ranked
+), s AS (
+  SELECT count(*) AS n_terms,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT n_terms,
+       (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+       (sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(n_terms AS DOUBLE) AS zipf_intercept
+FROM s
+"""
+
+SPECS["vocab_zipf_slope"] = QuerySpec(
+    vocab_zipf_slope, VOCAB_ZIPF_ORACLE,
+    "Zipf-law OLS fit over the top-50 vocabulary (one-row fingerprint)",
+)

@@ -733,3 +733,57 @@ SPECS: dict[str, QuerySpec] = {
     "monitoring_consecutive_breach": QuerySpec(monitoring_consecutive_breach, MONITORING_ORACLE, "§3.3 alarm"),
     "threshold_update_rule": QuerySpec(threshold_update_rule, THRESHOLD_ORACLE, "§2.10 threshold"),
 }
+
+
+# ---------- cumulative distinct users (round 4) ----------
+
+def wf_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per event-day, the number of first-seen
+    users and the running total of distinct users ever seen — the
+    exact "cumulative uniques" curve (a distinct count composed as
+    min-date + running sum, so it needs no per-day distinct state).
+
+    Scale: one user-keyed shuffle for the min-date, then all window
+    work runs on the DAYS frame (≤ a few thousand rows at any corpus
+    size) — the global-order window never sees event rows."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = firsts.groupBy("first_day").agg(
+        F.count("*").alias("n_new_users")
+    )
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, days.day == new_per_day.first_day, "left")
+        .select(
+            "day", F.coalesce("n_new_users", F.lit(0)).alias("n_new_users")
+        )
+        .withColumn("cum_users", F.sum("n_new_users").over(w))
+        .select("day", "n_new_users", "cum_users")
+    )
+
+
+WF_CUM_DISTINCT_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+), firsts AS (
+  SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1
+), new_per_day AS (
+  SELECT first_day, count(*) AS n_new_users FROM firsts GROUP BY 1
+), days AS (
+  SELECT DISTINCT day FROM ev
+)
+SELECT d.day,
+       coalesce(n.n_new_users, 0) AS n_new_users,
+       sum(coalesce(n.n_new_users, 0)) OVER (
+         ORDER BY d.day ROWS UNBOUNDED PRECEDING
+       ) AS cum_users
+FROM days d LEFT JOIN new_per_day n ON d.day = n.first_day
+"""
+
+SPECS["wf_cumulative_distinct_users"] = QuerySpec(
+    wf_cumulative_distinct_users, WF_CUM_DISTINCT_ORACLE,
+    "per-day first-seen users + cumulative distinct-user curve",
+)

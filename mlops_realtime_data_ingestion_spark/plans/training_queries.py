@@ -565,3 +565,68 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_cc_star": QuerySpec(dedup_cc_star, CC_ORACLE, "dedup group resolution, O(log n) star rounds"),
     "dedup_survivors": QuerySpec(dedup_survivors, SURVIVORS_ORACLE, "filtered corpus: one canonical doc per dup group"),
 }
+
+
+# ---------- split n-gram novelty (round 4) ----------
+
+def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit for a split: the fraction of the
+    heldout side's distinct word-5-gram shingles never seen in the
+    train side (same id-hash buckets as ``split_hash_assign``, <80 =
+    train). Low novelty means eval loss is measuring recall of the
+    training set, not generalization — the complement of the
+    decontamination check (that one guards train against the
+    benchmark; this one profiles the benchmark-to-be).
+
+    Scale: both sides ride the Arrow shingle path; the distinct
+    shingle sets meet in ONE shuffle on the shingle hash (no
+    broadcast — at 100 TB the train vocabulary is itself huge), and
+    only three counters leave the join."""
+    from ..operators.dedup import with_shingle_hashes
+    from ..operators.training_data import _id_hash
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_train", (_id_hash("doc_id") % 100).cast("int") < 80
+    )
+    sh = with_shingle_hashes(docs, "doc_id", "text", 5, extra_cols=("is_train",))
+    exploded = sh.select(F.explode("sh").alias("sh"), "is_train")
+    train_sh = (
+        exploded.filter(F.col("is_train")).select("sh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    held_sh = exploded.filter(~F.col("is_train")).select("sh").distinct()
+    return held_sh.join(train_sh, "sh", "left").agg(
+        F.count("*").alias("n_heldout"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+    ).select(
+        "n_heldout",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_heldout")).alias("novelty_rate"),
+    )
+
+
+NOVELTY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h,
+         CAST({_DUCK_ID_HASH} % 100 AS INTEGER) < 80 AS is_train
+  FROM documents
+), sh AS (
+  SELECT is_train, unnest(list_distinct({_DUCK_SH5})) AS sh FROM base
+), tr AS (
+  SELECT DISTINCT sh FROM sh WHERE is_train
+), he AS (
+  SELECT DISTINCT sh FROM sh WHERE NOT is_train
+), agg AS (
+  SELECT count(*) AS n_heldout,
+         count(*) FILTER (WHERE tr.sh IS NULL) AS n_novel
+  FROM he LEFT JOIN tr ON he.sh = tr.sh
+)
+SELECT n_heldout, n_novel,
+       CAST(n_novel AS DOUBLE) / n_heldout AS novelty_rate
+FROM agg
+"""
+
+SPECS["split_ngram_novelty"] = QuerySpec(
+    split_ngram_novelty, NOVELTY_ORACLE,
+    "heldout-vs-train 5-gram novelty rate (memorization audit)",
+)
