@@ -1490,3 +1490,80 @@ SPECS["vocab_zipf_slope"] = QuerySpec(
     vocab_zipf_slope, VOCAB_ZIPF_ORACLE,
     "Zipf-law OLS fit over the top-50 vocabulary (one-row fingerprint)",
 )
+
+
+# ---------- entity resolution end-to-end (round 4) ----------
+
+def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline in one plan: lossless
+    SymSpell deletion-variant blocking -> levenshtein<=2 verify
+    (edit_distance_join) -> connected components over the match graph
+    -> every distinct name tagged with its canonical entity (the
+    lexicographic min of its component; singletons are their own
+    entity) and the entity's member count. The chain-collapse step is
+    what pair output alone can't give ("Corp", "Corp.", "Corpx" must
+    land in ONE entity even when the outer pair exceeds the
+    distance bound).
+
+    Scale: the only quadratic-risk step is blocked by deletion
+    variants (V x O(L^2) candidates, never V^2); CC iterates over the
+    MATCH EDGES only; the final tag is one join of the name
+    vocabulary against the component labels."""
+    from ..operators.training_data import connected_components
+
+    vocab = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pairs = edit_distance_join(
+        load_table(spark, sf_dir, "part"), "p_name", max_dist=2
+    )
+    comp = connected_components(pairs, src="name_1", dst="name_2").select(
+        F.col("doc_id").alias("name"), F.col("component_id").alias("entity_id")
+    )
+    tagged = vocab.join(comp, "name", "left").select(
+        "name", F.coalesce("entity_id", F.col("name")).alias("entity_id")
+    )
+    sizes = tagged.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("entity_size")
+    )
+    return tagged.join(sizes, "entity_id").select(
+        F.col("name").alias("p_name"), "entity_id", "entity_size"
+    )
+
+
+ENTITY_RESOLUTION_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT DISTINCT p_name AS name FROM part
+), pairs AS (
+  SELECT a.name AS n1, b.name AS n2
+  FROM v a JOIN v b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+), e AS (
+  SELECT n1 AS a, n2 AS b FROM pairs
+  UNION
+  SELECT n2 AS a, n1 AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM e
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+), comp AS (
+  SELECT id, min(r) AS entity FROM reach GROUP BY 1
+), tagged AS (
+  SELECT v.name, coalesce(c.entity, v.name) AS entity_id
+  FROM v LEFT JOIN comp c ON v.name = c.id
+), sizes AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+  FROM tagged GROUP BY 1
+)
+SELECT t.name AS p_name, t.entity_id, s.entity_size
+FROM tagged t JOIN sizes s ON t.entity_id = s.entity_id
+"""
+
+SPECS["entity_resolution_part_names"] = QuerySpec(
+    entity_resolution_part_names, ENTITY_RESOLUTION_ORACLE,
+    "end-to-end entity resolution: blocking -> verify -> components -> canonical tag",
+)
