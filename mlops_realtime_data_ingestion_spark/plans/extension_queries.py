@@ -1009,3 +1009,146 @@ SPECS["clustering_eval_purity"] = QuerySpec(
     clustering_eval_purity, CLUSTER_PURITY_ORACLE,
     "per-cluster label purity of the deterministic k-means",
 )
+
+
+# ---------- MMR diversified re-ranking (round 4) ----------
+
+_MMR_NQ, _MMR_KCAND, _MMR_KOUT = 3, 10, 5
+
+
+def sim_search_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of the exact cosine top-10:
+    greedily pick 5 results per query maximizing
+    0.7*sim(q,d) - 0.3*max_{s in picked} sim(d,s) — the standard
+    diversified-retrieval step after any ANN/exact top-k. The greedy
+    loop is unrolled as 5 deterministic DataFrame rounds (argmax via
+    row_number with id tiebreak on 6dp-rounded sims), so the full
+    pipeline is value-hash oracle-matched like the k-means family.
+
+    Scale: corpus work is the one broadcast-query top-k scan the
+    engine already does; everything MMR adds runs on the (queries x
+    k_cand) candidate frame — k^2 pairwise sims and 5 tiny argmax
+    rounds, independent of corpus size."""
+    from ..operators.similarity import cosine
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("qsim", F.round(cosine("cv", "qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cand_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_KCAND)
+        .select("query_id", "cand_id", "qsim", "cv")
+        .localCheckpoint()  # reused by every MMR round; truncates the scan lineage
+    )
+    a = cand.select("query_id", F.col("cand_id").alias("a_id"), F.col("cv").alias("av"))
+    b = cand.select(
+        F.col("query_id").alias("p_qid"), F.col("cand_id").alias("b_id"),
+        F.col("cv").alias("bv"),
+    )
+    psim = (
+        a.join(b, a["query_id"] == b["p_qid"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("p_qid", "a_id", "b_id", F.round(cosine("av", "bv"), 6).alias("ps"))
+    )
+    base = cand.select("query_id", "cand_id", "qsim")
+    sel = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.lit(1).alias("pick"), "qsim")
+    )
+    for t in range(2, _MMR_KOUT + 1):
+        remaining = base.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        selp = sel.select(
+            F.col("query_id").alias("s_qid"), F.col("cand_id").alias("s_id")
+        )
+        mx = (
+            remaining.join(
+                psim,
+                (F.col("query_id") == F.col("p_qid"))
+                & (F.col("cand_id") == F.col("a_id")),
+            )
+            .join(
+                selp,
+                (F.col("p_qid") == F.col("s_qid")) & (F.col("b_id") == F.col("s_id")),
+            )
+            .groupBy("query_id", "cand_id", "qsim")
+            .agg(F.max("ps").alias("mx"))
+        )
+        score = F.lit(0.7) * F.col("qsim") - F.lit(0.3) * F.col("mx")
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc(score), F.asc("cand_id")
+        )
+        pick_t = (
+            mx.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", F.lit(t).alias("pick"), "qsim")
+        )
+        sel = sel.unionByName(pick_t)
+    return sel.select("query_id", F.col("cand_id").alias("vec_id"), "pick", "qsim")
+
+
+def _mmr_oracle() -> str:
+    cos_q = _duck_cosine("cv", "qv")
+    cos_p = _duck_cosine("a.cv", "b.cv")
+    ctes = [
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f" WHERE vec_id < {_MMR_NQ})",
+        "c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings)",
+        f"scored AS (SELECT query_id, cand_id, round({cos_q}, 6) AS qsim, cv"
+        f" FROM c CROSS JOIN q WHERE cand_id != query_id)",
+        f"cand AS (SELECT query_id, cand_id, qsim, cv FROM ("
+        f" SELECT *, row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY qsim DESC, cand_id) AS rn FROM scored)"
+        f" WHERE rn <= {_MMR_KCAND})",
+        f"psim AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,"
+        f" round({cos_p}, 6) AS ps FROM cand a JOIN cand b"
+        f" ON a.query_id = b.query_id AND a.cand_id != b.cand_id)",
+        "sel1 AS (SELECT query_id, cand_id, 1 AS pick, qsim FROM ("
+        " SELECT query_id, cand_id, qsim, row_number() OVER ("
+        " PARTITION BY query_id ORDER BY qsim DESC, cand_id) AS rn FROM cand)"
+        " WHERE rn = 1)",
+    ]
+    for t in range(2, _MMR_KOUT + 1):
+        prev = f"sel{t - 1}"
+        ctes.append(
+            f"rem{t} AS (SELECT c.query_id, c.cand_id, c.qsim FROM cand c"
+            f" LEFT JOIN {prev} s ON c.query_id = s.query_id"
+            f" AND c.cand_id = s.cand_id WHERE s.cand_id IS NULL)"
+        )
+        ctes.append(
+            f"mx{t} AS (SELECT r.query_id, r.cand_id, r.qsim, max(p.ps) AS mx"
+            f" FROM rem{t} r JOIN psim p ON p.query_id = r.query_id"
+            f" AND p.a_id = r.cand_id JOIN {prev} s ON s.query_id = p.query_id"
+            f" AND s.cand_id = p.b_id GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"pick{t} AS (SELECT query_id, cand_id, {t} AS pick, qsim FROM ("
+            f" SELECT query_id, cand_id, qsim, row_number() OVER ("
+            f" PARTITION BY query_id ORDER BY 0.7 * qsim - 0.3 * mx DESC, cand_id)"
+            f" AS rn FROM mx{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, cand_id AS vec_id, pick, qsim FROM sel{_MMR_KOUT}"
+    )
+
+
+MMR_ORACLE = _mmr_oracle()
+
+SPECS["sim_search_mmr_topk"] = QuerySpec(
+    sim_search_mmr_topk, MMR_ORACLE,
+    "MMR diversified re-rank of the exact top-k (unrolled greedy rounds)",
+)

@@ -70,3 +70,18 @@ def test_entity_resolution_closure(spark, sf_dir):
         assert ent in names
         assert ent == min(members)
         assert sizes[ent] == len(members)
+
+
+def test_mmr_picks_are_distinct_and_anchored(spark, sf_dir):
+    """5 distinct picks per query; pick 1 is the relevance argmax; no
+    pick is the query itself."""
+    rows = xq.sim_search_mmr_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, picks in by_q.items():
+        assert sorted(p.pick for p in picks) == [1, 2, 3, 4, 5]
+        assert len({p.vec_id for p in picks}) == 5
+        assert all(p.vec_id != qid for p in picks)
+        first = next(p for p in picks if p.pick == 1)
+        assert first.qsim == max(p.qsim for p in picks)
