@@ -1567,3 +1567,93 @@ SPECS["entity_resolution_part_names"] = QuerySpec(
     entity_resolution_part_names, ENTITY_RESOLUTION_ORACLE,
     "end-to-end entity resolution: blocking -> verify -> components -> canonical tag",
 )
+
+
+# ---------- numeric correlation matrix (round 4) ----------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns —
+    the feature-screening profile (collinearity / leakage scan) as ONE
+    wide aggregate: every Σx, Σx², Σxy rides a DECIMAL(38,10) exact
+    sum in a single scan (map-side partials), then the 6 pairwise r
+    values are per-row scalar math on the one-row sums frame,
+    exploded to (col_1, col_2, n, corr) rows.
+
+    Scale: one scan whatever the pair count; no shuffle carries rows
+    (the aggregate moves 15 numbers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,4)"
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(dec)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(dec)).cast("double").alias(f"ss_{c}")
+        )
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast(dec)).cast("double").alias(f"sp_{x}_{y}")
+        )
+    s = li.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def _corr(x: str, y: str):
+        num = n * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        den = F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")) * F.sqrt(
+            n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        )
+        return num / den
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_1"), F.lit(y).alias("col_2"),
+                F.round(_corr(x, y), 8).alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return s.select(F.col("n"), F.explode(structs).alias("p")).select(
+        "p.col_1", "p.col_2", "n", "p.corr"
+    )
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    dec = "DECIMAL(38,4)"
+    sums = ["count(*) AS n"]
+    for c in cols:
+        sums.append(f"CAST(sum(CAST({c} AS {dec})) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(sum(CAST({c} * {c} AS {dec})) AS DOUBLE) AS ss_{c}")
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1 :]]
+    for x, y in pairs:
+        sums.append(f"CAST(sum(CAST({x} * {y} AS {dec})) AS DOUBLE) AS sp_{x}_{y}")
+    sel = []
+    for x, y in pairs:
+        num = f"(CAST(n AS DOUBLE) * sp_{x}_{y} - s_{x} * s_{y})"
+        den = (
+            f"(sqrt(CAST(n AS DOUBLE) * ss_{x} - s_{x} * s_{x})"
+            f" * sqrt(CAST(n AS DOUBLE) * ss_{y} - s_{y} * s_{y}))"
+        )
+        sel.append(
+            f"SELECT '{x}' AS col_1, '{y}' AS col_2, n, round({num} / {den}, 8) AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(sel)
+    )
+
+
+CORR_MATRIX_ORACLE = _corr_oracle()
+
+SPECS["corr_matrix_lineitem"] = QuerySpec(
+    corr_matrix_lineitem, CORR_MATRIX_ORACLE,
+    "Pearson correlation matrix in one scan (decimal-exact moments)",
+)
