@@ -787,3 +787,78 @@ SPECS["wf_cumulative_distinct_users"] = QuerySpec(
     wf_cumulative_distinct_users, WF_CUM_DISTINCT_ORACLE,
     "per-day first-seen users + cumulative distinct-user curve",
 )
+
+
+# ---------- per-series OLS trend (round 4) ----------
+
+_TREND_X0 = 1704067200  # 2024-01-01 UTC; bounds |x| so moments stay exact
+
+
+def ts_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series drift detection: the OLS slope (value per second) and
+    intercept of each user's event values over time — the grouped
+    linear-trend profile that feeds monitoring ("which series are
+    drifting and how fast"). Moments are exact: x is integer epoch
+    seconds rebased to 2024-01-01 (Σx, Σx² integer-backed decimals —
+    single-rounded to double identically in both engines), x·y is a
+    4-dp-content product summed in DECIMAL(38,4); slope/intercept are
+    rounded (12/8 dp) to absorb the >53-bit decimal→double cast
+    divergence documented in the verify skill.
+
+    Scale: one user-keyed shuffle of 5 partial aggregates — the
+    classic map-side-combine shape; series length never materializes."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") - F.lit(_TREND_X0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    dec0, dec4 = "decimal(38,0)", "decimal(38,4)"
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("x").cast(dec0)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec0)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec4)).cast("double").alias("sxy"),
+        F.sum(F.col("y").cast(dec4)).cast("double").alias("sy"),
+    )
+    n = F.col("n_events").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return (
+        s.filter((F.col("n_events") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(slope, 12).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / n, 8).alias("intercept"),
+        )
+    )
+
+
+TS_TREND_ORACLE = f"""
+WITH t AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_X0} AS x,
+         value AS y
+  FROM events
+), s AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy
+  FROM t GROUP BY 1
+)
+SELECT user_id, n_events,
+       round((CAST(n_events AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_events AS DOUBLE) * sxx - sx * sx), 12) AS slope,
+       round((sy - (CAST(n_events AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_events AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n_events AS DOUBLE), 8) AS intercept
+FROM s
+WHERE n_events >= 2 AND (CAST(n_events AS DOUBLE) * sxx - sx * sx) != 0
+"""
+
+SPECS["ts_trend_per_user"] = QuerySpec(
+    ts_trend_per_user, TS_TREND_ORACLE,
+    "grouped OLS trend: per-series value-vs-time slope + intercept",
+)
