@@ -862,3 +862,98 @@ SPECS["ts_trend_per_user"] = QuerySpec(
     ts_trend_per_user, TS_TREND_ORACLE,
     "grouped OLS trend: per-series value-vs-time slope + intercept",
 )
+
+
+# ---------- CUSUM change-point alerts (round 4) ----------
+
+_CUSUM_H = 200.0
+
+
+def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM change detection in closed form: the clamped
+    recursion s_i = max(0, s_{i-1} + d_i) equals p_i - min(0,
+    running_min(p)) for prefix sums p — the whole detector is two
+    window passes (cumsum + running min), no iterative state. The
+    reference level is calibrated on each series' FIRST 10 events
+    (the real CUSUM contract: monitor the tail against a head-period
+    target): mu = head_sum / 10 is one exact IEEE division both
+    engines agree on bit-for-bit, value - mu is exactly 3-dp content,
+    and every CUSUM quantity then rides exact DECIMAL window sums —
+    no float reduction anywhere. (A round(mean, 4) reference was
+    rejected: rounding a full-precision double diverges cross-engine
+    for means near a 5e-5 boundary — Spark rounds the shortest repr,
+    DuckDB the exact binary.) Emits the rows crossing h=200.
+
+    Scale: one user-keyed shuffle; the rank, cumsum and running-min
+    windows share the same per-user sort."""
+    ev = _events(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w_ord))
+    cal = (
+        ranked.filter(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.lit(10.0)
+            ).alias("mu")
+        )
+    )
+    w = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    t = (
+        ranked.filter(F.col("rn") > 10)
+        .join(cal, "user_id")
+        .withColumn("d", (F.col("value") - F.col("mu")).cast("decimal(18,4)"))
+        .withColumn("p", F.sum("d").over(w))
+        .withColumn("rmin", F.min("p").over(w))
+        .withColumn(
+            "cusum_d",
+            F.col("p") - F.least(F.lit(0).cast("decimal(18,4)"), F.col("rmin")),
+        )
+    )
+    return t.filter(F.col("cusum_d") > _CUSUM_H).select(
+        "user_id", "event_id", "ts", F.col("cusum_d").cast("double").alias("cusum")
+    )
+
+
+TS_CUSUM_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), cal AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 10.0 AS mu
+  FROM ranked WHERE rn <= 10 GROUP BY 1
+), t AS (
+  SELECT r.user_id, r.event_id, r.ts,
+         CAST(r.value - c.mu AS DECIMAL(18,4)) AS d
+  FROM ranked r JOIN cal c ON r.user_id = c.user_id
+  WHERE r.rn > 10
+), ps AS (
+  SELECT user_id, event_id, ts,
+         -- narrow back to (18,4): a (38,4)-(38,4) subtraction needs
+         -- width 39, which DuckDB silently promotes to DOUBLE
+         CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,4)) AS p
+  FROM t
+), p AS (
+  SELECT user_id, event_id, ts, p,
+         min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS rmin
+  FROM ps
+)
+SELECT user_id, event_id, ts,
+       -- the (19,4) subtraction result is int128-backed; DuckDB's
+       -- int128 decimal->double cast is NOT correctly rounded
+       -- (reciprocal multiply), the int64 path is — narrow first
+       CAST(CAST(p - least(CAST(0 AS DECIMAL(18,4)), rmin) AS DECIMAL(18,4))
+            AS DOUBLE) AS cusum
+FROM p
+WHERE (p - least(CAST(0 AS DECIMAL(18,4)), rmin)) > {_CUSUM_H}
+"""
+
+
+SPECS["ts_cusum_alerts"] = QuerySpec(
+    ts_cusum_alerts, TS_CUSUM_ORACLE,
+    "CUSUM change-point alerts via closed-form clamped cumsum",
+)
