@@ -1657,3 +1657,155 @@ SPECS["corr_matrix_lineitem"] = QuerySpec(
     corr_matrix_lineitem, CORR_MATRIX_ORACLE,
     "Pearson correlation matrix in one scan (decimal-exact moments)",
 )
+
+
+# ---------- retention cohort matrix (round 4) ----------
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active day,
+    retention(k) = distinct cohort users active k days later /
+    cohort size. Pure integer counting plus one final division, so
+    the matrix is bit-exact cross-engine.
+
+    Scale: one user-keyed shuffle for first-day, one (user, day)
+    distinct, one (cohort, k) count — all map-side-combinable; the
+    output is bounded by days², never by events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    act = (
+        active.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("k"),
+        )
+    )
+    ret = act.groupBy("cohort_day", "k").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    size = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        ret.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            "k",
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )
+
+
+RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), firsts AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, day FROM ev
+), act AS (
+  SELECT a.user_id, f.cohort_day, datediff('day', f.cohort_day, a.day) AS k
+  FROM active a JOIN firsts f ON a.user_id = f.user_id
+), ret AS (
+  SELECT cohort_day, k, count(DISTINCT user_id) AS active_users
+  FROM act GROUP BY 1, 2
+), sz AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT r.cohort_day, r.k, r.active_users, s.cohort_size,
+       CAST(r.active_users AS DOUBLE) / s.cohort_size AS retention
+FROM ret r JOIN sz s ON r.cohort_day = s.cohort_day
+"""
+
+SPECS["retention_cohorts"] = QuerySpec(
+    retention_cohorts, RETENTION_ORACLE,
+    "first-active-day cohort retention matrix (exact counts)",
+)
+
+
+# ---------- A/B two-sample z-test (round 4) ----------
+
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test of event values between the hash-split
+    variants (user_id parity = assignment — the deterministic
+    experiment bucketing): one row with per-variant n/mean/variance,
+    the z statistic and a |z| > 1.96 significance flag. Moments are
+    DECIMAL-exact (value is 2-dp content, value² exactly 4-dp); the
+    final z arithmetic is per-row double math rounded 8 dp to absorb
+    the engines' >53-bit decimal→double cast divergence.
+
+    Scale: one scan, 2-group partial aggregates; everything after the
+    shuffle touches a 2-row frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "value"
+    )
+    g = ev.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    stats = g.select("variant", "n", mean.alias("mean"), var.alias("var"))
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_0"), F.col("mean").alias("mean_0"), F.col("var").alias("var_0")
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_1"), F.col("mean").alias("mean_1"), F.col("var").alias("var_1")
+    )
+    z = (F.col("mean_1") - F.col("mean_0")) / F.sqrt(
+        F.col("var_1") / F.col("n_1").cast("double")
+        + F.col("var_0") / F.col("n_0").cast("double")
+    )
+    return a.crossJoin(b).select(
+        "n_0",
+        "n_1",
+        F.round("mean_0", 8).alias("mean_0"),
+        F.round("mean_1", 8).alias("mean_1"),
+        F.round("var_0", 8).alias("var_0"),
+        F.round("var_1", 8).alias("var_1"),
+        F.round(z, 8).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+AB_ZTEST_ORACLE = """
+WITH g AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS variant, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT variant, n, sx / CAST(n AS DOUBLE) AS mean,
+         (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var
+  FROM g
+), a AS (
+  SELECT n AS n_0, mean AS mean_0, var AS var_0 FROM stats WHERE variant = 0
+), b AS (
+  SELECT n AS n_1, mean AS mean_1, var AS var_1 FROM stats WHERE variant = 1
+)
+SELECT n_0, n_1,
+       round(mean_0, 8) AS mean_0, round(mean_1, 8) AS mean_1,
+       round(var_0, 8) AS var_0, round(var_1, 8) AS var_1,
+       round((mean_1 - mean_0) / sqrt(var_1 / CAST(n_1 AS DOUBLE)
+                                      + var_0 / CAST(n_0 AS DOUBLE)), 8) AS z,
+       abs((mean_1 - mean_0) / sqrt(var_1 / CAST(n_1 AS DOUBLE)
+                                    + var_0 / CAST(n_0 AS DOUBLE))) > 1.96
+         AS significant
+FROM a, b
+"""
+
+SPECS["ab_test_ztest"] = QuerySpec(
+    ab_test_ztest, AB_ZTEST_ORACLE,
+    "two-sample Welch z-test between deterministic variants",
+)
