@@ -1422,12 +1422,15 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(H.spark_tokens("text"))).alias("token"))
     )
     cnt = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    ranked = (
-        cnt.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
-        )
-        .filter(F.col("rank") <= _ZIPF_TOPN)
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps); the rank window then runs on the k-row frame only — a
+    # global row_number window over the full vocab would funnel it
+    # through one partition (InferWindowGroupLimit does not fire on
+    # this shape)
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(_ZIPF_TOPN)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
     )
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("cnt").cast("double"))
@@ -1515,10 +1518,11 @@ def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part")
         .select(F.col("p_name").alias("name"))
         .distinct()
+        .localCheckpoint()  # one scan+distinct feeds BOTH the blocking
+        # join (via edit_distance_join's internal distinct, a no-op on
+        # this frame) and the final canonical-tag join
     )
-    pairs = edit_distance_join(
-        load_table(spark, sf_dir, "part"), "p_name", max_dist=2
-    )
+    pairs = edit_distance_join(vocab.select(F.col("name").alias("p_name")), "p_name", max_dist=2)
     comp = connected_components(pairs, src="name_1", dst="name_2").select(
         F.col("doc_id").alias("name"), F.col("component_id").alias("entity_id")
     )
@@ -1577,10 +1581,13 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over lineitem's numeric columns —
     the feature-screening profile (collinearity / leakage scan) as ONE
-    wide aggregate: every Σx, Σx², Σxy rides a DECIMAL(38,10) exact
-    sum in a single scan (map-side partials), then the 6 pairwise r
-    values are per-row scalar math on the one-row sums frame,
-    exploded to (col_1, col_2, n, corr) rows.
+    wide aggregate: every Σx, Σx², Σxy rides a DECIMAL(38,4) exact
+    sum in a single scan (map-side partials; scale 4 = the content
+    scale of 2-dp × 2-dp products, the only double→decimal cast both
+    engines agree on bit-for-bit), then the 6 pairwise r values are
+    per-row scalar math on the one-row sums frame, exploded to
+    (col_1, col_2, n, corr) rows; r is rounded to 8 dp to absorb the
+    >53-bit decimal→double cast divergence (see the verify skill).
 
     Scale: one scan whatever the pair count; no shuffle carries rows
     (the aggregate moves 15 numbers)."""
@@ -1683,8 +1690,11 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", "cohort_day").alias("k"),
         )
     )
+    # act rows are already (user, day)-unique (ev.distinct()) and k is
+    # a pure function of day given the cohort, so a plain count equals
+    # countDistinct without the extra distinct-expansion shuffle phase
     ret = act.groupBy("cohort_day", "k").agg(
-        F.countDistinct("user_id").alias("active_users")
+        F.count("*").alias("active_users")
     )
     size = firsts.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
@@ -1714,7 +1724,7 @@ WITH ev AS (
   SELECT a.user_id, f.cohort_day, datediff('day', f.cohort_day, a.day) AS k
   FROM active a JOIN firsts f ON a.user_id = f.user_id
 ), ret AS (
-  SELECT cohort_day, k, count(DISTINCT user_id) AS active_users
+  SELECT cohort_day, k, count(*) AS active_users
   FROM act GROUP BY 1, 2
 ), sz AS (
   SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1

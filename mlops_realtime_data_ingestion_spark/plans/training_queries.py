@@ -597,7 +597,10 @@ def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     held_sh = exploded.filter(~F.col("is_train")).select("sh").distinct()
     return held_sh.join(train_sh, "sh", "left").agg(
         F.count("*").alias("n_heldout"),
-        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+        # count(when(...)) not sum(when/otherwise): on an empty
+        # heldout side this yields 0 like the oracle's FILTER count,
+        # where sum() would yield NULL
+        F.count(F.when(F.col("hit").isNull(), 1)).alias("n_novel"),
     ).select(
         "n_heldout",
         "n_novel",

@@ -39,6 +39,9 @@ def test_zipf_fit_shuffles_vocab_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # token count must partial-aggregate before its shuffle
     assert plan.count("HashAggregate") >= 2
+    # the top-k cut must be per-partition heaps, never a global sort
+    # or a vocab-wide single-partition window
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_novelty_join_is_equi_join(spark, sf_dir):
