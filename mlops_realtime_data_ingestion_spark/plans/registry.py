@@ -89,24 +89,59 @@ _R3_CHECKED = frozenset({
     "s1_http_poll_ingest",
 })
 
-_DRIVER_CHECKED = _R1_CHECKED | _R2_CHECKED | _R3_CHECKED
+# Queries with a green hash-match row in CORRECTNESS_r04.json.
+_R4_CHECKED = frozenset({
+    "a6_minute_bucket", "a7_minmax_span", "ab_test_ztest", "agg_cube",
+    "agg_distinct", "agg_grouping_sets", "agg_pivot", "agg_rollup",
+    "agg_unpivot", "asof_join_cogrouped_purchase", "bpe_encode_documents",
+    "ccnet_ppl_buckets", "clustering_eval_purity", "corr_matrix_lineitem",
+    "dataset_card_report", "dedup_semdedup", "dsir_select_en",
+    "embedding_jl_projection", "entity_resolution_part_names",
+    "f1_epoch_roundtrip", "f4_base64_json", "f5_json_encode_size",
+    "f6_json_extract", "f7_f8_scalar_math", "flagship_tx_window_1min",
+    "k_anonymity_customers", "mv_join_incremental", "p1_dedup_keep_first",
+    "passage_dedup_spans", "quality_classifier_hashed", "retention_cohorts",
+    "s10_latest_per_key", "session_window_agg", "sim_search_ivfpq",
+    "sim_search_mmr_topk", "skew_report_lineitem", "sliding_window_agg",
+    "split_ngram_novelty", "streaming_breach_alarm",
+    "streaming_pipeline_e2e", "table_stats_orders_sketch",
+    "tpch_q11_true", "tpch_q1_pricing_summary", "tpch_q20_true",
+    "tpch_q2_true", "tpch_q9_true", "ts_cusum_alerts", "ts_trend_per_user",
+    "vocab_zipf_slope",
+})
+
+# Queries whose LAST driver check was red. These enumerate ahead of
+# everything else so the fix is guaranteed into the next round's
+# 50-query driver sample. r4's single red row was
+# wf_cumulative_distinct_users (oracle HUGEINT typing, fixed by the
+# BIGINT cast in timeseries_queries.py — see VERDICT.md round 4).
+_LAST_RED = frozenset({
+    "wf_cumulative_distinct_users",
+})
+
+_DRIVER_CHECKED = (
+    _R1_CHECKED | _R2_CHECKED | _R3_CHECKED | _R4_CHECKED
+) - _LAST_RED
 
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Enumerate never-driver-green oracled queries first, then
-    never-checked rows-only queries (their driver check is weaker),
-    then everything with a green driver row already. Within the first
-    group, flat-schema guarantees hold for every oracled query (see
-    tests/test_registry.py) so the driver's pandas canonicalizer can
-    hash each one."""
+    """Enumerate red-last-round queries first (their fix must be
+    re-verified by the driver), then never-driver-green oracled
+    queries, then never-checked rows-only queries (their driver check
+    is weaker), then everything with a green driver row already.
+    Within the oracled groups, flat-schema guarantees hold for every
+    oracled query (see tests/test_registry.py) so the driver's pandas
+    canonicalizer can hash each one."""
 
     def rank(item: tuple[str, QuerySpec]) -> int:
         name, spec = item
+        if name in _LAST_RED:
+            return 0
         if name in _DRIVER_CHECKED:
             return 3
         if spec.oracle is None:
-            return 1
-        return 0
+            return 2
+        return 1
 
     return dict(sorted(specs.items(), key=rank))
 

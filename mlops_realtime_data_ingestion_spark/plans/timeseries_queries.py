@@ -777,9 +777,9 @@ WITH ev AS (
 )
 SELECT d.day,
        coalesce(n.n_new_users, 0) AS n_new_users,
-       sum(coalesce(n.n_new_users, 0)) OVER (
+       CAST(sum(coalesce(n.n_new_users, 0)) OVER (
          ORDER BY d.day ROWS UNBOUNDED PRECEDING
-       ) AS cum_users
+       ) AS BIGINT) AS cum_users
 FROM days d LEFT JOIN new_per_day n ON d.day = n.first_day
 """
 
