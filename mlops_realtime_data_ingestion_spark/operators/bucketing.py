@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed", "read_bucketed", "write_clustered"]
+__all__ = ["write_bucketed", "read_bucketed", "write_clustered", "write_zorder"]
 
 
 def write_bucketed(
@@ -108,16 +108,33 @@ def write_zorder(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        raise ValueError(
+            f"write_zorder: cluster column "
+            f"{col_a if lo_a is None else col_b} is entirely NULL — "
+            f"no min/max range to normalize against"
+        )
     span_a = max(float(hi_a) - float(lo_a), 1e-12)
     span_b = max(float(hi_b) - float(lo_b), 1e-12)
     cap = (1 << bits) - 1
+    # NULL cluster values quantize to 0 (the column min) so every row
+    # gets a real Morton code and lands in a file, instead of a NULL
+    # code collecting all NULL rows into an unclustered range
     qa = F.least(
         F.lit(cap),
-        ((F.col(col_a).cast("double") - lo_a) / span_a * cap).cast("long"),
+        (
+            (F.coalesce(F.col(col_a).cast("double"), F.lit(float(lo_a))) - lo_a)
+            / span_a
+            * cap
+        ).cast("long"),
     )
     qb = F.least(
         F.lit(cap),
-        ((F.col(col_b).cast("double") - lo_b) / span_b * cap).cast("long"),
+        (
+            (F.coalesce(F.col(col_b).cast("double"), F.lit(float(lo_b))) - lo_b)
+            / span_b
+            * cap
+        ).cast("long"),
     )
     # bit positions are disjoint, so + is bitwise-OR here (PySpark's
     # Column | is logical, not bitwise)

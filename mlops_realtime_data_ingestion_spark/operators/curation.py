@@ -189,16 +189,28 @@ def dsir_select(
         F.col(domain_col).alias("dom"),
         F.explode(_token_hash_arr(text_col, impl)).alias("h"),
     ).withColumn("bucket", F.col("h") % buckets)
-    btbl = toks.groupBy("bucket").agg(
-        F.count("*").alias("r"),
-        F.sum(F.when(F.col("dom") == target_domain, 1).otherwise(0)).alias("t"),
+    # (doc, bucket) term frequencies feed BOTH the bucket table and
+    # the per-doc weights; persisting tf (docs x <=buckets rows, far
+    # smaller than the token explosion) means the text scan + hash
+    # fold run exactly once — the dedup module's signature-frame
+    # pattern. dom rides along (constant per doc) so the bucket table
+    # derives from tf instead of rescanning toks.
+    from pyspark import StorageLevel
+
+    tf = toks.groupBy("id", "bucket").agg(
+        F.count("*").alias("tf"), F.max("dom").alias("dom")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    btbl = tf.groupBy("bucket").agg(
+        F.sum("tf").alias("r"),
+        F.sum(
+            F.when(F.col("dom") == target_domain, F.col("tf")).otherwise(0)
+        ).alias("t"),
     )
     totals = btbl.agg(F.sum("r").alias("rt"), F.sum("t").alias("tt"))
     lr = F.log((F.col("t") + 1) / (F.col("tt") + buckets)) - F.log(
         (F.col("r") + 1) / (F.col("rt") + buckets)
     )
     btbl = btbl.crossJoin(F.broadcast(totals)).select("bucket", lr.alias("lr"))
-    tf = toks.groupBy("id", "bucket").agg(F.count("*").alias("tf"))
     per_doc = (
         tf.join(F.broadcast(btbl), "bucket")
         .groupBy("id")
@@ -269,12 +281,13 @@ def duplicate_passage_spans(
         F.size("h").alias("n_tokens"),
         F.posexplode("sh").alias("p0", "fp"),
     ).select("id", "n_tokens", (F.col("p0") + 1).alias("s"), (F.col("p0") + n).alias("e"), "fp")
-    # pos feeds BOTH the fingerprint count and the join back — persist
-    # it so the text scan + hash fold run once, not twice (the dedup
-    # module's signature-frame pattern)
-    pos = pos.persist()
-    cnt = pos.groupBy("fp").agg(F.count("*").alias("c"))
-    dup = pos.join(cnt.filter(F.col("c") >= 2), "fp")
+    # per-fingerprint occurrence count as a WINDOW over fp, not
+    # groupBy + join-back: one fp-keyed shuffle, the text scan + hash
+    # fold run exactly once, and no persist is needed (the old shape
+    # cached the corpus-sized position frame for the session)
+    dup = pos.withColumn(
+        "c", F.count("*").over(Window.partitionBy("fp"))
+    ).filter(F.col("c") >= 2)
     w = Window.partitionBy("id").orderBy(F.col("s").asc())
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = (
@@ -426,12 +439,16 @@ def semdedup_prune_scaled(
 
     from .similarity import kmeans_iterate
 
-    # deterministic id-hash sample, bounded by sample_cap in expectation
+    # deterministic id-hash sample, bounded by sample_cap in
+    # expectation. Parts-per-million granularity with a floor of 1 so
+    # the rate never truncates to zero — at permille granularity a
+    # corpus over 1000x sample_cap would silently degenerate the
+    # training sample to just the k init vectors.
     n = emb.count()
     rate = min(1.0, sample_cap / max(n, 1))
-    permille = int(rate * 1000)
+    ppm = max(1, int(rate * 1_000_000))
     sample = emb.filter(
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)) < permille)
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < ppm)
         | (F.col(id_col) < k)  # keep the k init vectors present
     )
     _, cents = kmeans_iterate(

@@ -74,12 +74,22 @@ class StreamingCuration:
 
     # -- state ---------------------------------------------------------
     def _index(self, spark: SparkSession) -> DataFrame:
+        """Read the fingerprint index, empty-frame only on BOOTSTRAP
+        (index not written yet). Any other read failure propagates: a
+        corrupted or transiently unreadable index must fail the batch,
+        not silently disable corpus-level dedup (a swallowed error
+        here would accept duplicates with no signal)."""
         if os.path.isdir(self.index_path):
+            from pyspark.errors import AnalysisException
+
             try:
                 return spark.read.schema(_FP_SCHEMA + ", batch_id long").parquet(
                     self.index_path
                 )
-            except Exception:
+            except AnalysisException:
+                # dir exists but holds no readable parquet yet (e.g.
+                # checkpoint dir created, first write not landed) —
+                # the bootstrap shape, same as the no-dir branch
                 pass
         return spark.createDataFrame([], _FP_SCHEMA + ", batch_id long")
 

@@ -63,3 +63,31 @@ def test_zorder_preserves_data(spark, tmp_path):
     assert back.count() == 64 * 64
     assert back.select(F.sum("payload")).collect()[0][0] == sum(range(64 * 64))
     assert set(back.columns) == {"x", "y", "payload"}
+
+
+def test_zorder_null_values_kept_all_null_rejected(spark, tmp_path):
+    import pytest
+
+    # rows with NULL cluster values still land in the output (NULL
+    # quantizes to the column min, never a NULL Morton code)
+    df = _grid(spark, side=16).withColumn(
+        "x", F.when(F.col("payload") % 7 == 0, None).otherwise(F.col("x"))
+    )
+    zpath = str(tmp_path / "zorder_nulls")
+    write_zorder(df, zpath, "x", "y", n_files=4)
+    back = spark.read.parquet(zpath)
+    assert back.count() == 16 * 16
+    assert back.filter(F.col("x").isNull()).count() == df.filter(
+        F.col("x").isNull()
+    ).count()
+
+    # an entirely-NULL cluster column is a clear error, not a TypeError
+    all_null = _grid(spark, side=8).withColumn("x", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        write_zorder(all_null, str(tmp_path / "zorder_bad"), "x", "y", n_files=4)
+
+
+def test_zorder_exported():
+    from mlops_realtime_data_ingestion_spark.operators import bucketing
+
+    assert "write_zorder" in bucketing.__all__
