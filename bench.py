@@ -67,6 +67,8 @@ HEADLINE = [
     "passage_dedup_spans",
     "sim_search_ivfpq",
     "quality_classifier_hashed",
+    # round-5: arbitrary-length exact substring dedup (seed-and-chain)
+    "substring_dedup_chains",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be
@@ -241,6 +243,10 @@ def main() -> None:
             "single_shot": single_shot,
             "dedup_lsh_accounting": _lsh_accounting(spark, {"scale100": s100_dir}),
             "dedup_semdedup_scaled": _semdedup_scaled(spark, s100_dir, k=64),
+            # build-once/serve-many split; the sim_search_ivfpq row in
+            # `queries` above keeps the retrain-inline number for
+            # round-over-round comparison
+            "ivfpq_lifecycle": _ivfpq_lifecycle(spark, s100_dir),
         }
 
     total = round(sum(timings.values()), 3)
@@ -260,6 +266,51 @@ def main() -> None:
             }
         )
     )
+
+
+def _ivfpq_lifecycle(spark, data_dir: str) -> dict | None:
+    """IVF-PQ build vs serve, timed SEPARATELY. The registered
+    sim_search_ivfpq query retrains codebooks inside every call (the
+    oracle-checkable spelling), so its headline number measures the
+    wrong lifecycle phase for production: at scale the index is built
+    once by a scheduled job and searches amortize the training to
+    zero. This reports both: build_sec (train + persist the index)
+    and serve_sec (ADC search against the persisted index, corpus
+    vectors never re-read). None on failure — best-effort like the
+    accounting sections."""
+    import shutil
+    import tempfile
+
+    try:
+        from pyspark.sql import functions as F
+
+        from mlops_realtime_data_ingestion_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_search,
+        )
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+        emb = load_table(spark, data_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        idx = tempfile.mkdtemp(prefix="ivfpq_bench_")
+        try:
+            t0 = time.perf_counter()
+            ivfpq_build(emb, idx, dim=64, coarse_k=4, m=4, pq_k=4, iters=2)
+            build = time.perf_counter() - t0
+            # best-of-2 serve (first touch pays parquet-footer reads)
+            serve = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ivfpq_search(
+                    spark, idx, queries, dim=64, m=4, nprobe=2, k=5
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                serve = dt if serve is None else min(serve, dt)
+            return {"build_sec": round(build, 3), "serve_sec": round(serve, 3)}
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    except Exception:
+        return None
 
 
 def _semdedup_scaled(spark, data_dir: str, k: int) -> dict | None:

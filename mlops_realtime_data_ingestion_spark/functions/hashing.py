@@ -72,6 +72,39 @@ def duck_token_hashes(col: str) -> str:
     return f"list_transform({duck_tokens(col)}, t -> {duck_str_hash('t')})"
 
 
+# ---------- second independent fold (wide fingerprints) ----------
+# A single 30-bit fold space saturates at large corpora: with ~5e7
+# shingle positions (the 100x checkpoint) the birthday bound yields
+# ~6e5 colliding pairs, and operators whose OUTPUT is built from
+# fingerprint equality (exact substring chaining) fabricate matches
+# from every collision. Two independent folds packed into one BIGINT
+# give a ~2^60 space (expected collisions < 1e-3 at 5e7 positions):
+#   fp_wide = fold31_modP(x) * 2^30 + fold37_modP2(x)
+# Both factors are < 2^30 (P, P2 < 2^30), so the packed value is
+# < 2^60 — exact in BIGINT arithmetic in any engine.
+
+P2 = 998_244_353   # second fold modulus (also < 2^30)
+WIDE_SHIFT = 1 << 30
+
+
+def spark_str_hash2(s: str) -> str:
+    codes = f"transform(sequence(1, length({s})), i -> cast(ascii(substr({s}, i, 1)) as bigint))"
+    return f"aggregate({codes}, 0L, (acc, c) -> (acc * 37 + c) % {P2})"
+
+
+def duck_str_hash2(s: str) -> str:
+    codes = f"list_transform(range(1, length({s}) + 1), i -> CAST(ascii(substring({s}, i, 1)) AS BIGINT))"
+    return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (acc, c) -> (acc * 37 + c) % {P2})"
+
+
+def spark_token_hashes2(col: str) -> str:
+    return f"transform({spark_tokens(col)}, t -> {spark_str_hash2('t')})"
+
+
+def duck_token_hashes2(col: str) -> str:
+    return f"list_transform({duck_tokens(col)}, t -> {duck_str_hash2('t')})"
+
+
 # ---------- word n-gram shingle hashes from a token-hash array ----------
 
 def _chain(terms: list[str]) -> str:
@@ -96,6 +129,37 @@ def duck_shingle_hashes(h_arr: str, n: int) -> str:
     terms = [f"h[i + {j}]" for j in range(n)]
     return (
         f"list_transform(range(1, greatest(len({h_arr}) - {n - 2}, 1)), i -> {_chain(terms)})"
+    )
+
+
+def _chain2(terms: list[str]) -> str:
+    """((t0*37 + t1) % P2 * 37 + t2) % P2 ..."""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * 37 + {t}) % {P2}"
+    return expr
+
+
+def spark_shingle_hashes_wide(h1: str, h2: str, n: int) -> str:
+    """Packed two-fold shingle fingerprints: chain the base-31 hashes
+    and the base-37 hashes independently, pack as hi * 2^30 + lo.
+    Lambdas reference the two token-hash arrays as plain columns
+    ``h`` and ``h2`` (caller materializes both)."""
+    t1 = [f"element_at({h1}, i + {j})" for j in range(n)]
+    t2 = [f"element_at({h2}, i + {j})" for j in range(n)]
+    return (
+        f"case when size({h1}) < {n} then array() "
+        f"else transform(sequence(1, size({h1}) - {n - 1}),"
+        f" i -> ({_chain(t1)}) * {WIDE_SHIFT} + ({_chain2(t2)})) end"
+    )
+
+
+def duck_shingle_hashes_wide(h1: str, h2: str, n: int) -> str:
+    t1 = [f"{h1}[i + {j}]" for j in range(n)]
+    t2 = [f"{h2}[i + {j}]" for j in range(n)]
+    return (
+        f"list_transform(range(1, greatest(len({h1}) - {n - 2}, 1)),"
+        f" i -> ({_chain(t1)}) * {WIDE_SHIFT} + ({_chain2(t2)}))"
     )
 
 

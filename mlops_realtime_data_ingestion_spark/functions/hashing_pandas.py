@@ -30,6 +30,11 @@ _POW31[0] = 1
 for _i in range(1, _MAX_POW):
     _POW31[_i] = (_POW31[_i - 1] * 31) % H.P
 
+_POW37 = np.empty(_MAX_POW, dtype=np.int64)
+_POW37[0] = 1
+for _i in range(1, _MAX_POW):
+    _POW37[_i] = (_POW37[_i - 1] * 37) % H.P2
+
 _A = np.array(H.MINHASH_A, dtype=np.int64)
 _B = np.array(H.MINHASH_B, dtype=np.int64)
 
@@ -68,6 +73,47 @@ def shingle_hashes(h: np.ndarray, n: int = 2) -> np.ndarray:
     for j in range(1, n):
         acc = (acc * 31 + h[j : len(h) - n + 1 + j]) % H.P
     return acc
+
+
+def str_hash2(s: str) -> int:
+    """Second independent fold (base 37 mod P2 — see H.P2) for wide
+    fingerprints; same dot-product identity, same bounds (terms
+    < 128 * P2 < 2^37)."""
+    if not s:
+        return 0
+    codes = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.int64)
+    n = len(codes)
+    if n <= _MAX_POW:
+        return int((codes * _POW37[n - 1 :: -1]).sum() % H.P2)
+    h = 0
+    for c in codes.tolist():
+        h = (h * 37 + c) % H.P2
+    return h
+
+
+def token_hashes2(text: str) -> np.ndarray:
+    toks = text.lower().strip().split()
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        out[i] = str_hash2(t)
+    return out
+
+
+def shingle_hashes2(h2: np.ndarray, n: int = 2) -> np.ndarray:
+    """Second-fold n-gram chain (base 37 mod P2)."""
+    if len(h2) < n:
+        return np.empty(0, dtype=np.int64)
+    acc = h2[: len(h2) - n + 1].copy()
+    for j in range(1, n):
+        acc = (acc * 37 + h2[j : len(h2) - n + 1 + j]) % H.P2
+    return acc
+
+
+def shingle_hashes_wide(h: np.ndarray, h2: np.ndarray, n: int = 2) -> np.ndarray:
+    """Packed 60-bit fingerprints (== H.*_shingle_hashes_wide):
+    fold31 * 2^30 + fold37, both factors < 2^30 so the product + sum
+    is exact int64."""
+    return shingle_hashes(h, n) * H.WIDE_SHIFT + shingle_hashes2(h2, n)
 
 
 def minhash_sigs(sh: np.ndarray) -> np.ndarray:

@@ -56,6 +56,7 @@ __all__ = [
     "hashed_quality_classifier",
     "dsir_select",
     "duplicate_passage_spans",
+    "duplicate_substring_chains",
     "k_anonymity_report",
     "semdedup_prune",
     "semdedup_prune_scaled",
@@ -236,6 +237,64 @@ def dsir_select(
     )
 
 
+def _shingle_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    impl: str,
+    wide: bool = False,
+) -> DataFrame:
+    """(id, n_tokens, p, fp): the engine-wide shingle fingerprint of
+    the token n-gram starting at 1-based token position ``p``. One
+    text scan; the hash fold runs Arrow-batched (``impl='pandas'``)
+    or as codegen higher-order functions (``impl='sql'``).
+
+    ``wide=True`` packs TWO independent folds into a 60-bit
+    fingerprint (functions/hashing.py ``*_wide``): required when the
+    operator's output is built from fingerprint EQUALITY (substring
+    chaining) — a single 30-bit space fabricates ~N^2/2^31 colliding
+    pairs, measurable corpus pollution past ~1e7 positions."""
+    src = df.filter(F.col(text_col).isNotNull())
+    if impl == "sql":
+        if wide:
+            base = src.select(
+                F.col(id_col).alias("id"),
+                F.expr(H.spark_token_hashes(text_col)).alias("h"),
+                F.expr(H.spark_token_hashes2(text_col)).alias("h2"),
+            ).withColumn("sh", F.expr(H.spark_shingle_hashes_wide("h", "h2", n)))
+        else:
+            base = src.select(
+                F.col(id_col).alias("id"),
+                F.expr(H.spark_token_hashes(text_col)).alias("h"),
+            ).withColumn("sh", F.expr(H.spark_shingle_hashes("h", n)))
+    else:
+        @F.pandas_udf("struct<h: array<long>, sh: array<long>>")
+        def hsh_udf(texts: pd.Series) -> pd.DataFrame:
+            hs = texts.map(lambda t: HP.token_hashes(t or ""))
+            if wide:
+                h2s = texts.map(lambda t: HP.token_hashes2(t or ""))
+                sh = pd.Series(
+                    [
+                        HP.shingle_hashes_wide(h, h2, n)
+                        for h, h2 in zip(hs, h2s)
+                    ],
+                    index=hs.index,
+                )
+            else:
+                sh = hs.map(lambda h: HP.shingle_hashes(h, n))
+            return pd.DataFrame({"h": hs, "sh": sh})
+
+        base = src.select(
+            F.col(id_col).alias("id"), hsh_udf(F.col(text_col)).alias("r")
+        ).select("id", F.col("r.h").alias("h"), F.col("r.sh").alias("sh"))
+    return base.select(
+        "id",
+        F.size("h").alias("n_tokens"),
+        F.posexplode("sh").alias("p0", "fp"),
+    ).select("id", "n_tokens", (F.col("p0") + 1).alias("p"), "fp")
+
+
 def duplicate_passage_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -259,28 +318,9 @@ def duplicate_passage_spans(
     duplicated positions, i.e. the duplication density, exactly like
     the suffix-array formulation.
     """
-    src = df.filter(F.col(text_col).isNotNull())
-    if impl == "sql":
-        base = src.select(
-            F.col(id_col).alias("id"),
-            F.expr(H.spark_token_hashes(text_col)).alias("h"),
-        ).withColumn("sh", F.expr(H.spark_shingle_hashes("h", n)))
-    else:
-        @F.pandas_udf("struct<h: array<long>, sh: array<long>>")
-        def hsh_udf(texts: pd.Series) -> pd.DataFrame:
-            hs = texts.map(lambda t: HP.token_hashes(t or ""))
-            return pd.DataFrame(
-                {"h": hs, "sh": hs.map(lambda h: HP.shingle_hashes(h, n))}
-            )
-
-        base = src.select(
-            F.col(id_col).alias("id"), hsh_udf(F.col(text_col)).alias("r")
-        ).select("id", F.col("r.h").alias("h"), F.col("r.sh").alias("sh"))
-    pos = base.select(
-        "id",
-        F.size("h").alias("n_tokens"),
-        F.posexplode("sh").alias("p0", "fp"),
-    ).select("id", "n_tokens", (F.col("p0") + 1).alias("s"), (F.col("p0") + n).alias("e"), "fp")
+    pos = _shingle_positions(df, id_col, text_col, n, impl).select(
+        "id", "n_tokens", F.col("p").alias("s"), (F.col("p") + n - 1).alias("e"), "fp"
+    )
     # per-fingerprint occurrence count as a WINDOW over fp, not
     # groupBy + join-back: one fp-keyed shuffle, the text scan + hash
     # fold run exactly once, and no persist is needed (the old shape
@@ -314,6 +354,196 @@ def duplicate_passage_spans(
             F.col("dup_tokens").cast("long").alias("dup_tokens"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             # exact-integer ratio: deterministic unrounded, fragile rounded
+            (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_substring_chains(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_occ: int = 64,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Arbitrary-length exact duplicated substrings — the distributed
+    spelling of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Where :func:`duplicate_passage_spans` marks positions whose
+    fixed-n window is duplicated ANYWHERE (an over-approximation —
+    adjacent windows may match different partners),  this operator
+    recovers the exact maximal repeated substrings by seed-and-chain:
+
+    1. every token n-gram fingerprint occurring 2..``max_occ`` times
+       corpus-wide is a SEED; occurrences group per fingerprint and
+       pair within the group (occurrence lists are sorted, pairs are
+       (earlier, later) — deterministic);
+    2. a seed pair (d1, p1, d2, p2) lies on the DIAGONAL
+       (d1, d2, p2 - p1); consecutive seeds on one diagonal
+       (p1, p1+1, ...) chain into a maximal run — exactly the
+       anchor-chaining step of genome aligners, and the distributed
+       equivalent of walking a suffix array's LCP intervals. A run of
+       k consecutive seeds certifies an exact repeated substring of
+       k + n - 1 tokens shared by the two occurrences, maximal on its
+       diagonal;
+    3. each chain projects onto BOTH endpoints' documents; per-doc
+       overlapping projections merge via gaps-and-islands into the
+       document's maximal duplicated regions.
+
+    Output per doc (docs with no chained duplicate are absent):
+    ``n_spans`` merged regions, ``dup_tokens`` covered tokens,
+    ``n_tokens``, ``max_match_len`` (the longest exact repeated
+    substring touching the doc, in tokens), ``dup_frac``.
+
+    Fingerprints above ``max_occ`` are repetitive seeds (boilerplate
+    n-grams); chaining skips them — pairing a c-occurrence
+    fingerprint costs c^2, so the cap bounds per-group work at
+    max_occ^2 while the fixed-n passage operator still accounts those
+    positions. This is the max-occurrence seed filter of MUMmer /
+    minimap2, applied corpus-scale.
+
+    Seeds use the WIDE (60-bit, double-fold) fingerprint
+    (functions/hashing.py): chaining turns every fingerprint
+    collision into a fabricated "exact" match, and a 30-bit space
+    yields ~N^2/2^31 colliding pairs — measured +72% spurious output
+    rows at ~5e6 positions and 6x at ~5e7. At 2^60 the expected
+    collision count stays < 1 up to ~1e9 positions.
+
+    Scale: the occurrence-count filter is a window over fp and the
+    pair generation a groupBy over the SAME key — one fp shuffle
+    total, arrays bounded by max_occ after the filter. Then one
+    window shuffle on (d1, d2, diag) whose partitions are chain
+    lengths, one on doc id for the island merge. No self-join, no
+    driver collect, nothing quadratic beyond the capped per-group
+    pairing.
+    """
+    pos = _shingle_positions(df, id_col, text_col, n, impl, wide=True)
+    # seed filter: window count over fp, THEN group over the same key
+    # — the filtered rows are already hash-partitioned on fp, so the
+    # collect_list groupBy adds no second exchange
+    seeds = pos.withColumn(
+        "c", F.count("*").over(Window.partitionBy("fp"))
+    ).filter((F.col("c") >= 2) & (F.col("c") <= max_occ))
+    grp = seeds.groupBy("fp").agg(
+        F.array_sort(
+            F.collect_list(F.struct("id", "n_tokens", "p"))
+        ).alias("occ")
+    )
+    # all (i < j) pairs within the sorted occurrence list: pair order
+    # is (earlier doc/pos, later doc/pos), deterministic
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(occ, (a, i) ->"
+                " transform(slice(occ, i + 2, size(occ)), b ->"
+                " struct(a as a, b as b))))"
+            )
+        ).alias("pr")
+    ).select(
+        F.col("pr.a.id").alias("d1"),
+        F.col("pr.a.n_tokens").alias("nt1"),
+        F.col("pr.a.p").alias("p1"),
+        F.col("pr.b.id").alias("d2"),
+        F.col("pr.b.n_tokens").alias("nt2"),
+        F.col("pr.b.p").alias("p2"),
+        (F.col("pr.b.p") - F.col("pr.a.p")).alias("diag"),
+    )
+    # chain consecutive seeds per diagonal (gaps-and-islands on p1;
+    # p1 is unique within a diagonal, so lag() suffices)
+    wd = Window.partitionBy("d1", "d2", "diag").orderBy(F.col("p1").asc())
+    prev_p1 = F.lag("p1").over(wd)
+    chains = (
+        pairs.withColumn(
+            "new_chain",
+            F.when(prev_p1.isNull() | (F.col("p1") > prev_p1 + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "chain",
+            F.sum("new_chain").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("d1", "d2", "diag", "chain")
+        .agg(
+            F.max("nt1").alias("nt1"),
+            F.max("nt2").alias("nt2"),
+            F.min("p1").alias("s1"),
+            (F.max("p1") + n - 1).alias("e1"),
+            (F.min("p1") + F.col("diag")).alias("s2"),
+            (F.max("p1") + F.col("diag") + n - 1).alias("e2"),
+            (F.max("p1") - F.min("p1") + n).alias("match_len"),
+        )
+    )
+    # project each chain onto both documents, merge per-doc islands.
+    # Collapse duplicate (id, s, e) projections (two partners matching
+    # the same span) BEFORE the island window: unique (s, e) pairs
+    # make the window's ORDER BY a total order — with ties, the
+    # new_span and running-sum window sorts can order tied rows
+    # differently (run-to-run nondeterminism observed in DuckDB),
+    # splitting what should be one island
+    # explode, not a self-union: a union of two selects over `chains`
+    # makes Spark compute the whole seed/chain subtree twice (verified
+    # in the executed plan — two fp exchanges); exploding a 2-element
+    # struct array projects both endpoints in one pass
+    proj = (
+        chains.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d1").alias("id"),
+                        F.col("nt1").alias("n_tokens"),
+                        F.col("s1").alias("s"),
+                        F.col("e1").alias("e"),
+                        F.col("match_len"),
+                    ),
+                    F.struct(
+                        F.col("d2").alias("id"),
+                        F.col("nt2").alias("n_tokens"),
+                        F.col("s2").alias("s"),
+                        F.col("e2").alias("e"),
+                        F.col("match_len"),
+                    ),
+                )
+            ).alias("pr")
+        )
+        .select("pr.id", "pr.n_tokens", "pr.s", "pr.e", "pr.match_len")
+        .groupBy("id", "n_tokens", "s", "e")
+        .agg(F.max("match_len").alias("match_len"))
+    )
+    wi = Window.partitionBy("id").orderBy(F.col("s").asc(), F.col("e").asc())
+    prev_max = F.max("e").over(wi.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        proj.withColumn(
+            "new_span",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_span").over(wi.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "n_tokens", "island")
+        .agg(
+            F.min("s").alias("ss"),
+            F.max("e").alias("ee"),
+            F.max("match_len").alias("ml"),
+        )
+    )
+    return (
+        islands.groupBy("id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("ee") - F.col("ss") + 1).alias("dup_tokens"),
+            F.max("ml").alias("max_match_len"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("max_match_len").cast("long").alias("max_match_len"),
+            # exact-integer ratio, unrounded (determinism rule)
             (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_frac"),
         )
     )

@@ -22,6 +22,7 @@ from ..operators.curation import (
     dataset_card,
     dsir_select,
     duplicate_passage_spans,
+    duplicate_substring_chains,
     hashed_quality_classifier,
     k_anonymity_report,
     semdedup_prune,
@@ -148,6 +149,85 @@ SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens, n_tokens,
        CAST(sum(ee - ss + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
 FROM spans GROUP BY id, n_tokens
+"""
+
+
+# ---------- arbitrary-length exact substring dedup (chained seeds) ----------
+
+def substring_dedup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact repeated substrings per document via
+    seed-and-chain (the distributed suffix-array-family spelling):
+    8-gram seeds occurring 2..64 times corpus-wide, chained along
+    (d1, d2, offset) diagonals into maximal runs, projected onto both
+    documents and island-merged."""
+    return duplicate_substring_chains(_docs(spark, sf_dir), n=8, max_occ=64)
+
+
+SUBSTRING_CHAINS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h,
+         {H.duck_token_hashes2('text')} AS h2
+  FROM documents WHERE text IS NOT NULL
+), pos AS (
+  SELECT id, CAST(len(h) AS BIGINT) AS nt,
+         unnest(range(1, greatest(len(h) - 6, 1))) AS p,
+         unnest({H.duck_shingle_hashes_wide('h', 'h2', 8)}) AS fp
+  FROM base
+), seeds AS (
+  SELECT * FROM (
+    SELECT id, nt, p, fp, count(*) OVER (PARTITION BY fp) AS c FROM pos
+  ) WHERE c BETWEEN 2 AND 64
+), pairs AS (
+  SELECT a.id AS d1, a.nt AS nt1, a.p AS p1,
+         b.id AS d2, b.nt AS nt2, b.p AS p2,
+         b.p - a.p AS diag
+  FROM seeds a JOIN seeds b USING (fp)
+  WHERE a.id < b.id OR (a.id = b.id AND a.p < b.p)
+), runs AS (
+  SELECT *, CASE WHEN lag(p1) OVER w IS NULL
+                   OR p1 > lag(p1) OVER w + 1 THEN 1 ELSE 0 END AS new_chain
+  FROM pairs WINDOW w AS (PARTITION BY d1, d2, diag ORDER BY p1)
+), runs2 AS (
+  SELECT *, sum(new_chain) OVER (PARTITION BY d1, d2, diag ORDER BY p1
+             ROWS UNBOUNDED PRECEDING) AS chain
+  FROM runs
+), chains AS (
+  SELECT d1, d2, diag, chain, max(nt1) AS nt1, max(nt2) AS nt2,
+         min(p1) AS s1, max(p1) + 7 AS e1,
+         min(p1) + diag AS s2, max(p1) + diag + 7 AS e2,
+         max(p1) - min(p1) + 8 AS match_len
+  FROM runs2 GROUP BY 1, 2, 3, 4
+), proj0 AS (
+  SELECT d1 AS id, nt1 AS nt, s1 AS s, e1 AS e, match_len FROM chains
+  UNION ALL
+  SELECT d2, nt2, s2, e2, match_len FROM chains
+), proj AS (
+  -- unique (id, s, e): the island windows below order by (s, e), and
+  -- tied rows can sort differently between the two window passes,
+  -- nondeterministically splitting islands
+  SELECT id, nt, s, e, max(match_len) AS match_len
+  FROM proj0 GROUP BY 1, 2, 3, 4
+), isl AS (
+  SELECT id, nt, s, e, match_len,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS new_span
+  FROM proj
+  WINDOW w AS (PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY id ORDER BY s, e
+             ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT id, nt, island, min(s) AS ss, max(e) AS ee, max(match_len) AS ml
+  FROM isl2 GROUP BY 1, 2, 3
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens,
+       nt AS n_tokens,
+       CAST(max(ml) AS BIGINT) AS max_match_len,
+       CAST(sum(ee - ss + 1) AS DOUBLE) / CAST(nt AS DOUBLE) AS dup_frac
+FROM spans GROUP BY id, nt
 """
 
 
@@ -307,6 +387,9 @@ SPECS: dict[str, QuerySpec] = {
     "passage_dedup_spans": QuerySpec(
         passage_dedup_spans, PASSAGE_SPANS_ORACLE,
         "exact duplicate-passage spans (gaps-and-islands merge)"),
+    "substring_dedup_chains": QuerySpec(
+        substring_dedup_chains, SUBSTRING_CHAINS_ORACLE,
+        "arbitrary-length exact repeated substrings via seed chaining"),
     "k_anonymity_customers": QuerySpec(
         k_anonymity_customers, K_ANON_ORACLE,
         "k-anonymity audit over quasi-identifiers"),

@@ -60,6 +60,88 @@ def test_passage_spans_within_doc_repetition_counts(spark):
     assert r["dup_tokens"] == 10
 
 
+def test_substring_chains_exact_lengths(spark):
+    """Seed-and-chain recovers the EXACT length of the repeated
+    substring: a 20-token passage shared by two docs chains into one
+    match of length 20, projected as one merged span per doc."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta epsilon"),
+            (2, "zeta eta theta " + shared + " iota"),
+            (3, "all unique words here nothing repeated at this one ever"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_substring_chains(df, n=8).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["n_spans"] == 1
+        assert r["dup_tokens"] == 20
+        assert r["max_match_len"] == 20
+
+
+def test_substring_chains_within_doc_tandem_repeat(spark):
+    """A 10-token block repeated twice inside one doc: both copies are
+    duplicated regions (2 adjacent spans), and the maximal exact match
+    is the 10-token block, not the fixed seed size."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+    )
+
+    block = " ".join(f"rep{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, block + " " + block + " trailer")], ["doc_id", "text"]
+    )
+    r = duplicate_substring_chains(df, n=8).collect()[0]
+    assert r["n_spans"] == 2
+    assert r["dup_tokens"] == 20
+    assert r["max_match_len"] == 10
+
+
+def test_substring_chains_max_occ_skips_repetitive_seeds(spark):
+    """Fingerprints above max_occ are repetitive seeds and never
+    chain: with max_occ below the occurrence count, no output."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, boiler + f" suffix{i} end{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # the boilerplate 8-grams occur 8 times each; cap at 4 skips them
+    assert duplicate_substring_chains(df, n=8, max_occ=4).count() == 0
+    # with the cap above the density, all 8 docs report the passage
+    out = duplicate_substring_chains(df, n=8, max_occ=64)
+    assert out.count() == 8
+    assert out.agg(F.min("max_match_len")).collect()[0][0] == 12
+
+
+def test_substring_chains_merges_overlapping_partners(spark):
+    """Two different partners matching overlapping regions of one doc
+    merge into a single maximal span (the deduplicated projection)."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+    )
+
+    toks = [f"w{i}" for i in range(30)]
+    full = " ".join(toks)
+    left = " ".join(toks[:18])   # matches doc1[1..18]
+    right = " ".join(toks[10:])  # matches doc1[11..30]
+    df = spark.createDataFrame(
+        [(1, full), (2, left + " endA endB"), (3, "preC preD " + right)],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in duplicate_substring_chains(df, n=8).collect()}
+    assert r[1]["n_spans"] == 1
+    assert r[1]["dup_tokens"] == 30
+    assert r[1]["max_match_len"] == 20  # the longer of the two overlaps
+
+
 def test_classifier_deterministic_and_filters_empty(spark):
     df = spark.createDataFrame(
         [(1, "spark rows data"), (2, "   "), (3, None)], ["doc_id", "text"]
@@ -128,11 +210,16 @@ def test_arrow_and_sql_spellings_bit_equal(spark, sf_dir):
     from mlops_realtime_data_ingestion_spark.sources.batch import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+    )
+
     for fn, kwargs in (
         (hashed_quality_classifier, {}),
         (dsir_select, {"topk": 50}),
         (duplicate_passage_spans, {"n": 5}),
         (dataset_card, {}),
+        (duplicate_substring_chains, {"n": 8}),  # wide double-fold fp
     ):
         a = sorted(map(tuple, fn(docs, impl="pandas", **kwargs).collect()))
         b = sorted(map(tuple, fn(docs, impl="sql", **kwargs).collect()))
