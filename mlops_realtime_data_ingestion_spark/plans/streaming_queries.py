@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
@@ -157,7 +157,15 @@ def s1_http_poll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ingestion-worker/lib.js:36-50) via the Python Data Source API
     (sources/http_poll), batch-backfill mode — 8 deterministic polls
     through the production pipeline shape (dedup → 1-min window).
-    Rows-only: the source is synthetic-poll-backed, not an sf table."""
+
+    ORACLE-CHECKABLE (round-5): the fake:// backend is a pure
+    function of (seed, poll index), so the oracle replays the exact
+    payload as an inline VALUES fixture (built from the same
+    ``fake_poll_rows``) — the check covers the Data Source partition
+    fan-out, the keyed dedup, and the windowed agg. Dedup is
+    keep-first by tx_index (dropDuplicates would keep an arbitrary
+    row per hash, and dup rows differ in fee/time — nondeterministic
+    under partitioning); the avg is an exact integer-sum division."""
     from ..sources.http_poll import register
 
     register(spark)
@@ -167,14 +175,18 @@ def s1_http_poll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("per_poll", 100)
         .load()
     )
+    w = Window.partitionBy("hash").orderBy(F.col("tx_index").asc())
     return (
-        df.dropDuplicates(["hash"])
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .withColumn("tx_time", F.to_timestamp(F.from_unixtime("time")))
         .groupBy(F.window("tx_time", "1 minute").alias("w"))
         .agg(
             F.count("hash").alias("total_nb_trx_1min"),
             F.sum("fee").alias("total_fee_1min"),
-            F.avg("fee").alias("avg_fee_1min"),
+            (
+                F.sum("fee").cast("double") / F.count("hash")
+            ).alias("avg_fee_1min"),
         )
         .select(
             F.col("w.start").alias("tx_minute"),
@@ -184,6 +196,36 @@ def s1_http_poll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tx_minute")
     )
+
+
+def _s1_oracle() -> str:
+    """Inline VALUES replay of the deterministic fake:// payload (8
+    polls x 100 rows, seed 'graft') — byte-identical to what the
+    registered Data Source emits, so the differential check exercises
+    the full source -> dedup -> window path."""
+    from ..sources.http_poll import fake_poll_rows
+
+    vals = ",\n".join(
+        f"('{r[0]}', {r[6]}, {r[9]}, {r[11]})"
+        for p in range(8)
+        for r in fake_poll_rows(p, 100, "graft")
+    )
+    return f"""
+WITH src(hash, fee, tx_index, time) AS (VALUES
+{vals}
+), d AS (
+  SELECT hash, fee, time FROM (
+    SELECT hash, fee, time,
+           row_number() OVER (PARTITION BY hash ORDER BY tx_index) AS rn
+    FROM src
+  ) WHERE rn = 1
+)
+SELECT date_trunc('minute', CAST(to_timestamp(time) AS TIMESTAMP)) AS tx_minute,
+       CAST(count(*) AS BIGINT) AS total_nb_trx_1min,
+       CAST(sum(fee) AS BIGINT) AS total_fee_1min,
+       CAST(sum(fee) AS DOUBLE) / count(*) AS avg_fee_1min
+FROM d GROUP BY 1
+"""
 
 
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +371,8 @@ SPECS: dict[str, QuerySpec] = {
     "streaming_breach_alarm": QuerySpec(
         streaming_breach_alarm, BREACH_ALARM_ORACLE, "§2.9 applyInPandasWithState, alarm"
     ),
-    "s1_http_poll_ingest": QuerySpec(s1_http_poll_ingest, None, "§2.1 S1 Python Data Source"),
+    "s1_http_poll_ingest": QuerySpec(
+        s1_http_poll_ingest, _s1_oracle(),
+        "§2.1 S1 Python Data Source (VALUES-fixture oracle)"),
     "streaming_stream_join": QuerySpec(streaming_stream_join, STREAM_JOIN_ORACLE, "stream-stream interval join"),
 }
