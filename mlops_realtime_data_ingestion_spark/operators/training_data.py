@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_topk",
     "connected_components",
     "connected_components_star",
+    "survivors_best_scored",
     "shard_assign",
     "pack_sequences",
     "sample_fixed_per_stratum",
@@ -560,3 +561,38 @@ def connected_components_star(
         .union(roots)
         .distinct()
     )
+
+
+def survivors_best_scored(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: given near-dup
+    components (from either connected-components variant), keep the
+    HIGHEST-scoring member of each group (tie: min id) instead of the
+    blind min-id canonical that ``dedup_survivors`` uses — near-dup
+    groups usually contain one clean original plus boilerplate-wrapped
+    copies, and min-id keeps an arbitrary one.
+
+    ``docs`` must carry ``score_col``; every doc outside a component
+    survives untouched. Returns the surviving ``docs`` rows.
+
+    Scale: the window argmax runs over component MEMBERS only (the
+    dup subgraph, far smaller than the corpus); the corpus itself is
+    touched by one left_anti join against the loser ids — the same
+    narrow anti-join shape as ``dedup_survivors``.
+    """
+    members = components.join(
+        docs.select(id_col, score_col), id_col, "inner"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -19,10 +19,13 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..operators.curation import (
+    cdc_chunk_dedup,
     dataset_card,
     dsir_select,
     duplicate_passage_spans,
     duplicate_substring_chains,
+    duplicate_substring_span_rows,
+    strip_duplicate_spans,
     hashed_quality_classifier,
     k_anonymity_report,
     semdedup_prune,
@@ -163,7 +166,9 @@ def substring_dedup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_substring_chains(_docs(spark, sf_dir), n=8, max_occ=64)
 
 
-SUBSTRING_CHAINS_ORACLE = f"""
+# the seed -> pair -> chain -> project -> island CTE prefix shared by
+# the three substring-dedup oracles (summary / span rows / strip)
+_CHAIN_CTES = f"""
 WITH base AS (
   SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h,
          {H.duck_token_hashes2('text')} AS h2
@@ -221,13 +226,144 @@ WITH base AS (
 ), spans AS (
   SELECT id, nt, island, min(s) AS ss, max(e) AS ee, max(match_len) AS ml
   FROM isl2 GROUP BY 1, 2, 3
-)
+)"""
+
+SUBSTRING_CHAINS_ORACLE = _CHAIN_CTES + """
 SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens,
        nt AS n_tokens,
        CAST(max(ml) AS BIGINT) AS max_match_len,
        CAST(sum(ee - ss + 1) AS DOUBLE) / CAST(nt AS DOUBLE) AS dup_frac
 FROM spans GROUP BY id, nt
+"""
+
+
+def substring_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup output: one row per merged
+    maximal duplicated region with its token bounds — the frame a
+    removal / audit stage consumes directly."""
+    return duplicate_substring_span_rows(_docs(spark, sf_dir), n=8, max_occ=64)
+
+
+SUBSTRING_SPAN_ROWS_ORACLE = _CHAIN_CTES + """
+SELECT id AS doc_id,
+       CAST(ss AS BIGINT) AS span_start,
+       CAST(ee AS BIGINT) AS span_end,
+       CAST(ee - ss + 1 AS BIGINT) AS span_len,
+       CAST(ml AS BIGINT) AS max_match_len,
+       nt AS n_tokens
+FROM spans
+"""
+
+
+def substring_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION stage: documents rewritten with every duplicated
+    region cut (normalized token space), plus removal accounting."""
+    return strip_duplicate_spans(_docs(spark, sf_dir), n=8, max_occ=64)
+
+
+SUBSTRING_STRIP_ORACLE = _CHAIN_CTES + f""",
+docspans AS (
+  SELECT id, list(struct_pack(ss := ss, ee := ee)) AS sp,
+         sum(ee - ss + 1) AS removed
+  FROM spans GROUP BY 1
+), toks AS (
+  SELECT doc_id, {H.duck_tokens('text')} AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT t.doc_id,
+       CAST(len(tok) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ds.removed, 0) AS BIGINT) AS removed_tokens,
+       CASE WHEN ds.id IS NULL THEN coalesce(list_aggr(tok, 'string_agg', ' '), '')
+            ELSE coalesce(list_aggr(
+              list_filter(tok, (x, i) ->
+                len(list_filter(ds.sp, s -> i BETWEEN s.ss AND s.ee)) = 0),
+              'string_agg', ' '), '') END AS clean_text
+FROM toks t LEFT JOIN docspans ds ON t.doc_id = ds.id
+"""
+
+
+# ---------- content-defined chunking dedup ----------
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: token-hash boundary rule
+    (cut after token i when hash % 16 == 0), 60-bit chunk
+    fingerprints, corpus-wide duplicate-chunk accounting per doc."""
+    return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16)
+
+
+CDC_CHUNKS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h,
+         {H.duck_token_hashes2('text')} AS h2
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT id, h, h2, len(h) AS s FROM base WHERE len(h) >= 1
+), bp AS (
+  SELECT id, h, h2, s,
+         list_filter(range(1, s), i -> h[i] % 16 = 0) AS bpos
+  FROM nz
+), se AS (
+  SELECT id, h, h2, s,
+         list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+         list_append(bpos, s) AS ends
+  FROM bp
+), cj AS (
+  SELECT id, s, h, h2, unnest(list_zip(starts, ends)) AS z
+  FROM se
+), ch AS (
+  SELECT id, s, z[2] - z[1] + 1 AS clen,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(h, z[1], z[2])),
+             (acc, c) -> (acc * 31 + c) % {H.P}) * {H.WIDE_SHIFT}
+         + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(h2, z[1], z[2])),
+             (acc2, c2) -> (acc2 * 37 + c2) % {H.P2}) AS fp
+  FROM cj
+), cnt AS (
+  SELECT id, s, fp, clen, count(*) OVER (PARTITION BY fp) AS c FROM ch
+)
+SELECT id AS doc_id,
+       CAST(s AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN c >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_tokens,
+       CAST(sum(CASE WHEN c >= 2 THEN clen ELSE 0 END) AS DOUBLE)
+         / CAST(s AS DOUBLE) AS dup_frac
+FROM cnt GROUP BY id, s
+"""
+
+
+# ---------- sliding-window passage extraction (RAG chunking) ----------
+
+def passages_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token passages every 32 tokens per document,
+    last window clamped to the doc end — the retrieval-chunking
+    stage an embedding + ANN index ingests."""
+    from ..operators.text import sliding_passages
+
+    return sliding_passages(_docs(spark, sf_dir), window=64, stride=32)
+
+
+PASSAGES_SLIDING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {H.duck_tokens('text')} AS tok
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT doc_id, tok, len(tok) AS nt FROM t WHERE len(tok) >= 1
+), w AS (
+  SELECT doc_id, tok, nt,
+         unnest(range(0, 1 + CAST(CASE WHEN nt > 64
+             THEN ceil((nt - 64) / 32.0) ELSE 0 END AS INT))) AS k
+  FROM nz
+)
+SELECT doc_id,
+       CAST(k + 1 AS BIGINT) AS passage_seq,
+       CAST(k * 32 + 1 AS BIGINT) AS start_tok,
+       CAST(least(k * 32 + 64, nt) AS BIGINT) AS end_tok,
+       list_aggr(list_slice(tok, k * 32 + 1, least(k * 32 + 64, nt)),
+                 'string_agg', ' ') AS passage_text
+FROM w
 """
 
 
@@ -390,6 +526,18 @@ SPECS: dict[str, QuerySpec] = {
     "substring_dedup_chains": QuerySpec(
         substring_dedup_chains, SUBSTRING_CHAINS_ORACLE,
         "arbitrary-length exact repeated substrings via seed chaining"),
+    "substring_span_rows": QuerySpec(
+        substring_span_rows, SUBSTRING_SPAN_ROWS_ORACLE,
+        "span-level duplicated regions (token bounds per region)"),
+    "substring_strip_text": QuerySpec(
+        substring_strip_text, SUBSTRING_STRIP_ORACLE,
+        "documents rewritten with duplicated regions cut"),
+    "dedup_cdc_chunks": QuerySpec(
+        dedup_cdc_chunks, CDC_CHUNKS_ORACLE,
+        "content-defined chunking dedup (shift-resistant chunk fps)"),
+    "passages_sliding_window": QuerySpec(
+        passages_sliding_window, PASSAGES_SLIDING_ORACLE,
+        "overlapping retrieval passages (64-token windows, stride 32)"),
     "k_anonymity_customers": QuerySpec(
         k_anonymity_customers, K_ANON_ORACLE,
         "k-anonymity audit over quasi-identifiers"),

@@ -957,3 +957,55 @@ SPECS["ts_cusum_alerts"] = QuerySpec(
     ts_cusum_alerts, TS_CUSUM_ORACLE,
     "CUSUM change-point alerts via closed-form clamped cumsum",
 )
+
+
+# ---------- EWMA smoothing (round 5) ----------
+
+_EWMA_LAGS = 20
+
+
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=1/2, 20-lag truncated,
+    pandas adjust=True semantics) — exact power-of-two weights make
+    the smoother bit-identical across engines and partitionings."""
+    from ..operators.timeseries import ewma_smooth
+
+    return ewma_smooth(
+        _events(spark, sf_dir),
+        series_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        lags=_EWMA_LAGS,
+        tiebreak_col="event_id",
+    )
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(c, {j}) OVER w * {1 << (_EWMA_LAGS - 1 - j)}, 0)"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(c, {j}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_LAGS - 1 - j)} ELSE 0 END"
+        for j in range(_EWMA_LAGS)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, ts, event_id, value,
+       CAST({num} AS DOUBLE) / CAST(({den}) * 100 AS DOUBLE) AS ewma
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+TS_EWMA_ORACLE = _ewma_oracle()
+
+SPECS["ts_ewma_smooth"] = QuerySpec(
+    ts_ewma_smooth, TS_EWMA_ORACLE,
+    "per-series EWMA smoothing, exact power-of-two weights",
+)

@@ -455,6 +455,79 @@ WHERE l.doc_id IS NULL
 """
 
 
+def dedup_survivors_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (round 5): same near-dup
+    graph as dedup_survivors, but each group keeps its
+    HIGHEST-scoring member (score = distinct-token count, a lexical
+    richness proxy; tie = min doc_id) instead of the blind min-id
+    canonical."""
+    from ..operators.training_data import survivors_best_scored
+
+    docs = _docs(spark, sf_dir)
+    score = F.coalesce(
+        F.size(F.array_distinct(F.expr(H.spark_tokens("text")))),
+        F.lit(0),
+    ).cast("long")
+    scored = docs.withColumn("score", score)
+    edges = ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        threshold=0.5,
+        block_cols=("lang",),
+        length_band=50,
+    )
+    comp = connected_components_star(edges)
+    return survivors_best_scored(scored, comp).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "score"
+    )
+
+
+SURVIVORS_BEST_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, n_chars, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS band,
+         list_distinct({_DUCK_SH2}) AS sh
+  FROM base
+), pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, {_DUCK_JACCARD} AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), e AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION
+  SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM e
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         CAST(coalesce(len(list_distinct({H.duck_tokens('text')})), 0) AS BIGINT)
+           AS score
+  FROM documents
+), ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY s.score DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN scored s USING (doc_id)
+), losers AS (
+  SELECT doc_id FROM ranked WHERE rk > 1
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, s.score
+FROM documents d JOIN scored s USING (doc_id)
+     LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
 # ---------- deterministic shard export + sequence packing ----------
 
 _N_SHARDS = 8
@@ -564,6 +637,9 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_connected_components": QuerySpec(dedup_connected_components, CC_ORACLE, "dedup group resolution"),
     "dedup_cc_star": QuerySpec(dedup_cc_star, CC_ORACLE, "dedup group resolution, O(log n) star rounds"),
     "dedup_survivors": QuerySpec(dedup_survivors, SURVIVORS_ORACLE, "filtered corpus: one canonical doc per dup group"),
+    "dedup_survivors_best_quality": QuerySpec(
+        dedup_survivors_best_quality, SURVIVORS_BEST_ORACLE,
+        "quality-aware survivors: keep the best-scoring doc per dup group"),
 }
 
 

@@ -142,6 +142,102 @@ def test_substring_chains_merges_overlapping_partners(spark):
     assert r[1]["max_match_len"] == 20  # the longer of the two overlaps
 
 
+def test_substring_strip_cuts_exactly_the_spans(spark):
+    """strip_duplicate_spans removes exactly the tokens the span rows
+    cover, passes clean docs through (normalized token space), and
+    conserves n_tokens = kept + removed."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_span_rows,
+        strip_duplicate_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha beta " + shared + " gamma"),
+            (2, "zeta " + shared + " iota"),
+            (3, "all unique words nothing repeated here at all now"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in duplicate_substring_span_rows(df, n=8).collect()
+    }
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, n=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "zeta iota"
+    # clean doc passes through, normalized
+    assert out[3]["clean_text"] == "all unique words nothing repeated here at all now"
+    assert out[3]["removed_tokens"] == 0
+    for d, r in out.items():
+        expect_removed = spans[d]["span_len"] if d in spans else 0
+        assert r["removed_tokens"] == expect_removed
+        kept = len(r["clean_text"].split())
+        assert kept + r["removed_tokens"] == r["n_tokens"]
+
+
+def test_substring_strip_fully_duplicated_doc_empties(spark):
+    """A doc whose every token sits in a duplicated region rewrites to
+    the empty string, not NULL."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        strip_duplicate_spans,
+    )
+
+    body = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "other words " + body + " trailing bits")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, n=8).collect()}
+    assert out[1]["clean_text"] == ""
+    assert out[1]["removed_tokens"] == 12
+    assert out[2]["clean_text"] == ""
+    assert out[3]["clean_text"] == "other words trailing bits"
+
+
+def test_cdc_chunks_exact_copy_fully_dup(spark):
+    """Two identical docs: every chunk fingerprint occurs twice, so
+    dup_frac == 1.0 for both, and chunk lengths conserve n_tokens."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        cdc_chunk_dedup,
+    )
+
+    body = " ".join(f"word{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "completely different text here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_dedup(df, divisor=4).collect()}
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 1.0
+    assert out[1]["dup_tokens"] == out[1]["n_tokens"] == 64
+    assert out[3]["dup_tokens"] == 0
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """The CDC property fixed-width windows lack: a token inserted at
+    the FRONT of a copy leaves every chunk after the next
+    content-defined boundary identical, so the shared tail still
+    dedups."""
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        cdc_chunk_dedup,
+    )
+
+    tail = " ".join(f"tok{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, "unique preamble " + tail), (2, "other opener words " + tail)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_dedup(df, divisor=4).collect()}
+    # with mean chunk len 4 over 120 shared tokens, all but the first
+    # shared chunk (absorbed into the differing head) must match
+    for d in (1, 2):
+        assert out[d]["dup_chunks"] >= 1
+        assert out[d]["dup_tokens"] >= 100
+
+
 def test_classifier_deterministic_and_filters_empty(spark):
     df = spark.createDataFrame(
         [(1, "spark rows data"), (2, "   "), (3, None)], ["doc_id", "text"]
