@@ -37,6 +37,7 @@ __all__ = [
     "cms_probe",
     "cms_heavy_hitters",
     "hll_cardinality",
+    "hll_set_ops",
     "bloom_positions",
     "bloom_prefilter_join",
 ]
@@ -491,4 +492,102 @@ def hist_quantiles_grouped(
         *group_cols,
         "prob",
         F.round(F.col("mn") + (F.col("bin") + frac) * width, 6).alias("quantile_est"),
+    )
+
+
+def hll_set_ops(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    p: int = 10,
+) -> DataFrame:
+    """Distinct-count SET ALGEBRA on merged HLL sketches: estimates
+    |A|, |B|, |A u B| and (by inclusion-exclusion) |A n B| for the
+    key sets of two cohorts, from one pass and 2m registers — the
+    fixed-memory replacement for a distinct-key self-join when
+    cohorts no longer fit a shuffle ("how many users did BOTH X and
+    Y?"). Union is the lossless HLL merge (register max); the
+    intersection inherits the union/cohort error bars (the standard
+    HLL limitation — fine for the large-overlap regime this question
+    lives in).
+
+    Same determinism contract as :func:`hll_cardinality`: the affine
+    + double-squaring mix and exact BIGINT register sums make every
+    estimate bit-reproducible and DuckDB-oracle-checkable. The exact
+    intersection rides along for the error contract (it is the thing
+    the sketch replaces at 100 TB).
+
+    Scale: ONE scan of the two cohorts; the shuffle is <= m register
+    rows carrying BOTH cohort registers; one row out.
+    """
+    m = 1 << p
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+    spark = df.sparkSession
+    src = df.filter(F.col(label_col).isin(label_a, label_b))
+    h1 = (F.lit(a) * F.col(key_col).cast("long") + F.lit(b)) % F.lit(H.P)
+    t = (
+        src.select(F.col(label_col).alias("lbl"), h1.alias("h1"))
+        .select("lbl", ((F.col("h1") * F.col("h1") + F.lit(a)) % F.lit(H.P)).alias("h2"))
+        .select("lbl", ((F.col("h2") * F.col("h2") + F.lit(b)) % F.lit(H.P)).alias("h"))
+        .select(
+            "lbl",
+            (F.col("h") % m).alias("bucket"),
+            F.when(F.expr(f"h div {m}") == 0, F.lit(21))
+            .otherwise(F.lit(21) - F.length(F.expr(f"bin(h div {m})")))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    regs = t.groupBy("bucket").agg(
+        F.max(F.when(F.col("lbl") == label_a, F.col("rho"))).alias("ra0"),
+        F.max(F.when(F.col("lbl") == label_b, F.col("rho"))).alias("rb0"),
+    )
+    all_b = spark.range(m).select(F.col("id").alias("bucket"))
+    full = all_b.join(regs, "bucket", "left").select(
+        F.coalesce("ra0", F.lit(0)).alias("ra"),
+        F.coalesce("rb0", F.lit(0)).alias("rb"),
+        F.greatest(F.coalesce("ra0", F.lit(0)), F.coalesce("rb0", F.lit(0))).alias("ru"),
+    )
+
+    def _zv(rc: str):
+        return (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), 30 - {rc})")),
+            F.sum(F.when(F.col(rc) == 0, 1).otherwise(0)),
+        )
+
+    za, va = _zv("ra")
+    zb, vb = _zv("rb")
+    zu, vu = _zv("ru")
+    z = full.agg(
+        za.alias("za"), va.alias("va"),
+        zb.alias("zb"), vb.alias("vb"),
+        zu.alias("zu"), vu.alias("vu"),
+    )
+
+    def _est(zc, vc):
+        raw = F.lit(est_num) / zc.cast("double")
+        return F.when(
+            (raw <= F.lit(2.5 * m)) & (vc > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / vc.cast("double")),
+        ).otherwise(raw)
+
+    ea = _est(F.col("za"), F.col("va"))
+    eb = _est(F.col("zb"), F.col("vb"))
+    eu = _est(F.col("zu"), F.col("vu"))
+    exact = (
+        src.groupBy(key_col)
+        .agg(F.countDistinct(label_col).alias("nl"))
+        .filter(F.col("nl") == 2)
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return z.crossJoin(exact).select(
+        F.round(ea, 4).alias("hll_a"),
+        F.round(eb, 4).alias("hll_b"),
+        F.round(eu, 4).alias("hll_union"),
+        F.round(ea + eb - eu, 4).alias("hll_intersect"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
     )

@@ -709,3 +709,91 @@ SPECS["split_ngram_novelty"] = QuerySpec(
     split_ngram_novelty, NOVELTY_ORACLE,
     "heldout-vs-train 5-gram novelty rate (memorization audit)",
 )
+
+
+# ---------- HLL set algebra (round 5) ----------
+
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: distinct click-users, error-users, their
+    union (register max-merge) and intersection
+    (inclusion-exclusion) from one pass over 2m registers."""
+    from ..operators.sketches import hll_set_ops
+
+    return hll_set_ops(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "event_type", "click", "error", p=10,
+    )
+
+
+def _hll_setops_oracle() -> str:
+    from ..operators.sketches import _HLL_MIX
+
+    m = 1 << 10
+    a, b = H.MINHASH_A[_HLL_MIX], H.MINHASH_B[_HLL_MIX]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est_num = alpha * m * m * float(1 << 30)
+
+    def est(z: str, v: str) -> str:
+        return (
+            f"CASE WHEN ({est_num!r} / CAST({z} AS DOUBLE)) <= {2.5 * m}"
+            f" AND {v} > 0"
+            f" THEN {float(m)!r} * ln({float(m)!r} / CAST({v} AS DOUBLE))"
+            f" ELSE {est_num!r} / CAST({z} AS DOUBLE) END"
+        )
+
+    return f"""
+WITH src AS (
+  SELECT event_type AS lbl, user_id FROM events
+  WHERE event_type IN ('click', 'error')
+), h1 AS (
+  SELECT lbl, (({a} * user_id + {b}) % {H.P}) AS h1 FROM src
+), h2 AS (
+  SELECT lbl, ((h1 * h1 + {a}) % {H.P}) AS h2 FROM h1
+), h AS (
+  SELECT lbl, ((h2 * h2 + {b}) % {H.P}) AS h FROM h2
+), t AS (
+  SELECT lbl, h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN 21
+              ELSE 21 - length(bin(h // {m})) END AS rho
+  FROM h
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN lbl = 'click' THEN rho END) AS ra0,
+         max(CASE WHEN lbl = 'error' THEN rho END) AS rb0
+  FROM t GROUP BY 1
+), all_b AS (
+  SELECT unnest(range(0, {m})) AS bucket
+), fr AS (
+  SELECT coalesce(ra0, 0) AS ra, coalesce(rb0, 0) AS rb,
+         greatest(coalesce(ra0, 0), coalesce(rb0, 0)) AS ru
+  FROM all_b LEFT JOIN regs ON regs.bucket = all_b.bucket
+), z AS (
+  SELECT sum((CAST(1 AS BIGINT) << (30 - ra))) AS za,
+         sum(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS va,
+         sum((CAST(1 AS BIGINT) << (30 - rb))) AS zb,
+         sum(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS vb,
+         sum((CAST(1 AS BIGINT) << (30 - ru))) AS zu,
+         sum(CASE WHEN ru = 0 THEN 1 ELSE 0 END) AS vu
+  FROM fr
+), ex AS (
+  SELECT count(*) AS exact_intersect FROM (
+    SELECT user_id FROM src GROUP BY 1 HAVING count(DISTINCT lbl) = 2
+  )
+), e AS (
+  SELECT {est('z.za', 'z.va')} AS ea, {est('z.zb', 'z.vb')} AS eb,
+         {est('z.zu', 'z.vu')} AS eu, ex.exact_intersect
+  FROM z, ex
+)
+SELECT round(ea, 4) AS hll_a, round(eb, 4) AS hll_b,
+       round(eu, 4) AS hll_union, round(ea + eb - eu, 4) AS hll_intersect,
+       exact_intersect
+FROM e
+"""
+
+
+HLL_SETOPS_ORACLE = _hll_setops_oracle()
+
+SPECS["hll_user_overlap"] = QuerySpec(
+    hll_user_overlap, HLL_SETOPS_ORACLE,
+    "HLL set algebra: cohort union + inclusion-exclusion intersection",
+)

@@ -103,3 +103,23 @@ def test_sliding_passages_coverage_and_overlap(spark):
     assert p1[2]["passage_text"].split() == [f"t{i}" for i in range(64, 97)]
     p2 = [r for r in out if r["doc_id"] == 2]
     assert len(p2) == 1 and (p2[0]["start_tok"], p2[0]["end_tok"]) == (1, 4)
+
+
+def test_hll_set_ops_planted_overlap(spark):
+    """Cohorts A = {0..599}, B = {400..999}: union 1000, intersect
+    200. With p=10 the small-range linear-counting regime is
+    near-exact — every estimate within 5%, and the exact intersect
+    column is exact."""
+    from mlops_realtime_data_ingestion_spark.operators.sketches import (
+        hll_set_ops,
+    )
+
+    rows = [(u, "a") for u in range(600)] + [(u, "b") for u in range(400, 1000)]
+    df = spark.createDataFrame(rows, ["user_id", "lbl"])
+    r = hll_set_ops(df, "user_id", "lbl", "a", "b", p=10).collect()[0]
+    assert r["exact_intersect"] == 200
+    assert abs(r["hll_a"] - 600) / 600 < 0.05
+    assert abs(r["hll_b"] - 600) / 600 < 0.05
+    assert abs(r["hll_union"] - 1000) / 1000 < 0.05
+    assert abs(r["hll_intersect"] - 200) / 200 < 0.25  # I-E amplifies error
+    assert r["hll_union"] >= max(r["hll_a"], r["hll_b"]) - 1e-9
