@@ -67,8 +67,11 @@ HEADLINE = [
     "passage_dedup_spans",
     "sim_search_ivfpq",
     "quality_classifier_hashed",
-    # round-5: arbitrary-length exact substring dedup (seed-and-chain)
+    # round-5: arbitrary-length exact substring dedup (seed-and-chain),
+    # content-defined chunking dedup, exact EWMA smoothing
     "substring_dedup_chains",
+    "dedup_cdc_chunks",
+    "ts_ewma_smooth",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be
