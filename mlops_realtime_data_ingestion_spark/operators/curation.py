@@ -64,6 +64,7 @@ __all__ = [
     "semdedup_prune",
     "semdedup_prune_scaled",
     "dataset_card",
+    "calibration_ece",
 ]
 
 # weight-table constants (public, arbitrary): bucket b's weight is
@@ -976,4 +977,73 @@ def dataset_card(
             (F.sum("nc") / F.count("*")).alias("avg_chars"),
         )
         .withColumn("distinct_docs", F.col("distinct_docs").cast("long"))
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration audit of the hashed quality classifier against the
+    independent C4-rule label (``quality_score.quality_ok``): a
+    ``bins``-bucket reliability table (per-bin count, label accuracy,
+    mean normalized score) plus the expected calibration error — the
+    check a score-thresholded curation gate needs before its cutoff
+    is trusted.
+
+    The normalized score p = (raw + 1)/2 (a monotone [0,1] proxy —
+    calibrating sigmoid(raw) instead would put libm ``exp`` in the
+    reproducibility path). Exactness: per-doc p quantizes to
+    floor(p*1e6) BIGINT micro-units, so per-bin sums are exact and
+    order-free; acc, conf and ECE are each ONE double division of
+    exact integers — ECE's numerator is sum_b |t_b*1e6 - s_b| (BIGINT),
+    not a float sum of per-bin gaps.
+
+    Scale: two corpus map passes (classifier + label) meeting in one
+    id-keyed join, then a ``bins``-row aggregate; the global window
+    runs over the bins frame only.
+    """
+    from .text import quality_score
+
+    clf = hashed_quality_classifier(df, id_col=id_col, text_col=text_col)
+    lbl = quality_score(df, text_col=text_col).select(
+        id_col, F.col("quality_ok").cast("int").alias("y")
+    )
+    p = (F.col("raw_score") + 1) / 2
+    per_doc = (
+        clf.select(id_col, "raw_score")
+        .join(lbl, id_col)
+        .select(
+            F.least(F.lit(bins - 1), F.floor(p * bins)).cast("int").alias("score_bin"),
+            F.floor(p * 1e6).cast("long").alias("p_micro"),
+            "y",
+        )
+    )
+    binned = per_doc.groupBy("score_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("y").cast("long").alias("t_b"),
+        F.sum("p_micro").alias("s_b"),
+    )
+    w = Window.partitionBy()
+    return (
+        binned
+        .withColumn("__n", F.sum("n_docs").over(w))
+        .withColumn(
+            "__gap", F.sum(F.abs(F.col("t_b") * 1_000_000 - F.col("s_b"))).over(w)
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            (F.col("t_b").cast("double") / F.col("n_docs").cast("double")).alias("acc"),
+            (
+                F.col("s_b").cast("double")
+                / (F.col("n_docs") * 1_000_000).cast("double")
+            ).alias("conf"),
+            (
+                F.col("__gap").cast("double")
+                / (F.col("__n") * 1_000_000).cast("double")
+            ).alias("ece"),
+        )
     )

@@ -34,7 +34,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -51,6 +51,7 @@ __all__ = [
     "minhash_lsh_join_accounting",
     "simhash_fingerprints",
     "simhash_pairs",
+    "containment_pairs",
 ]
 
 
@@ -828,3 +829,79 @@ def minhash_lsh_join_accounting(
         "out_pairs": out_pairs,
         **groups,
     }
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT dedup: pairs (a, b) where at
+    least ``threshold`` of a's distinct word-n-gram shingles also
+    appear in b — the quote/sub-document/boilerplate-wrapper relation
+    that symmetric Jaccard misses (a short doc fully quoted inside a
+    long one has tiny Jaccard but containment 1.0).
+
+    Candidate generation is the overlap-constraint prefix filter:
+    overlap(a,b) >= t*|a| forces at least one shared shingle into a's
+    ``floor((1-t)*|a|) + 1`` globally-RAREST shingles (a's non-prefix
+    part holds < t*|a| shingles), so probing ONLY those rare shingles
+    against the full inverted index is lossless — and rare probes hit
+    few index postings, which is what bounds candidates at corpus
+    scale (same family as the PPJoin filter in ngram_jaccard_pairs,
+    one-sided because containment is one-sided). Verification is an
+    exact array_intersect on the two (already distinct) shingle
+    arrays, joined per candidate pair.
+
+    Shuffles: shingle index build + frequency join + probe join +
+    two verification joins, all on keys; no all-pairs path at any
+    block size.
+    """
+    shingled = (
+        with_shingle_hashes(df, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = shingled.select("id", F.explode("sh").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
+    w = Window.partitionBy("id").orderBy(F.col("df_t").asc(), F.col("t").asc())
+    ranked = (
+        tok.join(freq, "t")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    probes = ranked.filter(
+        F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1
+    ).select(F.col("id").alias("a"), "t")
+    cand = (
+        probes.join(tok.select(F.col("id").alias("b"), "t"), "t")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            shingled.select(F.col("id").alias("a"), F.col("sh").alias("sha")),
+            "a",
+        )
+        .join(
+            shingled.select(F.col("id").alias("b"), F.col("sh").alias("shb")),
+            "b",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("sha", "shb")).cast("long"))
+        .withColumn("size_a", F.size("sha").cast("long"))
+        .withColumn(
+            "containment",
+            F.col("overlap").cast("double") / F.col("size_a").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        F.col("a").alias("doc_id_a"),
+        F.col("b").alias("doc_id_b"),
+        "overlap",
+        "size_a",
+        F.round("containment", 6).alias("containment"),
+    )

@@ -32,6 +32,7 @@ __all__ = [
     "asof_join_cogrouped",
     "range_join",
     "salted_join",
+    "interval_overlap_pairs",
 ]
 
 
@@ -361,4 +362,79 @@ def consecutive_islands(
             F.count("*").alias("island_len"),
         )
         .drop("__island")
+    )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Self interval-overlap join: all pairs of rows with equal
+    ``key_cols`` whose closed [start, end] intervals intersect,
+    deduplicated to one direction by lexicographic ``id_cols`` order.
+    The interval-INTERVAL sibling of :func:`range_join` (point in
+    interval): concurrent-session detection, meeting collision,
+    overlapping-visit analytics.
+
+    A plain key equi-join with the overlap residual is correct but
+    per-key quadratic; here both sides explode into the time buckets
+    they COVER (floor(start/B) .. floor(end/B)) and equi-join on
+    (key, bucket) — two overlapping intervals share the bucket of any
+    common instant, so the blocking is lossless, while non-overlapping
+    interval pairs meet only if they land in the same bucket (a
+    bounded neighborhood, not the whole key group). Duplicate hits
+    from multi-bucket overlaps collapse via distinct on the pair ids.
+    Bucket width trades fan-out (intervals spanning many buckets)
+    against candidate density; ~the typical interval length is right.
+
+    Epoch-second integer math throughout — no float in the predicate.
+    """
+    base = df.select(
+        *key_cols, *id_cols,
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    bucketed = base.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / bucket_seconds),
+                F.floor(F.col("e") / bucket_seconds),
+            )
+        ),
+    )
+    a = bucketed.select(
+        *key_cols, "bkt",
+        *[F.col(c).alias(f"{c}_a") for c in id_cols],
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = bucketed.select(
+        *key_cols, "bkt",
+        *[F.col(c).alias(f"{c}_b") for c in id_cols],
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    # lexicographic (id_a < id_b): one direction per unordered pair
+    lt = F.lit(False)
+    for c in reversed(id_cols):
+        lt = (F.col(f"{c}_a") < F.col(f"{c}_b")) | (
+            (F.col(f"{c}_a") == F.col(f"{c}_b")) & lt
+        )
+    pairs = (
+        a.join(b, [*key_cols, "bkt"])
+        .filter(lt)
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+        .drop("bkt")
+        .distinct()
+    )
+    return pairs.select(
+        *key_cols,
+        *[f"{c}_a" for c in id_cols],
+        *[f"{c}_b" for c in id_cols],
+        F.greatest("s_a", "s_b").alias("ov_start"),
+        F.least("e_a", "e_b").alias("ov_end"),
+        (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")).alias("ov_seconds"),
     )

@@ -28,6 +28,9 @@ __all__ = [
     "lag_bucketed",
     "sessionize",
     "ewma_smooth",
+    "gapfill_interpolate",
+    "seasonal_decompose",
+    "mad_anomalies",
 ]
 
 
@@ -359,4 +362,247 @@ def ewma_smooth(
         value_col,
         # den*100 un-scales the cents; both operands are exact ints
         (num.cast("double") / (den * 100).cast("double")).alias("ewma"),
+    )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-series gap-fill onto a regular time grid with linear
+    interpolation — the resampling step every downstream forecaster
+    assumes (the reference feeds DeepAR a *dense* 1-minute series,
+    pipelines/blockchain/preprocess.py:93-110; real feeds have holes).
+
+    Semantics: bucket timestamps to ``step_seconds``, average observed
+    values per (series, bucket), then emit EVERY grid bucket between
+    each series' first and last observation; missing buckets get the
+    linear interpolation between the surrounding observed buckets.
+
+    Exactness contract: the per-bucket average is (exact BIGINT cent
+    sum) / (100 * count) — one correctly-rounded double division — and
+    the interpolation weight is a ratio of exact BIGINT second
+    offsets, so every emitted double is reproducible bit-for-bit on
+    any engine and any partitioning (no running float state).
+
+    Scale: ONE shuffle keyed by the series; the grid explode, both
+    fill windows, and the final projection all ride that partitioning.
+    Grid size is span/step per series — output scales with
+    series-count x span, never with raw event count.
+    """
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+              * step_seconds).cast("long")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    obs = (
+        df.select(*series_cols, bucket.alias("bucket_s"), cents.alias("__c"))
+        .groupBy(*series_cols, "bucket_s")
+        .agg(F.sum("__c").alias("c_sum"), F.count("__c").alias("c_cnt"))
+    )
+    grid = (
+        obs.groupBy(*series_cols)
+        .agg(F.min("bucket_s").alias("b0"), F.max("bucket_s").alias("b1"))
+        .select(
+            *series_cols,
+            F.explode(
+                F.sequence("b0", "b1", F.lit(int(step_seconds)).cast("long"))
+            ).alias("bucket_s"),
+        )
+    )
+    joined = grid.join(obs, [*series_cols, "bucket_s"], "left")
+    wf = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("bucket_s").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("bucket_s").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("c_cnt").isNotNull(), F.col("bucket_s"))
+    filled = (
+        joined
+        .withColumn("pb", F.last(ob, ignorenulls=True).over(wf))
+        .withColumn("ps", F.last("c_sum", ignorenulls=True).over(wf))
+        .withColumn("pn", F.last("c_cnt", ignorenulls=True).over(wf))
+        .withColumn("nb", F.first(ob, ignorenulls=True).over(wb))
+        .withColumn("ns", F.first("c_sum", ignorenulls=True).over(wb))
+        .withColumn("nn", F.first("c_cnt", ignorenulls=True).over(wb))
+    )
+    # grid spans [first, last] observed bucket, so prev and next always
+    # exist; on observed rows pb == nb and the formula degenerates to
+    # the exact bucket average.
+    py = F.col("ps").cast("double") / (F.col("pn") * 100).cast("double")
+    ny = F.col("ns").cast("double") / (F.col("nn") * 100).cast("double")
+    frac = F.when(
+        F.col("nb") == F.col("pb"), F.lit(0.0)
+    ).otherwise(
+        (F.col("bucket_s") - F.col("pb")).cast("double")
+        / (F.col("nb") - F.col("pb")).cast("double")
+    )
+    # value_f ships UNROUNDED: py/ny/frac are each one correctly-
+    # rounded division of exact integers and the interpolation is the
+    # same two IEEE ops in both engines — bit-identical by
+    # construction, while round(x, 6) of a full-precision double
+    # flips at half-ulp boundaries between engines (seen at sf0.01).
+    return filled.select(
+        *series_cols,
+        "bucket_s",
+        (py + (ny - py) * frac).alias("value_f"),
+        F.col("c_cnt").isNotNull().alias("observed"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of per-series DAILY
+    totals: trend = centered ``period``-day moving average, seasonal =
+    per-phase mean of the detrended values, remainder = detrended -
+    seasonal. Only interior days (a full, CONSECUTIVE period-window)
+    are emitted — a gap in the series excludes the straddling days
+    rather than silently averaging non-adjacent weeks.
+
+    Exactness contract: daily totals are exact BIGINT cent sums;
+    ``period`` is odd so the centered window is ROWS BETWEEN -h AND h;
+    every emitted statistic is a single division of exact BIGINTs
+    (detrended keeps the x*period scaling so no intermediate division
+    happens), identical on any IEEE engine. remainder is one
+    subtraction of two such exact-division doubles.
+
+    Scale: one shuffle to daily grain (massive reduction), one window
+    over it, one broadcast join back for the tiny per-phase frame.
+    """
+    if period % 2 != 1:
+        raise ValueError("period must be odd for a single centered window")
+    half = period // 2
+    day_s = (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) * 86400).cast("long")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        df.select(*series_cols, day_s.alias("day_s"), cents.alias("__c"))
+        .groupBy(*series_cols, "day_s")
+        .agg(F.sum("__c").alias("y_c"))
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("day_s").asc())
+        .rowsBetween(-half, half)
+    )
+    scale = period * 100
+    interior = (
+        daily
+        .withColumn("t_sum", F.sum("y_c").over(w))
+        .withColumn("t_cnt", F.count("y_c").over(w))
+        .withColumn("t_span", F.max("day_s").over(w) - F.min("day_s").over(w))
+        # full window AND consecutive days: rows-frames over a gappy
+        # series would average non-adjacent weeks
+        .filter(
+            (F.col("t_cnt") == period)
+            & (F.col("t_span") == F.lit(86400 * (period - 1)))
+        )
+        .withColumn("det_num", F.col("y_c") * period - F.col("t_sum"))
+        .withColumn(
+            "phase", (F.floor(F.col("day_s") / 86400) % period).cast("int")
+        )
+    )
+    phase_stats = (
+        interior.groupBy(*series_cols, "phase")
+        .agg(F.sum("det_num").alias("s_num"), F.count("det_num").alias("s_cnt"))
+    )
+    out = interior.join(F.broadcast(phase_stats), [*series_cols, "phase"])
+    detrended = F.col("det_num").cast("double") / F.lit(float(scale))
+    seasonal = (
+        F.col("s_num").cast("double")
+        / (F.col("s_cnt") * scale).cast("double")
+    )
+    return out.select(
+        *series_cols,
+        "day_s",
+        "phase",
+        (F.col("y_c").cast("double") / 100.0).alias("y"),
+        (F.col("t_sum").cast("double") / F.lit(float(scale))).alias("trend"),
+        seasonal.alias("seasonal"),
+        (detrended - seasonal).alias("remainder"),
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-series robust outliers by median absolute deviation:
+    flag rows where |x - median| / (1.4826 * MAD) > ``z_threshold``.
+    The robust complement of rolling_zscore_anomalies — a single
+    extreme spike inflates a standard deviation enough to mask ITSELF
+    (z caps near sqrt(n) for one outlier); the median/MAD baseline is
+    immune to up to 50% contamination.
+
+    Exactness contract: medians are computed positionally on exact
+    BIGINT cent values — med2 = c[(n+1)//2] + c[(n+2)//2] (cent-pairs,
+    no division), abs-deviations stay in half-cent BIGINTs, mad4
+    likewise in quarter-cents — so the single robust-z double division
+    2*(2c - med2) / (1.4826 * mad4) is bit-identical on any engine.
+    A float percentile would interpolate (a+b)/2 vs a+(b-a)*0.5
+    differently across engines.
+
+    Scale: ONE shuffle on the series key; both median passes are
+    window sorts over the same partitioning (no second exchange).
+    Output is anomalies only.
+    """
+    order_c = [F.col("__c").asc(), F.col(ts_col).asc()]
+    if tiebreak_col:
+        order_c.append(F.col(tiebreak_col).asc())
+    wp = Window.partitionBy(*series_cols)
+    w1 = wp.orderBy(*order_c)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+
+    def _median2(frame: DataFrame, col: str, out: str, order) -> DataFrame:
+        """out = value at pos floor((n+1)/2) + value at pos ceil((n+1)/2)
+        in the per-series ``order`` — twice the median, exactly."""
+        w_rank = wp.orderBy(*order)
+        lo = F.floor((F.col("__n") + 1) / 2)
+        hi = F.floor((F.col("__n") + 2) / 2)
+        ranked = (
+            frame.withColumn("__n", F.count(col).over(wp))
+            .withColumn("__rn", F.row_number().over(w_rank))
+        )
+        c_lo = F.max(F.when(F.col("__rn") == lo, F.col(col))).over(wp)
+        c_hi = F.max(F.when(F.col("__rn") == hi, F.col(col))).over(wp)
+        return (
+            ranked.withColumn(out, c_lo + c_hi)
+            .drop("__n", "__rn")
+        )
+
+    base = df.withColumn("__c", cents)
+    base = _median2(base, "__c", "med2", order_c)  # half-cents
+    order_d = [F.col("__d2").asc(), F.col(ts_col).asc()]
+    if tiebreak_col:
+        order_d.append(F.col(tiebreak_col).asc())
+    base = base.withColumn("__d2", F.abs(F.col("__c") * 2 - F.col("med2")))
+    base = _median2(base, "__d2", "mad4", order_d)  # quarter-cents
+    rz = (
+        (F.col("__c") * 2 - F.col("med2")).cast("double") * 2.0
+        / (F.lit(1.4826) * F.col("mad4").cast("double"))
+    )
+    return (
+        base.withColumn("__rz", rz)
+        .filter((F.col("mad4") > 0) & (F.abs(F.col("__rz")) > z_threshold))
+        .select(
+            *series_cols,
+            ts_col,
+            *([tiebreak_col] if tiebreak_col else []),
+            value_col,
+            F.round("__rz", 6).alias("robust_z"),
+        )
     )

@@ -28,6 +28,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "domain_mixture_sample",
+    "temperature_sample",
     "decontaminate",
     "heavy_hitters",
     "chunk_tokens",
@@ -596,3 +597,54 @@ def survivors_best_scored(
         .select(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5): keep a
+    ``frac`` of the corpus with per-domain take proportional to
+    sqrt(n_s) — the multilingual rebalancing recipe (mBERT/XLM-R/mT5
+    style) that flattens head domains without the hard targets
+    :func:`domain_mixture_sample` needs. Unlike explicit weights, the
+    mixture ADAPTS as the corpus grows: p_s = sqrt(n_s) / sum sqrt.
+
+    alpha is fixed at 1/2 because sqrt is the one power IEEE requires
+    correctly rounded — pow(n, alpha) may differ between libm
+    implementations, which would flip hash-threshold decisions at
+    rate boundaries. Weights are floor(sqrt(n_s) * 1e6) BIGINTs, so
+    the weight total is order-free-exact, and each domain's keep rate
+    is ONE double division of exact integers, floored to a
+    per-million threshold on the id-hash (exact-double bound: w*T and
+    W*n below 2^53 holds to ~1e10 docs/domain; beyond that, widen the
+    ppm scale down to 1e3).
+
+    Plan: domain-count aggregate (domain-cardinality rows) ->
+    broadcast rate table -> one corpus scan with a pushed filter. No
+    corpus-sized shuffle.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("cnt"))
+    weighted = counts.withColumn(
+        "w_s", F.floor(F.sqrt(F.col("cnt")) * 1e6).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("w_s").alias("w_tot"), F.sum("cnt").alias("n_tot")
+    )
+    t = F.floor(F.col("n_tot") * F.lit(frac)).cast("long")
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("w_s") * t).cast("double")
+        / (F.col("w_tot") * F.col("cnt")).cast("double"),
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        stratum_col,
+        F.floor(rate * 1e6).cast("long").alias("rate_ppm"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter((_id_hash(id_col, 3) % 1_000_000) < F.col("rate_ppm"))
+        .select(id_col, stratum_col, "rate_ppm")
+    )

@@ -593,3 +593,58 @@ SPECS["embedding_jl_projection"] = QuerySpec(
     embedding_jl_projection, JL_PROJECTION_ORACLE,
     "Johnson-Lindenstrauss projection 64->8 (fixed planes, bit-exact)",
 )
+
+
+# ---------- classifier calibration / ECE (round 5) ----------
+
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + expected calibration error of the hashed
+    quality classifier's normalized score against the C4-rule label."""
+    from ..operators.curation import calibration_ece
+
+    return calibration_ece(_docs(spark, sf_dir), bins=10)
+
+
+from .extension_queries import _SW as _ECE_SW  # noqa: E402
+
+ECE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {H.duck_token_hashes('text')} AS th,
+         {H.duck_tokens('text')} AS toks
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id,
+         CAST(len(th) AS BIGINT) AS n_tokens,
+         {_DUCK_WSUM} AS ws,
+         length(text) >= 100 AND len(toks) >= 20
+           AND CAST(len(list_filter(toks, x -> list_contains(['{_ECE_SW}'], x)))
+                    AS DOUBLE) / len(toks) >= 0.01 AS ok
+  FROM t WHERE len(th) > 0
+), per_doc AS (
+  SELECT
+    CAST(least(9, floor(((CAST(ws AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * 1000.0)) + 1) / 2 * 10)) AS INTEGER)
+      AS score_bin,
+    CAST(floor(((CAST(ws AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * 1000.0)) + 1) / 2 * 1e6) AS BIGINT)
+      AS p_micro,
+    CASE WHEN ok THEN 1 ELSE 0 END AS y
+  FROM s
+), binned AS (
+  SELECT score_bin, count(*) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS t_b,
+         CAST(sum(p_micro) AS BIGINT) AS s_b
+  FROM per_doc GROUP BY 1
+)
+SELECT score_bin, n_docs,
+       CAST(t_b AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc,
+       CAST(s_b AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE) AS conf,
+       CAST(sum(abs(t_b * 1000000 - s_b)) OVER () AS DOUBLE)
+         / CAST(sum(n_docs) OVER () * 1000000 AS DOUBLE) AS ece
+FROM binned
+"""
+
+SPECS["eval_calibration_ece"] = QuerySpec(
+    eval_calibration_ece, ECE_ORACLE,
+    "classifier reliability table + ECE, exact-integer gap accounting",
+)

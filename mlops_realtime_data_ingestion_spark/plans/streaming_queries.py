@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.batch import load_table
 from ..sources.streaming import json_file_stream
@@ -376,3 +377,103 @@ SPECS: dict[str, QuerySpec] = {
         "§2.1 S1 Python Data Source (VALUES-fixture oracle)"),
     "streaming_stream_join": QuerySpec(streaming_stream_join, STREAM_JOIN_ORACLE, "stream-stream interval join"),
 }
+
+
+# ---------- transformWithState record highs (round 5) ----------
+
+def streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state operator: per-user record-high events with
+    running record ordinal, over a replayed event stream. Runs on the
+    NEW API (Spark 4.x transformWithStateInPandas +
+    StatefulProcessor/ValueState) where google.protobuf is available,
+    else on the semantics-identical applyInPandasWithState fallback
+    (see streaming/stateful.record_high_tracker — both paths tested).
+
+    ORACLE-CHECKABLE like streaming_breach_alarm: the backlog drains
+    as ONE micro-batch, within which the processor sorts by
+    (event time, event_id) — so the stateful walk equals the batch
+    prefix-max SQL exactly (raw `>` comparisons, no float math)."""
+    import tempfile
+
+    from ..streaming.stateful import record_high_tracker
+
+    tmp = tempfile.mkdtemp(prefix="spark_stream_records_")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_micros"),
+            "event_id",
+            "value",
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(f"{tmp}/events")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_micros", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(f"{tmp}/events")
+        .select(
+            "user_id",
+            F.timestamp_micros("ts_micros").alias("ts"),
+            "event_id",
+            "value",
+        )
+    )
+    # the NEW-API path additionally needs the RocksDB state store;
+    # only set it when that path is active (runtime conf, picked up
+    # at stream start). The legacy fallback runs on the default store.
+    from ..streaming.stateful import _has_protobuf
+
+    use_tws = _has_protobuf()
+    if use_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        records = record_high_tracker(stream)
+        q = (
+            records.writeStream.format("memory")
+            .queryName("record_highs_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if use_tws:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return spark.sql(
+        "SELECT user_id, ts, event_id, value, record_rank "
+        "FROM record_highs_sink"
+    )
+
+
+RECORD_HIGHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT user_id, ts, event_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS INTEGER) AS record_rank
+FROM (SELECT * FROM e WHERE prev_max IS NULL OR value > prev_max)
+"""
+
+SPECS["streaming_record_highs"] = QuerySpec(
+    streaming_record_highs, RECORD_HIGHS_ORACLE,
+    "§2.9 transformWithStateInPandas (StatefulProcessor/ValueState)",
+)

@@ -1009,3 +1009,261 @@ SPECS["ts_ewma_smooth"] = QuerySpec(
     ts_ewma_smooth, TS_EWMA_ORACLE,
     "per-series EWMA smoothing, exact power-of-two weights",
 )
+
+
+# ---------- gap-fill + linear interpolation (round 5) ----------
+
+_GAPFILL_STEP = 3600
+_GAPFILL_USER_MOD = 29
+
+
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per sampled user series (linear interpolation
+    over gaps) — the resampling the reference's forecaster assumes is
+    already done upstream (preprocess.py materializes a dense 1-minute
+    frame). User sample keeps the grid output bounded at sf0.01 while
+    scaling linearly in series count."""
+    from ..operators.timeseries import gapfill_interpolate
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id") % _GAPFILL_USER_MOD == 0
+    )
+    return gapfill_interpolate(
+        ev, series_cols=["user_id"], ts_col="ts", value_col="value",
+        step_seconds=_GAPFILL_STEP,
+    )
+
+
+TS_GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_GAPFILL_STEP} * {_GAPFILL_STEP}
+           AS bucket_s,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c_sum,
+         count(*) AS c_cnt
+  FROM events
+  WHERE user_id % {_GAPFILL_USER_MOD} = 0
+  GROUP BY 1, 2
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket_s), max(bucket_s),
+                                CAST({_GAPFILL_STEP} AS BIGINT))) AS bucket_s
+  FROM obs GROUP BY user_id
+), j AS (
+  SELECT g.user_id, g.bucket_s, o.c_sum, o.c_cnt
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket_s)
+), f AS (
+  SELECT user_id, bucket_s, c_cnt,
+    last_value(CASE WHEN c_cnt IS NOT NULL THEN bucket_s END IGNORE NULLS)
+      OVER wf AS pb,
+    last_value(c_sum IGNORE NULLS) OVER wf AS ps,
+    last_value(c_cnt IGNORE NULLS) OVER wf AS pn,
+    first_value(CASE WHEN c_cnt IS NOT NULL THEN bucket_s END IGNORE NULLS)
+      OVER wb AS nb,
+    first_value(c_sum IGNORE NULLS) OVER wb AS ns,
+    first_value(c_cnt IGNORE NULLS) OVER wb AS nn
+  FROM j
+  WINDOW
+    wf AS (PARTITION BY user_id ORDER BY bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wb AS (PARTITION BY user_id ORDER BY bucket_s
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_s,
+  CAST(ps AS DOUBLE) / CAST(pn * 100 AS DOUBLE)
+  + (CAST(ns AS DOUBLE) / CAST(nn * 100 AS DOUBLE)
+     - CAST(ps AS DOUBLE) / CAST(pn * 100 AS DOUBLE))
+    * (CASE WHEN nb = pb THEN 0.0
+            ELSE CAST(bucket_s - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+       END) AS value_f,
+  c_cnt IS NOT NULL AS observed
+FROM f
+"""
+
+SPECS["ts_gapfill_interpolate"] = QuerySpec(
+    ts_gapfill_interpolate, TS_GAPFILL_ORACLE,
+    "per-series gap-fill to an hourly grid, exact linear interpolation",
+)
+
+
+# ---------- additive seasonal decomposition (round 5) ----------
+
+_SEASONAL_PERIOD = 7
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weekly decomposition of daily totals: centered 7-day
+    MA trend + day-of-week seasonal index + remainder, interior
+    consecutive days only."""
+    from ..operators.timeseries import seasonal_decompose
+
+    return seasonal_decompose(
+        _events(spark, sf_dir), series_cols=["user_id"], ts_col="ts",
+        value_col="value", period=_SEASONAL_PERIOD,
+    )
+
+
+_P = _SEASONAL_PERIOD
+_H = _P // 2
+
+TS_SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y_c
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT user_id, day_s, y_c,
+         sum(y_c)   OVER w AS t_sum,
+         count(y_c) OVER w AS t_cnt,
+         max(day_s) OVER w - min(day_s) OVER w AS t_span
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day_s
+               ROWS BETWEEN {_H} PRECEDING AND {_H} FOLLOWING)
+), interior AS (
+  SELECT user_id, day_s, y_c, t_sum,
+         y_c * {_P} - t_sum AS det_num,
+         CAST((day_s // 86400) % {_P} AS INTEGER) AS phase
+  FROM win
+  WHERE t_cnt = {_P} AND t_span = {86400 * (_P - 1)}
+), phase_stats AS (
+  SELECT user_id, phase,
+         CAST(sum(det_num) AS BIGINT) AS s_num,
+         count(det_num) AS s_cnt
+  FROM interior GROUP BY 1, 2
+)
+SELECT i.user_id AS user_id, i.day_s AS day_s, i.phase AS phase,
+       CAST(i.y_c AS DOUBLE) / 100.0 AS y,
+       CAST(i.t_sum AS DOUBLE) / {float(_P * 100)} AS trend,
+       CAST(p.s_num AS DOUBLE) / CAST(p.s_cnt * {_P * 100} AS DOUBLE)
+         AS seasonal,
+       CAST(i.det_num AS DOUBLE) / {float(_P * 100)}
+         - CAST(p.s_num AS DOUBLE) / CAST(p.s_cnt * {_P * 100} AS DOUBLE)
+         AS remainder
+FROM interior i JOIN phase_stats p USING (user_id, phase)
+"""
+
+SPECS["ts_seasonal_decompose"] = QuerySpec(
+    ts_seasonal_decompose, TS_SEASONAL_ORACLE,
+    "additive weekly decomposition of daily series, exact-integer core",
+)
+
+
+# ---------- MAD robust anomalies (round 5) ----------
+
+_MAD_Z = 3.5
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outliers: |x - median| / (1.4826 * MAD) >
+    {z} on exact positional cent medians.""".format(z=_MAD_Z)
+    from ..operators.timeseries import mad_anomalies
+
+    return mad_anomalies(
+        _events(spark, sf_dir), series_cols=["user_id"], ts_col="ts",
+        value_col="value", z_threshold=_MAD_Z, tiebreak_col="event_id",
+    )
+
+
+TS_MAD_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+), r1 AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY c, ts, event_id)
+           AS rn
+  FROM base
+), m1 AS (
+  SELECT user_id, ts, event_id, value, c,
+         max(CASE WHEN rn = (n + 1) // 2 THEN c END)
+           OVER (PARTITION BY user_id)
+         + max(CASE WHEN rn = (n + 2) // 2 THEN c END)
+           OVER (PARTITION BY user_id) AS med2
+  FROM r1
+), r2 AS (
+  SELECT *, abs(c * 2 - med2) AS d2,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(c * 2 - med2), ts, event_id) AS rn
+  FROM m1
+), m2 AS (
+  SELECT user_id, ts, event_id, value, c, med2,
+         max(CASE WHEN rn = (n + 1) // 2 THEN d2 END)
+           OVER (PARTITION BY user_id)
+         + max(CASE WHEN rn = (n + 2) // 2 THEN d2 END)
+           OVER (PARTITION BY user_id) AS mad4
+  FROM r2
+)
+SELECT user_id, ts, event_id, value,
+       round(CAST(c * 2 - med2 AS DOUBLE) * 2.0
+             / (1.4826 * CAST(mad4 AS DOUBLE)), 6) AS robust_z
+FROM m2
+WHERE mad4 > 0
+  AND abs(CAST(c * 2 - med2 AS DOUBLE) * 2.0
+          / (1.4826 * CAST(mad4 AS DOUBLE))) > {_MAD_Z}
+"""
+
+SPECS["ts_anomaly_mad"] = QuerySpec(
+    ts_anomaly_mad, TS_MAD_ORACLE,
+    "per-series MAD robust outliers on exact positional cent medians",
+)
+
+
+# ---------- interval overlap join (round 5) ----------
+
+_FULFILL_DAYS = 30
+_IV_BUCKET = 86400 * 30
+
+
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent open orders per customer: pairs of orders whose
+    30-day fulfillment windows [orderdate, orderdate + 30d] intersect
+    — the interval-INTERVAL join (the engine's range_join covers
+    point-in-interval). Lossless time-bucket blocking; pair direction
+    deduplicated by orderkey order."""
+    from ..operators.relational import interval_overlap_pairs
+
+    iv = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").cast("long").alias("w_start"),
+        (
+            F.unix_timestamp("o_orderdate").cast("long")
+            + F.lit(_FULFILL_DAYS * 86400)
+        ).alias("w_end"),
+    )
+    return interval_overlap_pairs(
+        iv,
+        key_cols=["o_custkey"],
+        id_cols=["o_orderkey"],
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=_IV_BUCKET,
+    )
+
+
+INTERVAL_OVERLAP_ORACLE = f"""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) + {_FULFILL_DAYS * 86400}
+           AS e
+  FROM orders
+)
+SELECT a.o_custkey AS o_custkey,
+       a.o_orderkey AS o_orderkey_a,
+       b.o_orderkey AS o_orderkey_b,
+       greatest(a.s, b.s) AS ov_start,
+       least(a.e, b.e) AS ov_end,
+       least(a.e, b.e) - greatest(a.s, b.s) AS ov_seconds
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+SPECS["interval_overlap_orders"] = QuerySpec(
+    interval_overlap_orders, INTERVAL_OVERLAP_ORACLE,
+    "interval-interval overlap join via lossless time-bucket blocking",
+)

@@ -797,3 +797,96 @@ SPECS["hll_user_overlap"] = QuerySpec(
     hll_user_overlap, HLL_SETOPS_ORACLE,
     "HLL set algebra: cohort union + inclusion-exclusion intersection",
 )
+
+
+# ---------- containment dedup (round 5) ----------
+
+_CONTAIN_T = 0.6
+_DUCK_SH3 = H.duck_shingle_hashes("h", 3)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (quote / sub-document
+    detection): >= 60% of a's word-3-gram shingles inside b."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=_CONTAIN_T
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_H} AS h FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SH3}) AS s FROM base
+), e AS (
+  SELECT doc_id, unnest(s) AS t FROM sh WHERE len(s) > 0
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM e GROUP BY 1
+), ov AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+  FROM e a JOIN e b ON a.t = b.t AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(n_common AS BIGINT) AS overlap,
+       CAST(sz.sz AS BIGINT) AS size_a,
+       round(CAST(n_common AS DOUBLE) / CAST(sz.sz AS DOUBLE), 6)
+         AS containment
+FROM ov JOIN sz ON sz.doc_id = ov.da
+WHERE CAST(n_common AS DOUBLE) / CAST(sz.sz AS DOUBLE) >= {_CONTAIN_T}
+"""
+
+SPECS["dedup_containment"] = QuerySpec(
+    dedup_containment, CONTAINMENT_ORACLE,
+    "asymmetric shingle-containment pairs via lossless rare-prefix probes",
+)
+
+
+# ---------- temperature mixture sampling (round 5) ----------
+
+_DUCK_ID_HASH4 = (
+    f"({H.MINHASH_A[3]} * ({H.duck_str_hash('CAST(doc_id AS VARCHAR)')})"
+    f" + {H.MINHASH_B[3]}) % {H.P}"
+)
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature mixture: keep ~half the corpus with
+    per-source take proportional to sqrt(n_source)."""
+    from ..operators.training_data import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), stratum_col="source", id_col="doc_id", frac=0.5
+    )
+
+
+TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY 1
+), w AS (
+  SELECT source, cnt,
+         CAST(floor(sqrt(cnt) * 1e6) AS BIGINT) AS w
+  FROM counts
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(cnt) AS BIGINT) AS n
+  FROM w
+), rates AS (
+  SELECT source,
+         CAST(floor(least(
+           1.0,
+           CAST(w * CAST(floor(n * 0.5) AS BIGINT) AS DOUBLE)
+             / CAST(tw * cnt AS DOUBLE)
+         ) * 1e6) AS BIGINT) AS rate_ppm
+  FROM w, tot
+)
+SELECT d.doc_id, d.source AS source, r.rate_ppm
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ({_DUCK_ID_HASH4}) % 1000000 < r.rate_ppm
+"""
+
+SPECS["sample_temperature_mixture"] = QuerySpec(
+    sample_temperature_mixture, TEMPERATURE_ORACLE,
+    "sqrt-temperature mixture sampling, exact-integer rate derivation",
+)

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["consecutive_breach_alarm", "ALARM_SCHEMA", "ALARM_STATE_SCHEMA"]
+__all__ = [
+    "consecutive_breach_alarm",
+    "ALARM_SCHEMA",
+    "ALARM_STATE_SCHEMA",
+    "record_high_tracker",
+    "RECORD_SCHEMA",
+]
 
 ALARM_SCHEMA = T.StructType(
     [
@@ -97,5 +103,162 @@ def consecutive_breach_alarm(
         outputStructType=ALARM_SCHEMA,
         stateStructType=ALARM_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("record_rank", T.IntegerType()),
+    ]
+)
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to its driver-side
+    state worker; without google.protobuf the stream crashes at
+    initialization (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+def record_high_tracker(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    api: str = "auto",
+) -> DataFrame:
+    """Per-key record-high detector: emit a row whenever a key's value
+    strictly exceeds everything it has seen before, with the running
+    record ordinal.
+
+    Two identical-semantics spellings, selected by ``api``:
+
+    - ``"tws"`` — the NEW arbitrary-state API
+      (``transformWithStateInPandas`` + StatefulProcessor/ValueState,
+      Spark 4.x), the surface new stateful operators should target.
+      Requires ``google.protobuf`` (the state-server wire format) and
+      the RocksDB state store provider.
+    - ``"legacy"`` — ``applyInPandasWithState`` (same walk, same
+      state tuple), which runs on the default state store with no
+      extra dependency.
+    - ``"auto"`` (default) — ``tws`` when protobuf is importable,
+      else ``legacy``. Both paths are unit-tested to agree.
+
+    Determinism contract: within a micro-batch rows sort by
+    (event time, tiebreak); state holds only (current max, records so
+    far), compared with raw `>` — no float arithmetic anywhere, so a
+    single-batch drain equals the batch prefix-max SQL exactly.
+
+    Scale: state is one (double, int) per key in the state store;
+    each micro-batch moves only its own rows, grouped by key.
+    """
+    if api == "auto":
+        api = "tws" if _has_protobuf() else "legacy"
+    if api == "legacy":
+        return _record_high_legacy(events, key_col, ts_col, val_col, tiebreak_col)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = [f.name for f in RECORD_SCHEMA.fields]
+
+    class RecordHigh(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "record_state", "cur_max double, n_records int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (uid,) = key
+            if self._st.exists():
+                cur_max, n_rec = self._st.get()
+            else:
+                cur_max, n_rec = None, 0
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(
+                [ts_col, tiebreak_col], kind="mergesort"
+            )
+            out: list[tuple] = []
+            for ts, eid, value in zip(
+                batch[ts_col], batch[tiebreak_col], batch[val_col]
+            ):
+                v = float(value)
+                if cur_max is None or v > cur_max:
+                    cur_max = v
+                    n_rec += 1
+                    out.append((uid, ts, int(eid), v, n_rec))
+            self._st.update((cur_max, n_rec))
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        RecordHigh(),
+        outputStructType=RECORD_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+# (current record max encoded as cents? no — raw double; ordinal int)
+RECORD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_max", T.DoubleType()),
+        T.StructField("n_records", T.IntegerType()),
+    ]
+)
+
+
+def _record_high_legacy(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """applyInPandasWithState spelling of record_high_tracker — the
+    same per-key walk and state tuple on the legacy API."""
+    cols = [f.name for f in RECORD_SCHEMA.fields]
+
+    def evaluate(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        cur_max, n_rec = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        out: list[tuple] = []
+        for ts, eid, value in zip(
+            batch[ts_col], batch[tiebreak_col], batch[val_col]
+        ):
+            v = float(value)
+            if cur_max is None or v > cur_max:
+                cur_max = v
+                n_rec += 1
+                out.append((uid, ts, int(eid), v, n_rec))
+        state.update((cur_max, n_rec))
+        yield pd.DataFrame(out, columns=cols)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        evaluate,
+        outputStructType=RECORD_SCHEMA,
+        stateStructType=RECORD_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
