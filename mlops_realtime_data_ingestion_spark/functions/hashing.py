@@ -163,6 +163,64 @@ def duck_shingle_hashes_wide(h1: str, h2: str, n: int) -> str:
     )
 
 
+# ---------- third independent fold (90-bit fingerprints) ----------
+# The 60-bit packed space is collision-free to ~1e9 shingle positions
+# (expected colliding pairs N^2/2^61 < 0.5); the true-100 TB operating
+# point is ~1e12 positions, where 60 bits fabricates ~4e5 collisions
+# — and the CHAINING operators turn each one into a fake exact match
+# (SCALE.md, round 5: measured with the 30-bit space, fixed to 60).
+# A third fold (base 41 mod P3) carried as a SECOND BIGINT column
+# lifts the space to ~2^90: expected collisions at 1e12 positions
+# ~N^2/2^91 ~ 4e-4. The pair (fp, fp3) is the chain key; values of fp
+# are unchanged, so widening cannot move any sf-scale oracle result
+# except by removing collisions that small fixtures don't have.
+
+P3 = 999_999_937   # third fold modulus (< 2^30)
+
+
+def spark_str_hash3(s: str) -> str:
+    codes = f"transform(sequence(1, length({s})), i -> cast(ascii(substr({s}, i, 1)) as bigint))"
+    return f"aggregate({codes}, 0L, (acc, c) -> (acc * 41 + c) % {P3})"
+
+
+def duck_str_hash3(s: str) -> str:
+    codes = f"list_transform(range(1, length({s}) + 1), i -> CAST(ascii(substring({s}, i, 1)) AS BIGINT))"
+    return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (acc, c) -> (acc * 41 + c) % {P3})"
+
+
+def spark_token_hashes3(col: str) -> str:
+    return f"transform({spark_tokens(col)}, t -> {spark_str_hash3('t')})"
+
+
+def duck_token_hashes3(col: str) -> str:
+    return f"list_transform({duck_tokens(col)}, t -> {duck_str_hash3('t')})"
+
+
+def _chain3(terms: list[str]) -> str:
+    """((t0*41 + t1) % P3 * 41 + t2) % P3 ..."""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * 41 + {t}) % {P3}"
+    return expr
+
+
+def spark_shingle_hashes3(h3: str, n: int) -> str:
+    """Third-fold 30-bit shingle array — carried alongside the packed
+    60-bit ``*_wide`` array as the second half of a 90-bit chain key."""
+    t3 = [f"element_at({h3}, i + {j})" for j in range(n)]
+    return (
+        f"case when size({h3}) < {n} then array() "
+        f"else transform(sequence(1, size({h3}) - {n - 1}), i -> {_chain3(t3)}) end"
+    )
+
+
+def duck_shingle_hashes3(h3: str, n: int) -> str:
+    t3 = [f"{h3}[i + {j}]" for j in range(n)]
+    return (
+        f"list_transform(range(1, greatest(len({h3}) - {n - 2}, 1)), i -> {_chain3(t3)})"
+    )
+
+
 # NOTE: both spellings reference the token-hash array as a plain
 # column named `h` inside the lambda — callers materialize the token
 # hashes as a column aliased `h` first (keeps the generated SQL

@@ -37,6 +37,11 @@ _POW37[0] = 1
 for _i in range(1, _MAX_POW):
     _POW37[_i] = (_POW37[_i - 1] * 37) % H.P2
 
+_POW41 = np.empty(_MAX_POW, dtype=np.int64)
+_POW41[0] = 1
+for _i in range(1, _MAX_POW):
+    _POW41[_i] = (_POW41[_i - 1] * 41) % H.P3
+
 _A = np.array(H.MINHASH_A, dtype=np.int64)
 _B = np.array(H.MINHASH_B, dtype=np.int64)
 
@@ -128,6 +133,42 @@ def shingle_hashes_wide(h: np.ndarray, h2: np.ndarray, n: int = 2) -> np.ndarray
     fold31 * 2^30 + fold37, both factors < 2^30 so the product + sum
     is exact int64."""
     return shingle_hashes(h, n) * H.WIDE_SHIFT + shingle_hashes2(h2, n)
+
+
+def str_hash3(s: str) -> int:
+    """Third independent fold (base 41 mod P3 — see H.P3), the second
+    half of the 90-bit chain key (same bounds: terms < 128*P3 < 2^37)."""
+    if not s:
+        return 0
+    codes = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.int64)
+    n = len(codes)
+    if n <= _MAX_POW:
+        return int((codes * _POW41[n - 1 :: -1]).sum() % H.P3)
+    h = 0
+    for c in codes.tolist():
+        h = (h * 41 + c) % H.P3
+    return h
+
+
+_token_hash3 = lru_cache(maxsize=1 << 18)(str_hash3)
+
+
+def token_hashes3(text: str) -> np.ndarray:
+    toks = text.lower().strip().split()
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        out[i] = _token_hash3(t)
+    return out
+
+
+def shingle_hashes3(h3: np.ndarray, n: int = 2) -> np.ndarray:
+    """Third-fold n-gram chain (base 41 mod P3)."""
+    if len(h3) < n:
+        return np.empty(0, dtype=np.int64)
+    acc = h3[: len(h3) - n + 1].copy()
+    for j in range(1, n):
+        acc = (acc * 41 + h3[j : len(h3) - n + 1 + j]) % H.P3
+    return acc
 
 
 def minhash_sigs(sh: np.ndarray) -> np.ndarray:

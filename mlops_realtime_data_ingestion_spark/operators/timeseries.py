@@ -556,6 +556,13 @@ def mad_anomalies(
     A float percentile would interpolate (a+b)/2 vs a+(b-a)*0.5
     differently across engines.
 
+    NULL ``value_col`` rows are dropped before the median windows:
+    a NULL can never be an anomaly, but left in it would desynchronize
+    the positional ranks (Spark's row_number sorts NULLs first while
+    F.count(col) counts only non-nulls), silently shifting the median
+    (ADVICE r5). Callers wanting NULL-row visibility should gap-fill
+    first.
+
     Scale: ONE shuffle on the series key; both median passes are
     window sorts over the same partitioning (no second exchange).
     Output is anomalies only.
@@ -584,7 +591,7 @@ def mad_anomalies(
             .drop("__n", "__rn")
         )
 
-    base = df.withColumn("__c", cents)
+    base = df.filter(F.col(value_col).isNotNull()).withColumn("__c", cents)
     base = _median2(base, "__c", "med2", order_c)  # half-cents
     order_d = [F.col("__d2").asc(), F.col(ts_col).asc()]
     if tiebreak_col:

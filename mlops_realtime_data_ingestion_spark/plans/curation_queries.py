@@ -171,22 +171,25 @@ def substring_dedup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHAIN_CTES = f"""
 WITH base AS (
   SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h,
-         {H.duck_token_hashes2('text')} AS h2
+         {H.duck_token_hashes2('text')} AS h2,
+         {H.duck_token_hashes3('text')} AS h3
   FROM documents WHERE text IS NOT NULL
 ), pos AS (
   SELECT id, CAST(len(h) AS BIGINT) AS nt,
          unnest(range(1, greatest(len(h) - 6, 1))) AS p,
-         unnest({H.duck_shingle_hashes_wide('h', 'h2', 8)}) AS fp
+         unnest({H.duck_shingle_hashes_wide('h', 'h2', 8)}) AS fp,
+         unnest({H.duck_shingle_hashes3('h3', 8)}) AS fp3
   FROM base
 ), seeds AS (
   SELECT * FROM (
-    SELECT id, nt, p, fp, count(*) OVER (PARTITION BY fp) AS c FROM pos
+    SELECT id, nt, p, fp, fp3,
+           count(*) OVER (PARTITION BY fp, fp3) AS c FROM pos
   ) WHERE c BETWEEN 2 AND 64
 ), pairs AS (
   SELECT a.id AS d1, a.nt AS nt1, a.p AS p1,
          b.id AS d2, b.nt AS nt2, b.p AS p2,
          b.p - a.p AS diag
-  FROM seeds a JOIN seeds b USING (fp)
+  FROM seeds a JOIN seeds b USING (fp, fp3)
   WHERE a.id < b.id OR (a.id = b.id AND a.p < b.p)
 ), runs AS (
   SELECT *, CASE WHEN lag(p1) OVER w IS NULL
@@ -287,7 +290,7 @@ FROM toks t LEFT JOIN docspans ds ON t.doc_id = ds.id
 
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup: token-hash boundary rule
-    (cut after token i when hash % 16 == 0), 60-bit chunk
+    (cut after token i when hash % 16 == 0), 90-bit chunk
     fingerprints, corpus-wide duplicate-chunk accounting per doc."""
     return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16)
 
@@ -295,21 +298,22 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_CHUNKS_ORACLE = f"""
 WITH base AS (
   SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h,
-         {H.duck_token_hashes2('text')} AS h2
+         {H.duck_token_hashes2('text')} AS h2,
+         {H.duck_token_hashes3('text')} AS h3
   FROM documents WHERE text IS NOT NULL
 ), nz AS (
-  SELECT id, h, h2, len(h) AS s FROM base WHERE len(h) >= 1
+  SELECT id, h, h2, h3, len(h) AS s FROM base WHERE len(h) >= 1
 ), bp AS (
-  SELECT id, h, h2, s,
+  SELECT id, h, h2, h3, s,
          list_filter(range(1, s), i -> h[i] % 16 = 0) AS bpos
   FROM nz
 ), se AS (
-  SELECT id, h, h2, s,
+  SELECT id, h, h2, h3, s,
          list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
          list_append(bpos, s) AS ends
   FROM bp
 ), cj AS (
-  SELECT id, s, h, h2, unnest(list_zip(starts, ends)) AS z
+  SELECT id, s, h, h2, h3, unnest(list_zip(starts, ends)) AS z
   FROM se
 ), ch AS (
   SELECT id, s, z[2] - z[1] + 1 AS clen,
@@ -318,10 +322,14 @@ WITH base AS (
              (acc, c) -> (acc * 31 + c) % {H.P}) * {H.WIDE_SHIFT}
          + list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_slice(h2, z[1], z[2])),
-             (acc2, c2) -> (acc2 * 37 + c2) % {H.P2}) AS fp
+             (acc2, c2) -> (acc2 * 37 + c2) % {H.P2}) AS fp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(h3, z[1], z[2])),
+             (acc3, c3) -> (acc3 * 41 + c3) % {H.P3}) AS fp3
   FROM cj
 ), cnt AS (
-  SELECT id, s, fp, clen, count(*) OVER (PARTITION BY fp) AS c FROM ch
+  SELECT id, s, fp, clen,
+         count(*) OVER (PARTITION BY fp, fp3) AS c FROM ch
 )
 SELECT id AS doc_id,
        CAST(s AS BIGINT) AS n_tokens,
@@ -359,9 +367,14 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(k + 1 AS BIGINT) AS passage_seq,
-       CAST(k * 32 + 1 AS BIGINT) AS start_tok,
-       CAST(least(k * 32 + 64, nt) AS BIGINT) AS end_tok,
-       list_aggr(list_slice(tok, k * 32 + 1, least(k * 32 + 64, nt)),
+       CAST(least(k * 32 + 1, greatest(1, nt - 64 + 1)) AS BIGINT)
+         AS start_tok,
+       CAST(least(least(k * 32 + 1, greatest(1, nt - 64 + 1)) + 63, nt)
+            AS BIGINT) AS end_tok,
+       list_aggr(list_slice(tok,
+                 least(k * 32 + 1, greatest(1, nt - 64 + 1)),
+                 least(least(k * 32 + 1, greatest(1, nt - 64 + 1)) + 63,
+                       nt)),
                  'string_agg', ' ') AS passage_text
 FROM w
 """

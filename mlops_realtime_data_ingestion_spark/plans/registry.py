@@ -110,18 +110,66 @@ _R4_CHECKED = frozenset({
     "vocab_zipf_slope",
 })
 
-# Queries whose LAST driver check was red. These enumerate ahead of
-# everything else so the fix is guaranteed into the next round's
-# 50-query driver sample. r4's single red row was
-# wf_cumulative_distinct_users (oracle HUGEINT typing, fixed by the
-# BIGINT cast in timeseries_queries.py — see VERDICT.md round 4).
-_LAST_RED = frozenset({
+# Queries with a green hash-match row in CORRECTNESS_r05.json (all 50
+# of round 5's driver sample were green, including the r4 red row
+# wf_cumulative_distinct_users).
+_R5_CHECKED = frozenset({
+    "a6_minute_bucket", "a7_minmax_span", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_percentiles", "agg_pivot", "agg_rollup",
+    "agg_unpivot", "asof_join_cogrouped_purchase",
+    "asof_join_last_purchase", "dedup_cdc_chunks", "dedup_containment",
+    "dedup_survivors_best_quality", "dq_orders_report",
+    "eval_calibration_ece", "f1_epoch_roundtrip", "f4_base64_json",
+    "f5_json_encode_size", "f6_json_extract", "f7_f8_scalar_math",
+    "flagship_tx_window_1min", "hll_user_overlap",
+    "interval_overlap_orders", "j2_positional_zip",
+    "join_3way_brand_nation", "join_anti_no_big_orders",
+    "join_left_order_counts", "join_orders_customer_segment",
+    "join_salted_skew", "join_semi_big_spenders", "o2_topk_orders",
+    "p1_dedup_keep_first", "passages_sliding_window",
+    "range_join_attribution", "s10_latest_per_key",
+    "sample_temperature_mixture", "session_window_agg",
+    "set_ops_user_cohorts", "sliding_window_agg",
+    "streaming_record_highs", "substring_dedup_chains",
+    "substring_span_rows", "substring_strip_text",
+    "tpch_q1_pricing_summary", "ts_anomaly_mad", "ts_ewma_smooth",
+    "ts_gapfill_interpolate", "ts_seasonal_decompose",
     "wf_cumulative_distinct_users",
 })
 
+# Queries whose LAST driver check was red. These enumerate ahead of
+# everything else so the fix is guaranteed into the next round's
+# 50-query driver sample. r5 had zero red rows (r4's single red,
+# wf_cumulative_distinct_users, re-verified green in r5).
+_LAST_RED = frozenset()
+
+# Queries whose last driver check was the WEAK rows-only/no-oracle
+# path but which have since gained a full SQL oracle. Their oracle has
+# never been through the driver's hash compare, so they rank with the
+# red tier (0) rather than counting as green — otherwise they
+# enumerate at the back and never re-enter the 50-query sample
+# (s1_http_poll_ingest sat at position 115/182 through round 5 while
+# its round-5 VALUES-replay oracle went unverified; VERDICT r5 #2).
+_ORACLE_NEEDS_FIRST_CHECK = frozenset({
+    "s1_http_poll_ingest",
+})
+
+# Queries whose Spark implementation AND/OR oracle changed in round 6
+# (90-bit chain fingerprints, CDC fp widening, sliding-passage tail
+# clamp, MAD NULL filtering, persist-removal restructures). Their old
+# green rows no longer certify the current code, so they re-rank just
+# behind the red tier to guarantee re-verification in the next
+# driver sample.
+_CHANGED_R6 = frozenset({
+    "substring_dedup_chains", "substring_span_rows",
+    "substring_strip_text", "dedup_cdc_chunks",
+    "passages_sliding_window", "ts_anomaly_mad",
+    "dsir_select_en", "dedup_containment",
+})
+
 _DRIVER_CHECKED = (
-    _R1_CHECKED | _R2_CHECKED | _R3_CHECKED | _R4_CHECKED
-) - _LAST_RED
+    _R1_CHECKED | _R2_CHECKED | _R3_CHECKED | _R4_CHECKED | _R5_CHECKED
+) - _LAST_RED - _ORACLE_NEEDS_FIRST_CHECK
 
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
@@ -135,13 +183,15 @@ def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> int:
         name, spec = item
-        if name in _LAST_RED:
+        if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return 0
+        if name in _CHANGED_R6:
+            return 1
         if name in _DRIVER_CHECKED:
-            return 3
+            return 4
         if spec.oracle is None:
-            return 2
-        return 1
+            return 3
+        return 2
 
     return dict(sorted(specs.items(), key=rank))
 

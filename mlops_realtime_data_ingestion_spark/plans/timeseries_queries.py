@@ -1170,6 +1170,7 @@ WITH base AS (
   SELECT user_id, ts, event_id, value,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
   FROM events
+  WHERE value IS NOT NULL
 ), r1 AS (
   SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
          row_number() OVER (PARTITION BY user_id ORDER BY c, ts, event_id)

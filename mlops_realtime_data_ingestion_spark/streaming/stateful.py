@@ -152,8 +152,14 @@ def record_high_tracker(
     - ``"legacy"`` — ``applyInPandasWithState`` (same walk, same
       state tuple), which runs on the default state store with no
       extra dependency.
-    - ``"auto"`` (default) — ``tws`` when protobuf is importable,
-      else ``legacy``. Both paths are unit-tested to agree.
+    - ``"auto"`` (default) — currently resolves to ``legacy``
+      unconditionally: the tws path needs protobuf, which this
+      environment lacks, so it has never executed under the test
+      suite — auto-selecting an unverified path whenever protobuf
+      happens to be importable was wrong (ADVICE r5). A
+      protobuf-gated test (tests/test_round6_plans.py) covers the
+      tws path where it CAN run; flip ``"auto"`` back to
+      protobuf-detection once that test has executed somewhere.
 
     Determinism contract: within a micro-batch rows sort by
     (event time, tiebreak); state holds only (current max, records so
@@ -164,7 +170,7 @@ def record_high_tracker(
     each micro-batch moves only its own rows, grouped by key.
     """
     if api == "auto":
-        api = "tws" if _has_protobuf() else "legacy"
+        api = "legacy"
     if api == "legacy":
         return _record_high_legacy(events, key_col, ts_col, val_col, tiebreak_col)
 

@@ -97,10 +97,12 @@ def test_sliding_passages_coverage_and_overlap(spark):
     p1 = sorted(
         [r for r in out if r["doc_id"] == 1], key=lambda r: r["passage_seq"]
     )
+    # the tail window BACK-SHIFTS onto the doc end (round 6, ADVICE
+    # r5): [34,97], not a truncated [65,97]
     assert [(r["start_tok"], r["end_tok"]) for r in p1] == [
-        (1, 64), (33, 96), (65, 97)
+        (1, 64), (33, 96), (34, 97)
     ]
-    assert p1[2]["passage_text"].split() == [f"t{i}" for i in range(64, 97)]
+    assert p1[2]["passage_text"].split() == [f"t{i}" for i in range(33, 97)]
     p2 = [r for r in out if r["doc_id"] == 2]
     assert len(p2) == 1 and (p2[0]["start_tok"], p2[0]["end_tok"]) == (1, 4)
 

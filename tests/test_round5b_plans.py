@@ -229,17 +229,15 @@ def test_interval_overlap_matches_naive_join(spark):
 
 def test_record_high_tracker_matches_prefix_max(spark, tmp_path):
     """Single-batch drain of the stateful record tracker equals the
-    batch prefix-max rewrite; in this container (no protobuf) the
-    auto path resolves to the applyInPandasWithState spelling."""
+    batch prefix-max rewrite; api='auto' resolves to the
+    applyInPandasWithState spelling (the tws path is opt-in until
+    covered — see test_round6_plans.py for its protobuf-gated test)."""
     import json
 
     from mlops_realtime_data_ingestion_spark.streaming.stateful import (
-        _has_protobuf,
         record_high_tracker,
     )
     from pyspark.sql import types as T
-
-    assert not _has_protobuf()  # environment contract this test assumes
 
     rows = []
     vals = [5.0, 3.0, 7.0, 7.0, 6.5, 9.0, 1.0]
