@@ -57,6 +57,8 @@ __all__ = [
     "dsir_select",
     "duplicate_passage_spans",
     "duplicate_substring_chains",
+    "duplicate_substring_chains_incremental",
+    "substring_index_build",
     "duplicate_substring_span_rows",
     "strip_duplicate_spans",
     "cdc_chunk_dedup",
@@ -459,6 +461,12 @@ def duplicate_substring_chains(
     pairing.
     """
     islands = _chain_islands(df, id_col, text_col, n, max_occ, impl)
+    return _chains_summary(islands, id_col)
+
+
+def _chains_summary(islands: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc duplicated-region summary shared by the self and
+    incremental substring-chain spellings."""
     return (
         islands.groupBy("id", "n_tokens")
         .agg(
@@ -478,6 +486,67 @@ def duplicate_substring_chains(
     )
 
 
+def substring_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    impl: str = "pandas",
+) -> None:
+    """Persist the corpus substring-dedup index: the 90-bit shingle
+    position frame (id, n_tokens, p, fp, fp3) as parquet, partitioned
+    by fingerprint hash so an incremental run's seed window reads
+    co-located postings. Built once by a scheduled job at steady
+    state; :func:`duplicate_substring_chains_incremental` consumes it
+    via ``spark.read.parquet(path)`` with ``corpus_is_index=True`` —
+    the corpus text is never re-tokenized per batch."""
+    pos = _shingle_positions(df, id_col, text_col, n, impl, wide=True)
+    pos.repartition("fp", "fp3").write.mode("overwrite").parquet(path)
+
+
+def duplicate_substring_chains_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_occ: int = 64,
+    impl: str = "pandas",
+    corpus_is_index: bool = False,
+) -> DataFrame:
+    """Steady-state ingest spelling of exact substring dedup: per
+    BATCH doc, the merged regions that duplicate anything in
+    corpus-union-batch — exactly ``duplicate_substring_chains`` over
+    the union restricted to batch ids (a corpus-corpus seed pair can
+    only project onto corpus docs, so skipping those pairs loses
+    nothing; the occurrence-count threshold still spans the union).
+
+    ``corpus_is_index=True`` treats ``corpus`` as a prebuilt position
+    frame from :func:`substring_index_build` — the production path
+    where per-batch cost is batch positions + matched corpus postings,
+    never a corpus re-scan.
+
+    Scale: identical exchange structure to the self-run, but pair
+    generation and everything after it is proportional to
+    BATCH-TOUCHING seed groups only — at steady state (small batch,
+    huge corpus) that is the difference between re-chaining the
+    corpus per ingest and touching only colliding postings.
+    """
+    pos_c = (
+        corpus
+        if corpus_is_index
+        else _shingle_positions(corpus, id_col, text_col, n, impl, wide=True)
+    )
+    pos_b = _shingle_positions(batch, id_col, text_col, n, impl, wide=True)
+    pos = pos_c.withColumn("b", F.lit(0)).unionByName(
+        pos_b.withColumn("b", F.lit(1))
+    )
+    return _chains_summary(
+        _chain_islands_from_positions(pos, n, max_occ), id_col
+    )
+
+
 def _chain_islands(
     df: DataFrame,
     id_col: str,
@@ -494,6 +563,26 @@ def _chain_islands(
     with 1-based inclusive token bounds and the longest exact match
     length contributing to the region."""
     pos = _shingle_positions(df, id_col, text_col, n, impl, wide=True)
+    return _chain_islands_from_positions(pos, n, max_occ)
+
+
+def _chain_islands_from_positions(
+    pos: DataFrame, n: int, max_occ: int
+) -> DataFrame:
+    """Seed -> pair -> chain -> project -> island-merge over a
+    prepared position frame (id, n_tokens, p, fp, fp3[, b]).
+
+    If the optional ``b`` flag column (1 = batch, 0 = indexed corpus)
+    is present, runs INCREMENTALLY: occurrence counts still span the
+    whole union (the dup threshold is corpus-wide), but only pairs
+    touching >= 1 batch position are generated and only batch-side
+    spans are projected/merged — corpus-vs-corpus work, the bulk at
+    steady state, is skipped entirely. The result equals the full
+    self-run restricted to batch docs, because a corpus-corpus pair
+    can only ever project onto corpus docs."""
+    incremental = "b" in pos.columns
+    if not incremental:
+        pos = pos.withColumn("b", F.lit(1))
     # seed filter: window count over the 90-bit key (fp, fp3), THEN
     # group over the same key — the filtered rows are already
     # hash-partitioned on it, so the collect_list groupBy adds no
@@ -501,28 +590,40 @@ def _chain_islands(
     seeds = pos.withColumn(
         "c", F.count("*").over(Window.partitionBy("fp", "fp3"))
     ).filter((F.col("c") >= 2) & (F.col("c") <= max_occ))
+    if incremental:
+        # groups with zero batch positions produce no batch pairs —
+        # drop them before the collect_list (same window partitioning,
+        # no extra exchange); groups with batch members keep ALL
+        # their occurrences so corpus partners still pair.
+        seeds = seeds.withColumn(
+            "bc", F.sum("b").over(Window.partitionBy("fp", "fp3"))
+        ).filter(F.col("bc") >= 1)
     grp = seeds.groupBy("fp", "fp3").agg(
         F.array_sort(
-            F.collect_list(F.struct("id", "n_tokens", "p"))
+            F.collect_list(F.struct("id", "n_tokens", "p", "b"))
         ).alias("occ")
     )
     # all (i < j) pairs within the sorted occurrence list: pair order
-    # is (earlier doc/pos, later doc/pos), deterministic
+    # is (earlier doc/pos, later doc/pos), deterministic. In
+    # incremental mode, only pairs touching a batch position.
     pairs = grp.select(
         F.explode(
             F.expr(
                 "flatten(transform(occ, (a, i) ->"
-                " transform(slice(occ, i + 2, size(occ)), b ->"
-                " struct(a as a, b as b))))"
+                " transform(filter(slice(occ, i + 2, size(occ)),"
+                f" bb -> {'a.b = 1 or bb.b = 1' if incremental else 'true'}),"
+                " b -> struct(a as a, b as b))))"
             )
         ).alias("pr")
     ).select(
         F.col("pr.a.id").alias("d1"),
         F.col("pr.a.n_tokens").alias("nt1"),
         F.col("pr.a.p").alias("p1"),
+        F.col("pr.a.b").alias("b1"),
         F.col("pr.b.id").alias("d2"),
         F.col("pr.b.n_tokens").alias("nt2"),
         F.col("pr.b.p").alias("p2"),
+        F.col("pr.b.b").alias("b2"),
         (F.col("pr.b.p") - F.col("pr.a.p")).alias("diag"),
     )
     # chain consecutive seeds per diagonal (gaps-and-islands on p1;
@@ -544,6 +645,8 @@ def _chain_islands(
         .agg(
             F.max("nt1").alias("nt1"),
             F.max("nt2").alias("nt2"),
+            F.max("b1").alias("b1"),
+            F.max("b2").alias("b2"),
             F.min("p1").alias("s1"),
             (F.max("p1") + n - 1).alias("e1"),
             (F.min("p1") + F.col("diag")).alias("s2"),
@@ -572,6 +675,7 @@ def _chain_islands(
                         F.col("s1").alias("s"),
                         F.col("e1").alias("e"),
                         F.col("match_len"),
+                        F.col("b1").alias("bb"),
                     ),
                     F.struct(
                         F.col("d2").alias("id"),
@@ -579,10 +683,14 @@ def _chain_islands(
                         F.col("s2").alias("s"),
                         F.col("e2").alias("e"),
                         F.col("match_len"),
+                        F.col("b2").alias("bb"),
                     ),
                 )
             ).alias("pr")
         )
+        # incremental mode projects batch-side endpoints only — the
+        # corpus partner's spans are not this run's output
+        .filter(F.col("pr.bb") == 1)
         .select("pr.id", "pr.n_tokens", "pr.s", "pr.e", "pr.match_len")
         .groupBy("id", "n_tokens", "s", "e")
         .agg(F.max("match_len").alias("match_len"))

@@ -241,6 +241,34 @@ FROM spans GROUP BY id, nt
 """
 
 
+def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest spelling: exact duplicated substrings of
+    the BATCH docs (doc_id % 5 == 0) against corpus-union-batch —
+    corpus-corpus pairing skipped, occurrence threshold corpus-wide.
+    Equals the self-run restricted to batch ids (the oracle spells it
+    that way); the production path feeds a persisted position index
+    (substring_index_build) instead of re-tokenizing the corpus."""
+    from ..operators.curation import duplicate_substring_chains_incremental
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_substring_chains_incremental(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        n=8,
+        max_occ=64,
+    )
+
+
+SUBSTRING_INCREMENTAL_ORACLE = _CHAIN_CTES + """
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens,
+       nt AS n_tokens,
+       CAST(max(ml) AS BIGINT) AS max_match_len,
+       CAST(sum(ee - ss + 1) AS DOUBLE) / CAST(nt AS DOUBLE) AS dup_frac
+FROM spans WHERE id % 5 = 0 GROUP BY id, nt
+"""
+
+
 def substring_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup output: one row per merged
     maximal duplicated region with its token bounds — the frame a
@@ -539,6 +567,9 @@ SPECS: dict[str, QuerySpec] = {
     "substring_dedup_chains": QuerySpec(
         substring_dedup_chains, SUBSTRING_CHAINS_ORACLE,
         "arbitrary-length exact repeated substrings via seed chaining"),
+    "substring_dedup_incremental": QuerySpec(
+        substring_dedup_incremental, SUBSTRING_INCREMENTAL_ORACLE,
+        "batch-vs-corpus exact substring dedup (steady-state ingest)"),
     "substring_span_rows": QuerySpec(
         substring_span_rows, SUBSTRING_SPAN_ROWS_ORACLE,
         "span-level duplicated regions (token bounds per region)"),

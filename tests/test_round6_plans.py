@@ -280,6 +280,46 @@ def test_mad_anomalies_null_values_do_not_shift_median(spark):
 # ---------------------------------------------------------------
 
 
+def test_incremental_substring_chains_matches_full_run(spark, tmp_path):
+    """duplicate_substring_chains_incremental == the full self-run
+    restricted to batch ids, in BOTH modes (corpus DataFrame and
+    prebuilt position index) — the steady-state ingest contract."""
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+        duplicate_substring_chains_incremental,
+        substring_index_build,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    ref = {
+        tuple(r)
+        for r in duplicate_substring_chains(docs, n=8, max_occ=64)
+        .join(batch.select("doc_id"), "doc_id")
+        .collect()
+    }
+    inc = {
+        tuple(r)
+        for r in duplicate_substring_chains_incremental(
+            corpus, batch, n=8, max_occ=64
+        ).collect()
+    }
+    assert inc == ref
+    idx = str(tmp_path / "ss_idx")
+    substring_index_build(corpus, idx, n=8)
+    inc2 = {
+        tuple(r)
+        for r in duplicate_substring_chains_incremental(
+            spark.read.parquet(idx), batch, n=8, max_occ=64,
+            corpus_is_index=True,
+        ).collect()
+    }
+    assert inc2 == ref
+
+
 def test_third_fold_agrees_across_spellings(spark):
     """Spark SQL, DuckDB SQL, and the numpy fold produce identical
     third-fold shingle arrays."""
