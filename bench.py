@@ -100,9 +100,11 @@ def _warm_scan(spark, data_dir: str) -> None:
         try:
             # count(*) alone would prune every column; hash the full
             # width so data pages (not just footers) get cached.
+            # bit_xor, not sum — summing 2^63-range hashes overflows
+            # under ANSI mode and would silently skip the table.
             df = spark.read.parquet(p)
-            df.agg(
-                F.sum(F.xxhash64(*df.columns)).alias("h")
+            df.select(F.xxhash64(*df.columns).alias("h")).agg(
+                F.expr("bit_xor(h)")
             ).collect()
         except Exception:
             continue

@@ -514,6 +514,7 @@ def duplicate_substring_chains_incremental(
     max_occ: int = 64,
     impl: str = "pandas",
     corpus_is_index: bool = False,
+    prefilter_index: bool = False,
 ) -> DataFrame:
     """Steady-state ingest spelling of exact substring dedup: per
     BATCH doc, the merged regions that duplicate anything in
@@ -524,14 +525,14 @@ def duplicate_substring_chains_incremental(
 
     ``corpus_is_index=True`` treats ``corpus`` as a prebuilt position
     frame from :func:`substring_index_build` — the production path
-    where per-batch cost is batch positions + matched corpus postings,
-    never a corpus re-scan.
+    where the corpus text is never re-tokenized per batch.
 
-    Scale: identical exchange structure to the self-run, but pair
-    generation and everything after it is proportional to
-    BATCH-TOUCHING seed groups only — at steady state (small batch,
-    huge corpus) that is the difference between re-chaining the
-    corpus per ingest and touching only colliding postings.
+    Scale: pair generation and everything after it is proportional to
+    BATCH-TOUCHING seed groups only (corpus-corpus work skipped).
+    ``prefilter_index=True`` additionally semi-joins index postings
+    on batch keys before the occurrence window — lossless, measured
+    slower on dup-dense fixtures, the winning shape only when batch
+    keys match a tiny index fraction (see the inline note).
     """
     pos_c = (
         corpus
@@ -539,6 +540,23 @@ def duplicate_substring_chains_incremental(
         else _shingle_positions(corpus, id_col, text_col, n, impl, wide=True)
     )
     pos_b = _shingle_positions(batch, id_col, text_col, n, impl, wide=True)
+    if prefilter_index:
+        # Only index postings whose key occurs in the batch can ever
+        # pair with a batch position — a corpus-only group yields
+        # corpus-corpus pairs, excluded by definition — so a semi-join
+        # on batch keys is lossless (ALL of a matching key's corpus
+        # occurrences survive it; the >=2/<=max_occ filter still sees
+        # the true corpus-wide count). MEASURED at the 100x
+        # checkpoint (SCALE.md round 6): the semi-join LOSES on
+        # dup-dense data (6.2 s vs 5.3 s at a 2% batch; bucketed
+        # index 6.5 s) because the matched fraction is high and the
+        # downstream (fp, fp3) window re-shuffles either way — so it
+        # is opt-in, for the web-scale regime where batch keys match
+        # a tiny index fraction and AQE can broadcast them (there the
+        # window-everything spelling shuffles the whole index per
+        # batch, which is the losing shape).
+        keys_b = pos_b.select("fp", "fp3").distinct()
+        pos_c = pos_c.join(keys_b, ["fp", "fp3"], "leftsemi")
     pos = pos_c.withColumn("b", F.lit(0)).unionByName(
         pos_b.withColumn("b", F.lit(1))
     )
@@ -606,12 +624,14 @@ def _chain_islands_from_positions(
     # all (i < j) pairs within the sorted occurrence list: pair order
     # is (earlier doc/pos, later doc/pos), deterministic. In
     # incremental mode, only pairs touching a batch position.
+    tail = "slice(occ, i + 2, size(occ))"
+    if incremental:
+        tail = f"filter({tail}, bb -> a.b = 1 or bb.b = 1)"
     pairs = grp.select(
         F.explode(
             F.expr(
                 "flatten(transform(occ, (a, i) ->"
-                " transform(filter(slice(occ, i + 2, size(occ)),"
-                f" bb -> {'a.b = 1 or bb.b = 1' if incremental else 'true'}),"
+                f" transform({tail},"
                 " b -> struct(a as a, b as b))))"
             )
         ).alias("pr")

@@ -929,20 +929,31 @@ def _containment_frames(
         with_shingle_hashes(df, id_col, text_col, n)
         .filter(F.size("sh") > 0)
     )
-    tok = shingled.select("id", F.explode("sh").alias("t"))
+    tok = shingled.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("t")
+    )
     freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
     w = Window.partitionBy("id").orderBy(F.col("df_t").asc(), F.col("t").asc())
     ranked = (
         tok.join(freq, "t")
         .withColumn("rk", F.row_number().over(w))
-        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
     )
     probes = ranked.filter(
         F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1
-    ).select(F.col("id").alias("a"), "t")
+    ).select(F.col("id").alias("a"), F.col("sz").alias("sza"), "t")
+    # SIZE filter at probe-join time — lossless: overlap <= |b| and
+    # containment >= t needs overlap >= t*|a|, so |b| < ceil(t*|a|)
+    # can never verify. Kills candidates before the distinct and the
+    # two array-carrying verification joins.
     cand = (
-        probes.join(tok.select(F.col("id").alias("b"), "t"), "t")
-        .filter(F.col("a") != F.col("b"))
+        probes.join(
+            tok.select(F.col("id").alias("b"), F.col("sz").alias("szb"), "t"),
+            "t",
+        )
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.col("szb") >= F.ceil(F.lit(threshold) * F.col("sza")))
+        )
         .select("a", "b")
         .distinct()
     )

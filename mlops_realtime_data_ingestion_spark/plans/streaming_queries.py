@@ -384,10 +384,10 @@ SPECS: dict[str, QuerySpec] = {
 def streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state operator: per-user record-high events with
     running record ordinal, over a replayed event stream. Runs on the
-    NEW API (Spark 4.x transformWithStateInPandas +
-    StatefulProcessor/ValueState) where google.protobuf is available,
-    else on the semantics-identical applyInPandasWithState fallback
-    (see streaming/stateful.record_high_tracker — both paths tested).
+    applyInPandasWithState spelling (the default until the
+    transformWithStateInPandas path — implemented, opt-in via
+    api='tws', protobuf-gated test in tests/test_round6_plans.py —
+    has executed somewhere; see streaming/stateful.record_high_tracker).
 
     ORACLE-CHECKABLE like streaming_breach_alarm: the backlog drains
     as ONE micro-batch, within which the processor sorts by
