@@ -59,6 +59,7 @@ __all__ = [
     "duplicate_substring_chains",
     "duplicate_substring_chains_incremental",
     "substring_index_build",
+    "substring_index_update",
     "duplicate_substring_span_rows",
     "strip_duplicate_spans",
     "cdc_chunk_dedup",
@@ -503,6 +504,25 @@ def substring_index_build(
     the corpus text is never re-tokenized per batch."""
     pos = _shingle_positions(df, id_col, text_col, n, impl, wide=True)
     pos.repartition("fp", "fp3").write.mode("overwrite").parquet(path)
+
+
+def substring_index_update(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    impl: str = "pandas",
+) -> None:
+    """Steady-state index maintenance: APPEND the batch's positions
+    to an existing :func:`substring_index_build` index after the
+    batch has been chained against it — per-ingest cost is the batch
+    tokenization + one append write, never an index rewrite. (Spark's
+    parquet append adds new files; periodic compaction of small files
+    is the same maintenance the feature store's compact/rewrite path
+    provides.)"""
+    pos = _shingle_positions(batch, id_col, text_col, n, impl, wide=True)
+    pos.repartition("fp", "fp3").write.mode("append").parquet(path)
 
 
 def duplicate_substring_chains_incremental(

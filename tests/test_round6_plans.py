@@ -320,6 +320,43 @@ def test_incremental_substring_chains_matches_full_run(spark, tmp_path):
     assert inc2 == ref
 
 
+def test_substring_index_update_two_ingests_match_full(spark, tmp_path):
+    """Index lifecycle across TWO ingests: build on corpus0, chain
+    batch1 and append it, then chain batch2 against the grown index —
+    batch2's result must equal the full self-run over all three
+    slices restricted to batch2 ids."""
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+        duplicate_substring_chains_incremental,
+        substring_index_build,
+        substring_index_update,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus0 = docs.filter(F.col("doc_id") % 5 > 1)   # 60%
+    batch1 = docs.filter(F.col("doc_id") % 5 == 1)   # 20%
+    batch2 = docs.filter(F.col("doc_id") % 5 == 0)   # 20%
+    idx = str(tmp_path / "ss_idx_grow")
+    substring_index_build(corpus0, idx, n=8)
+    substring_index_update(batch1, idx, n=8)
+    got = {
+        tuple(r)
+        for r in duplicate_substring_chains_incremental(
+            spark.read.parquet(idx), batch2, n=8, max_occ=64,
+            corpus_is_index=True,
+        ).collect()
+    }
+    ref = {
+        tuple(r)
+        for r in duplicate_substring_chains(docs, n=8, max_occ=64)
+        .join(batch2.select("doc_id"), "doc_id")
+        .collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
 def test_third_fold_agrees_across_spellings(spark):
     """Spark SQL, DuckDB SQL, and the numpy fold produce identical
     third-fold shingle arrays."""
