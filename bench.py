@@ -72,6 +72,10 @@ HEADLINE = [
     "substring_dedup_chains",
     "dedup_cdc_chunks",
     "ts_ewma_smooth",
+    # round-6: steady-state batch-vs-corpus substring dedup and
+    # asymmetric containment (quote/sub-document) dedup
+    "substring_dedup_incremental",
+    "dedup_containment",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be
@@ -310,35 +314,45 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
+    print(compact_line(full))
+
+
+def compact_line(full: dict) -> str:
+    """The <=1,900-char driver-facing summary of a full bench record
+    (unit-tested: tests/test_round6_plans.py)."""
 
     def _top5(q: dict[str, float]) -> dict[str, float]:
         return dict(sorted(q.items(), key=lambda kv: -kv[1])[:5])
 
+    timings = full["queries"]
+    scaled, scale100 = full.get("scaled"), full.get("scale100")
     compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
         "queries": timings,
         "n_queries": len(timings),
-        "streaming_e2e_sec": streaming_e2e,
-        "live_freshness_sec": live_freshness,
+        "streaming_e2e_sec": full.get("streaming_e2e_sec"),
+        "live_freshness_sec": full.get("live_freshness_sec"),
         "streaming_freshness_budget_sec": 120,
         "scaled_total_sec": scaled["total_sec"] if scaled else None,
         "scaled_superlinear": scaled["superlinear"] if scaled else None,
         "scale100_total_sec": scale100["total_sec"] if scale100 else None,
         "scale100_top5": _top5(scale100["queries"]) if scale100 else None,
         "ivfpq_lifecycle": scale100.get("ivfpq_lifecycle") if scale100 else None,
-        "sf": full["sf"],
+        "sf": full.get("sf"),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
     if len(line) > 1900:
         # Hard guarantee: never overflow the driver's tail capture —
-        # drop the widest sections, keep totals + pointers.
+        # shrink the widest sections, keep totals + pointers.
         compact["queries"] = _top5(timings)
         compact.pop("scale100_top5", None)
+        if compact.get("scaled_superlinear"):
+            compact["scaled_superlinear"] = _top5(compact["scaled_superlinear"])
         line = json.dumps(compact)
-    print(line)
+    return line
 
 
 def _ivfpq_lifecycle(spark, data_dir: str) -> dict | None:

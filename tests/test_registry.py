@@ -41,16 +41,27 @@ def test_oracled_query_schema_is_flat(spark, name):
 
 def test_never_driver_checked_enumerate_first():
     """The driver checks the first N enumerated queries each round;
-    ordering must surface never-green queries before already-green
-    ones, with oracled (strong check) ahead of rows-only (weak)."""
+    ordering must surface never-green and changed-this-round queries
+    before already-green ones, with oracled (strong check) ahead of
+    rows-only (weak). The recheck tiers (_LAST_RED,
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R6) are allowed ahead of
+    everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
+        _CHANGED_R6,
         _DRIVER_CHECKED,
+        _LAST_RED,
+        _ORACLE_NEEDS_FIRST_CHECK,
     )
 
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R6
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
     for n in names:
+        if n in recheck:
+            # recheck tiers may precede unchecked queries
+            assert not seen_checked, f"recheck {n} after settled-green queries"
+            continue
         if n in _DRIVER_CHECKED:
             seen_checked = True
             continue

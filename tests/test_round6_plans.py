@@ -75,6 +75,48 @@ def test_known_leaks_from_round5_are_gone():
 
 
 # ---------------------------------------------------------------
+# bench compact line (VERDICT r5 task 1): the driver's tail capture
+# holds ~2,000 chars; the final stdout line must stay under that for
+# every realistic and pathological record size.
+# ---------------------------------------------------------------
+
+
+def test_bench_compact_line_stays_under_driver_cap():
+    import json
+
+    from bench import HEADLINE, compact_line
+
+    # realistic: every headline query present at three scales with
+    # worst-case float widths
+    q = {name: 123.456 for name in HEADLINE}
+    full = {
+        "metric": "headline_queries_total",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": q,
+        "streaming_e2e_sec": 123.456,
+        "live_freshness_sec": 123.4,
+        "scaled": {"total_sec": 99999.999, "superlinear": {}, "queries": q},
+        "scale100": {
+            "total_sec": 99999.999,
+            "queries": q,
+            "ivfpq_lifecycle": {"build_sec": 12345.678, "serve_sec": 12345.678},
+        },
+        "sf": 0.1,
+    }
+    line = compact_line(full)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 9999.999 and parsed["n_queries"] == len(HEADLINE)
+
+    # pathological: a superlinear map naming half the registry still
+    # triggers the trim fallback rather than overflowing
+    full["scaled"]["superlinear"] = {f"very_long_query_name_{i}": 99.9 for i in range(40)}
+    line2 = compact_line(full)
+    assert len(line2) <= 1900 and json.loads(line2)["scale100_total_sec"] == 99999.999
+
+
+# ---------------------------------------------------------------
 # transformWithStateInPandas coverage (ADVICE r5, medium): the tws
 # spelling must not be auto-selected while untested; where protobuf
 # exists this test exercises it and checks agreement with legacy.

@@ -65,12 +65,15 @@ def main() -> None:
             out["timings"].setdefault(name, {})[label] = round(best, 3)
             out["rows"].setdefault(name, {})[label] = rows
             print(f"{label:6s} {name:32s} {best:7.3f}s rows={rows}", flush=True)
-        docs = load_table(spark, d, "documents")
-        acct = containment_accounting(
-            docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
-        )
-        out["containment_accounting"][label] = acct
-        print(f"{label:6s} containment accounting: {acct}", flush=True)
+        try:
+            docs = load_table(spark, d, "documents")
+            acct = containment_accounting(
+                docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
+            )
+            out["containment_accounting"][label] = acct
+            print(f"{label:6s} containment accounting: {acct}", flush=True)
+        except Exception as ex:  # a crashed accounting must not kill the sweep
+            print(f"{label:6s} containment accounting FAILED: {ex}", flush=True)
     print(json.dumps(out))
 
 
