@@ -75,6 +75,48 @@ def test_known_leaks_from_round5_are_gone():
 
 
 # ---------------------------------------------------------------
+# Plan-shape regression: SCALE.md claims the chain family runs in 4
+# keyed exchanges (fp seed window+group share one, diag window,
+# island window, summary group). Make the claim executable so a
+# future edit that sneaks in a 5th shuffle (e.g. splitting the seed
+# window from the collect_list group) fails loudly.
+# ---------------------------------------------------------------
+
+
+def _n_exchanges(df) -> int:
+    import re
+
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_chain_family_exchange_budget(spark):
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.curation import (
+        duplicate_substring_chains,
+        duplicate_substring_chains_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _n_exchanges(duplicate_substring_chains(docs, n=8, max_occ=64)) == 4
+    # incremental keeps the same budget: the union feeds the same fp
+    # window; no extra exchange for the batch flag
+    assert (
+        _n_exchanges(
+            duplicate_substring_chains_incremental(
+                docs.filter(F.col("doc_id") % 5 != 0),
+                docs.filter(F.col("doc_id") % 5 == 0),
+                n=8,
+                max_occ=64,
+            )
+        )
+        == 4
+    )
+
+
+# ---------------------------------------------------------------
 # bench compact line (VERDICT r5 task 1): the driver's tail capture
 # holds ~2,000 chars; the final stdout line must stay under that for
 # every realistic and pathological record size.
