@@ -76,6 +76,8 @@ HEADLINE = [
     # asymmetric containment (quote/sub-document) dedup
     "substring_dedup_incremental",
     "dedup_containment",
+    # round-7: steady-state batch-vs-corpus containment serve
+    "dedup_containment_incremental",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be
@@ -286,6 +288,14 @@ def main() -> None:
             # 90-bit position index once, serve a 20%-batch
             # incremental chain against it (steady-state ingest)
             "substring_lifecycle": _substring_lifecycle(spark, s100_dir),
+            # round 7: the containment family gets the same
+            # build-once/serve-per-batch split (frozen-rank index)
+            "containment_lifecycle": _containment_lifecycle(spark, s100_dir),
+            # round 7: candidate accounting for containment after the
+            # PPJoin+ positional + adaptive-prefix filters
+            "containment_accounting": _containment_accounting_safe(
+                spark, s100_dir
+            ),
         }
 
     total = round(sum(timings.values()), 3)
@@ -344,14 +354,29 @@ def compact_line(full: dict) -> str:
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
-    if len(line) > 1900:
-        # Hard guarantee: never overflow the driver's tail capture —
-        # shrink the widest sections, keep totals + pointers.
-        compact["queries"] = _top5(timings)
-        compact.pop("scale100_top5", None)
-        if compact.get("scaled_superlinear"):
-            compact["scaled_superlinear"] = _top5(compact["scaled_superlinear"])
+    # Hard guarantee: never overflow the driver's tail capture. Drop
+    # the widest sections one at a time, RE-CHECKING length after each
+    # (ADVICE r6: a single trim pass left the guarantee unenforced —
+    # an unusually wide residual record could still overflow), then as
+    # a last resort strip every optional key.
+    trims = [
+        lambda c: c.update(queries=_top5(timings)),
+        lambda c: c.pop("scale100_top5", None),
+        lambda c: c.update(
+            scaled_superlinear=_top5(c["scaled_superlinear"])
+        )
+        if c.get("scaled_superlinear")
+        else None,
+        lambda c: c.pop("ivfpq_lifecycle", None),
+        lambda c: c.pop("scaled_superlinear", None),
+        lambda c: c.pop("queries", None),
+    ]
+    for trim in trims:
+        if len(line) <= 1900:
+            break
+        trim(compact)
         line = json.dumps(compact)
+    assert len(line) <= 1900, f"compact bench line still {len(line)} chars"
     return line
 
 
@@ -439,6 +464,66 @@ def _substring_lifecycle(spark, data_dir: str) -> dict | None:
             return {"build_sec": round(build, 3), "serve_sec": round(serve, 3)}
         finally:
             shutil.rmtree(idx, ignore_errors=True)
+    except Exception:
+        return None
+
+
+def _containment_lifecycle(spark, data_dir: str) -> dict | None:
+    """Containment-dedup index build vs incremental serve, timed
+    SEPARATELY (mirrors _substring_lifecycle): build_sec persists the
+    frozen-rank token index for the 80% corpus once; serve_sec runs
+    the two batch-proportional probe directions of a 20% batch
+    against it (best-of-2) — the steady-state per-ingest cost, vs the
+    full self-run the dedup_containment headline row measures. None
+    on failure."""
+    import shutil
+    import tempfile
+
+    try:
+        from pyspark.sql import functions as F
+
+        from mlops_realtime_data_ingestion_spark.operators.dedup import (
+            containment_index_build,
+            containment_pairs_incremental,
+        )
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+        docs = load_table(spark, data_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        idx = tempfile.mkdtemp(prefix="cont_idx_bench_")
+        try:
+            t0 = time.perf_counter()
+            containment_index_build(corpus, idx, n=3)
+            build = time.perf_counter() - t0
+            serve = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                containment_pairs_incremental(
+                    idx, batch, n=3, threshold=0.6, corpus_is_index=True
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                serve = dt if serve is None else min(serve, dt)
+            return {"build_sec": round(build, 3), "serve_sec": round(serve, 3)}
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    except Exception:
+        return None
+
+
+def _containment_accounting_safe(spark, data_dir: str) -> dict | None:
+    """Candidates vs survivors for the round-7 containment filter
+    stack; None on failure (best-effort like the other accounting)."""
+    try:
+        from mlops_realtime_data_ingestion_spark.operators.dedup import (
+            containment_accounting,
+        )
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+        docs = load_table(spark, data_dir, "documents")
+        return containment_accounting(
+            docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
+        )
     except Exception:
         return None
 

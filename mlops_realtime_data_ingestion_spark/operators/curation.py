@@ -340,6 +340,7 @@ def duplicate_passage_spans(
     text_col: str = "text",
     n: int = 5,
     impl: str = "pandas",
+    count_mode: str = "window",
 ) -> DataFrame:
     """Exact duplicated-passage accounting per document.
 
@@ -356,17 +357,45 @@ def duplicate_passage_spans(
     bound the sort). Nothing quadratic: work tracks the number of
     duplicated positions, i.e. the duplication density, exactly like
     the suffix-array formulation.
+
+    ``count_mode`` picks the occurrence-counting spelling (results
+    identical by construction):
+
+    - ``"window"`` (default): ``count(*) OVER (PARTITION BY fp)`` —
+      ONE fp-keyed shuffle and the text scan + hash fold run exactly
+      once, but WindowExec buffers each fingerprint's rows in a
+      single partition, and AQE skew splitting does NOT apply to
+      windows — a 1e8-hot boilerplate fingerprint in a raw crawl
+      spills one task. Right default for post-exact-dedup corpora.
+    - ``"join"``: groupBy(fp).count (map-side partial aggregation
+      absorbs hot keys) + join-back of the small duplicated-fp set
+      (broadcast when small; AQE CAN skew-split a sort-merge
+      fallback). The position frame is computed twice (aggregate
+      side + probe side) — the price of skew immunity on raw crawls.
     """
+    if count_mode not in ("window", "join"):
+        raise ValueError(f"count_mode must be 'window' or 'join': {count_mode}")
     pos = _shingle_positions(df, id_col, text_col, n, impl).select(
         "id", "n_tokens", F.col("p").alias("s"), (F.col("p") + n - 1).alias("e"), "fp"
     )
-    # per-fingerprint occurrence count as a WINDOW over fp, not
-    # groupBy + join-back: one fp-keyed shuffle, the text scan + hash
-    # fold run exactly once, and no persist is needed (the old shape
-    # cached the corpus-sized position frame for the session)
-    dup = pos.withColumn(
-        "c", F.count("*").over(Window.partitionBy("fp"))
-    ).filter(F.col("c") >= 2)
+    if count_mode == "window":
+        # per-fingerprint occurrence count as a WINDOW over fp, not
+        # groupBy + join-back: one fp-keyed shuffle, the text scan +
+        # hash fold run exactly once, and no persist is needed (the
+        # old shape cached the corpus-sized position frame)
+        dup = pos.withColumn(
+            "c", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(F.col("c") >= 2)
+    else:
+        # skew-safe: partial agg flattens hot fps before the shuffle;
+        # only duplicated fps survive the filter, so the join-back
+        # side is small (inner join == the c >= 2 filter)
+        dup_fp = (
+            pos.groupBy("fp")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+        dup = pos.join(dup_fp, "fp")
     w = Window.partitionBy("id").orderBy(F.col("s").asc())
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = (
@@ -520,7 +549,18 @@ def substring_index_update(
     tokenization + one append write, never an index rewrite. (Spark's
     parquet append adds new files; periodic compaction of small files
     is the same maintenance the feature store's compact/rewrite path
-    provides.)"""
+    provides.)
+
+    EXACTLY-ONCE APPEND REQUIRED (ADVICE r6): this is a blind append
+    with no idempotency guard — a retried or repeated append of the
+    same batch leaves duplicate (id, p) rows, and the next
+    incremental run pairs each position with its own copy (d1 == d2,
+    diag 0), fabricating whole-doc duplicate spans for the
+    re-appended docs. Drive it from an exactly-once orchestration
+    (the engine's manifest StorageBackend publishes atomically), or
+    pass ``dedup_index=True`` to
+    :func:`duplicate_substring_chains_incremental` to pay one
+    (id, p) dropDuplicates shuffle per serve as the defense."""
     pos = _shingle_positions(batch, id_col, text_col, n, impl, wide=True)
     pos.repartition("fp", "fp3").write.mode("append").parquet(path)
 
@@ -535,6 +575,7 @@ def duplicate_substring_chains_incremental(
     impl: str = "pandas",
     corpus_is_index: bool = False,
     prefilter_index: bool = False,
+    dedup_index: bool = False,
 ) -> DataFrame:
     """Steady-state ingest spelling of exact substring dedup: per
     BATCH doc, the merged regions that duplicate anything in
@@ -553,12 +594,20 @@ def duplicate_substring_chains_incremental(
     on batch keys before the occurrence window — lossless, measured
     slower on dup-dense fixtures, the winning shape only when batch
     keys match a tiny index fraction (see the inline note).
+    ``dedup_index=True`` drops duplicate (id, p) index rows first —
+    the defense against a violated exactly-once append contract on
+    :func:`substring_index_update` (ADVICE r6: a re-appended batch
+    otherwise pairs each position with its own copy and fabricates
+    whole-doc duplicate spans); costs one index-wide shuffle per
+    serve, so exactly-once orchestration is the cheaper fix.
     """
     pos_c = (
         corpus
         if corpus_is_index
         else _shingle_positions(corpus, id_col, text_col, n, impl, wide=True)
     )
+    if dedup_index and corpus_is_index:
+        pos_c = pos_c.dropDuplicates(["id", "p"])
     pos_b = _shingle_positions(batch, id_col, text_col, n, impl, wide=True)
     if prefilter_index:
         # Only index postings whose key occurs in the batch can ever
@@ -843,6 +892,7 @@ def cdc_chunk_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     divisor: int = 16,
+    count_mode: str = "window",
 ) -> DataFrame:
     """Content-defined chunking dedup (the FastCDC/LBFS family applied
     to token streams): chunk boundaries are set by CONTENT — a cut
@@ -867,7 +917,19 @@ def cdc_chunk_dedup(
     duplicate_passage_spans shape) and one per-doc groupBy. Chunk
     rows ~ corpus_tokens / divisor; nothing is quadratic and nothing
     collects.
+
+    ``count_mode`` picks the occurrence-counting spelling, results
+    identical by construction (see duplicate_passage_spans for the
+    full trade): ``"window"`` (default) = one (fp, fp3) shuffle but
+    WindowExec buffers each fingerprint in one partition and AQE
+    cannot skew-split windows — a 1e8-hot boilerplate chunk in a raw
+    crawl spills one task; ``"join"`` = groupBy + join-back of the
+    small duplicated-fp set, skew-immune (map-side partial agg +
+    broadcast/AQE-splittable join) at the cost of running the
+    chunking projection twice.
     """
+    if count_mode not in ("window", "join"):
+        raise ValueError(f"count_mode must be 'window' or 'join': {count_mode}")
     src = df.filter(F.col(text_col).isNotNull())
     base = src.select(
         F.col(id_col).alias("id"),
@@ -910,9 +972,21 @@ def cdc_chunk_dedup(
             F.col("ch.clen").alias("clen"),
         )
     )
-    cnt = chunks.withColumn(
-        "c", F.count("*").over(Window.partitionBy("fp", "fp3"))
-    )
+    if count_mode == "window":
+        cnt = chunks.withColumn(
+            "c", F.count("*").over(Window.partitionBy("fp", "fp3"))
+        )
+    else:
+        dup_fp = (
+            chunks.groupBy("fp", "fp3")
+            .agg(F.count("*").alias("cc"))
+            .filter(F.col("cc") >= 2)
+        )
+        cnt = (
+            chunks.join(dup_fp, ["fp", "fp3"], "left")
+            .withColumn("c", F.coalesce("cc", F.lit(1)))
+            .drop("cc")
+        )
     return (
         cnt.groupBy("id", "n_tokens")
         .agg(

@@ -53,6 +53,8 @@ __all__ = [
     "simhash_pairs",
     "containment_pairs",
     "containment_accounting",
+    "containment_index_build",
+    "containment_pairs_incremental",
 ]
 
 
@@ -128,7 +130,10 @@ def _jaccard(a: str, b: str):
 
 
 def _prefix_candidates(
-    shingled: DataFrame, keys: list[str], threshold: float
+    shingled: DataFrame,
+    keys: list[str],
+    threshold: float,
+    cache_prefix: bool = True,
 ) -> DataFrame:
     """PPJoin prefix + positional + length filtering (Xiao et al.,
     WWW'08) within blocks — LOSSLESS. Prefix principle: if
@@ -177,19 +182,17 @@ def _prefix_candidates(
     # Persisted: the dfreq join + per-doc sort above is the expensive
     # subtree, and without the cache the self-join computes it twice
     # (no ReusedExchange — the two sides' plans differ).
-    ptok = (
-        ordered.withColumn(
-            "plen",
-            (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
-        )
-        .select(
-            "id",
-            *keys,
-            "sz",
-            F.posexplode(F.expr("slice(shf, 1, plen)")).alias("pa", "t"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ptok = ordered.withColumn(
+        "plen",
+        (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+    ).select(
+        "id",
+        *keys,
+        "sz",
+        F.posexplode(F.expr("slice(shf, 1, plen)")).alias("pa", "t"),
     )
+    if cache_prefix:
+        ptok = ptok.persist(StorageLevel.MEMORY_AND_DISK)
     rtok = ptok.select(
         F.col("id").alias("id2"),
         *keys,
@@ -217,11 +220,14 @@ def _prefix_candidates(
 
 
 def _prefix_pairs(
-    src: DataFrame, keys: list[str], threshold: float
+    src: DataFrame,
+    keys: list[str],
+    threshold: float,
+    cache_prefix: bool = True,
 ) -> DataFrame:
     """Candidate pairs via prefix filtering, re-joined to their
     shingle arrays for verification."""
-    cand = _prefix_candidates(src, keys, threshold)
+    cand = _prefix_candidates(src, keys, threshold, cache_prefix)
     lhs = src.select(F.col("id").alias("a"), "sh")
     rhs = src.select(F.col("id").alias("b"), F.col("sh").alias("sh2"))
     return (
@@ -242,6 +248,7 @@ def ngram_jaccard_pairs(
     length_col: str = "n_chars",
     prefix_filter: bool = True,
     block_cap: int = 256,
+    cache_prefix: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over blocked candidate pairs.
 
@@ -264,7 +271,7 @@ def ngram_jaccard_pairs(
     """
     pairs = _candidate_pair_frame(
         df, id_col, text_col, n, threshold, block_cols,
-        length_band, length_col, prefix_filter, block_cap,
+        length_band, length_col, prefix_filter, block_cap, cache_prefix,
     )
     return (
         pairs.withColumn("jaccard", _jaccard("sh", "sh2"))
@@ -288,6 +295,7 @@ def _candidate_pair_frame(
     length_col: str,
     prefix_filter: bool,
     block_cap: int,
+    cache_prefix: bool = True,
 ) -> DataFrame:
     """Pre-verification candidate pairs with both shingle arrays
     attached — shared by ``ngram_jaccard_pairs`` (verify + emit) and
@@ -356,14 +364,17 @@ def _candidate_pair_frame(
                 ),
             )
             pairs = direct_pairs(shingled.filter(~is_big)).unionByName(
-                _prefix_pairs(shingled.filter(is_big), keys, threshold)
+                _prefix_pairs(
+                    shingled.filter(is_big), keys, threshold, cache_prefix
+                )
             )
         else:
             pairs = direct_pairs(
                 shingled.join(big, list(keys), "left_anti")
             ).unionByName(
                 _prefix_pairs(
-                    shingled.join(big, list(keys), "left_semi"), keys, threshold
+                    shingled.join(big, list(keys), "left_semi"), keys,
+                    threshold, cache_prefix,
                 )
             )
     else:
@@ -859,6 +870,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    prefix_extension: int = 2,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT dedup: pairs (a, b) where at
     least ``threshold`` of a's distinct word-n-gram shingles also
@@ -873,26 +885,43 @@ def containment_pairs(
     against the full inverted index is lossless — and rare probes hit
     few index postings, which is what bounds candidates at corpus
     scale (same family as the PPJoin filter in ngram_jaccard_pairs,
-    one-sided because containment is one-sided). Verification is an
-    exact array_intersect on the two (already distinct) shingle
-    arrays, joined per candidate pair.
+    one-sided because containment is one-sided). Round 7 adds the
+    PPJoin+ POSITIONAL filters (see ``_containment_frames``): both
+    join sides carry each token's rank in the shared global
+    (frequency, token) order, and per-row prunes on those ranks —
+    first-common-token window on b plus the positional overlap upper
+    bound — drop candidate rows that provably cannot reach
+    ``ceil(t*|a|)`` overlap, before the distinct and the two
+    array-carrying verification joins. Verification is an exact
+    array_intersect on the two (already distinct) shingle arrays,
+    joined per candidate pair.
 
     Shuffles: shingle index build + frequency join + probe join +
     two verification joins, all on keys; no all-pairs path at any
-    block size.
+    block size. The index side now reads the ranked-token frame
+    (frequency join + per-doc window) instead of the raw token
+    frame; the exchange feeding the rank window is shared with the
+    probe side and deduplicated by exchange reuse.
 
     Cache contract: nothing is persisted. ``shingled`` is consumed
-    three times within the ONE plan this function returns, but it is
-    a stateless codegen projection (split -> shingle -> hash) whose
-    recompute costs scans, not shuffles — and the shuffles downstream
-    of it are deduplicated by Spark's exchange reuse at execution
-    time. Round 5 persisted it MEMORY_AND_DISK with no unpersist,
-    which accumulated a corpus-sized cache per registry invocation
-    for the life of the session (ADVICE r5); an in-function eager
-    unpersist is no better, as it would shift the work into plan
-    construction and out of any caller's measurement window.
+    four times within the ONE plan this function returns (probe-side
+    ranks, index-side ranks, two verification sides), but it is a
+    stateless Arrow projection (split -> shingle -> hash) whose
+    recompute costs scans, not shuffles. (Round 6 claimed Spark's
+    exchange reuse deduplicates the downstream shuffles; round 7
+    could NOT observe ReusedExchange in Spark 4.1 adaptive plans, so
+    the honest justification is the measurement: 17.5 s at the 100x
+    checkpoint WITH the recompute, 2.5x faster than round 6's
+    partially-cached shape.) Round 5 persisted it MEMORY_AND_DISK
+    with no unpersist, which accumulated a corpus-sized cache per
+    registry invocation for the life of the session (ADVICE r5); an
+    in-function eager unpersist is no better, as it would shift the
+    work into plan construction and out of any caller's measurement
+    window.
     """
-    _, verified = _containment_frames(df, id_col, text_col, n, threshold)
+    _, verified = _containment_frames(
+        df, id_col, text_col, n, threshold, prefix_extension
+    )
     return verified.select(
         F.col("a").alias("doc_id_a"),
         F.col("b").alias("doc_id_b"),
@@ -908,12 +937,27 @@ def containment_accounting(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    prefix_extension: int = 2,
 ) -> dict:
     """Candidates (post rare-prefix probe, pre verification) vs
     survivors for :func:`containment_pairs` — the number SCALE.md
-    tracks so candidate-set growth can be measured, not argued."""
-    cand, verified = _containment_frames(df, id_col, text_col, n, threshold)
-    return {"candidates": cand.count(), "survivors": verified.count()}
+    tracks so candidate-set growth can be measured, not argued.
+
+    ``cand`` is persisted for the duration of this accounting-only
+    call (and unpersisted before returning): ``verified`` recomputes
+    the whole candidate subtree otherwise — Spark's CacheManager
+    substitutes the cached subtree into verified's plan — so both
+    counts cost ONE candidate-generation pass instead of two
+    (ADVICE r6).
+    """
+    cand, verified = _containment_frames(
+        df, id_col, text_col, n, threshold, prefix_extension
+    )
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return {"candidates": cand.count(), "survivors": verified.count()}
+    finally:
+        cand.unpersist()
 
 
 def _containment_frames(
@@ -922,6 +966,7 @@ def _containment_frames(
     text_col: str,
     n: int,
     threshold: float,
+    prefix_extension: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, verified pairs) shared by containment_pairs
     and containment_accounting."""
@@ -929,41 +974,152 @@ def _containment_frames(
         with_shingle_hashes(df, id_col, text_col, n)
         .filter(F.size("sh") > 0)
     )
+    freq, ranked = _ranked_tokens(shingled)
+    # a's MINIMAL prefix bound is exactly P = |a| - R + 1 where
+    # R = ceil(t*|a|) (floor((1-t)*sz)+1 == sz - ceil(t*sz) + 1): the
+    # deepest rank the FIRST common token c1 (minimum shared token in
+    # the global order) can sit at when >= R tokens are shared. The
+    # ADAPTIVE extension probes d extra prefix tokens and demands
+    # min(1+d, R) shared prefix tokens per pair instead of 1
+    # (pigeonhole: common tokens outside a's first min(P+d, |a|)
+    # ranks number <= |a| - P - d = R - 1 - d, so common tokens
+    # INSIDE it number >= R - (R-1-d) = 1+d, clamped by R for tiny
+    # docs) — random single-collision pairs, the bulk of all
+    # candidates, die in the count filter instead of reaching
+    # verification, for a probe-row increase of only d rows per doc.
+    d = int(prefix_extension)
+    probes = _containment_probes(ranked, threshold, d)
+    index = ranked.select(
+        F.col("id").alias("b"),
+        F.col("sz").alias("szb"),
+        F.col("rk").alias("rkb"),
+        "t",
+    )
+    cand = _containment_candidates(probes, index, threshold, d)
+    verified = _containment_verify(cand, shingled, threshold)
+    return cand, verified
+
+
+def _ranked_tokens(
+    shingled: DataFrame, extra: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """(freq, ranked): the exploded token frame joined with global
+    doc-frequencies and ranked per doc; ``extra`` columns (per-doc
+    markers) ride along untouched.
+
+    (df_t asc, t asc) is a GLOBAL total order over tokens (df_t is a
+    property of t alone), so every doc's shingles are ranked by the
+    same ordering — the precondition for the positional filters.
+
+    Merge hint on the frequency join (and on every other internal
+    containment join): Catalyst's size estimate for a post-explode
+    frame is the PRE-explode scan size, so the static planner happily
+    broadcasts the full token index / the candidate set — which at
+    the 100x checkpoint overflows the driver build (observed) and at
+    100 TB is nonsense. None of these frames is a small dim at scale;
+    shuffle joins are the only plan that survives, and AQE still
+    skew-splits them.
+    """
     tok = shingled.select(
-        "id", F.size("sh").alias("sz"), F.explode("sh").alias("t")
+        "id", *extra, F.size("sh").alias("sz"), F.explode("sh").alias("t")
     )
     freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
     w = Window.partitionBy("id").orderBy(F.col("df_t").asc(), F.col("t").asc())
     ranked = (
-        tok.join(freq, "t")
+        tok.join(freq.hint("merge"), "t")
         .withColumn("rk", F.row_number().over(w))
     )
-    probes = ranked.filter(
-        F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1
-    ).select(F.col("id").alias("a"), F.col("sz").alias("sza"), "t")
-    # SIZE filter at probe-join time — lossless: overlap <= |b| and
-    # containment >= t needs overlap >= t*|a|, so |b| < ceil(t*|a|)
-    # can never verify. Kills candidates before the distinct and the
-    # two array-carrying verification joins.
-    cand = (
-        probes.join(
-            tok.select(F.col("id").alias("b"), F.col("sz").alias("szb"), "t"),
-            "t",
+    return freq, ranked
+
+
+def _containment_probes(ranked: DataFrame, threshold: float, d: int) -> DataFrame:
+    """a-side probe rows: each doc's first P + d ranks under the
+    shared global token order (P = |a| - ceil(t*|a|) + 1, the minimal
+    lossless prefix)."""
+    return ranked.filter(
+        F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1 + d
+    ).select(
+        F.col("id").alias("a"),
+        F.col("sz").alias("sza"),
+        F.col("rk").alias("rka"),
+        "t",
+    )
+
+
+def _containment_candidates(
+    probes: DataFrame, index: DataFrame, threshold: float, d: int
+) -> DataFrame:
+    """Candidate (a, b) pairs from a probe-rows x index-postings join.
+
+    R = ceil(t*|a|), the overlap a verifying pair MUST reach; a
+    verifying pair must produce at least ``need`` = min(1+d, R)
+    surviving probe rows. Lossless per-row prunes (PPJoin+ family,
+    one-sided because containment is one-sided) — each is valid for
+    the j-th smallest common token, j <= need:
+
+    1. SIZE: overlap <= |b|, so |b| < R can never verify.
+    2. B-PREFIX (j-th-common-token window): the j-th smallest common
+       token c_j has >= R - j + 1 shared tokens at-or-after it in b's
+       ranking, so rk_b(c_j) <= |b| - R + j <= |b| - R + need.
+    3. POSITIONAL UBOUND: for ANY shared token t, common tokens split
+       into those before t in BOTH rankings (<= min(rk_a, rk_b)-1,
+       same global order) and those at/after
+       (<= 1 + min(|a|-rk_a, |b|-rk_b)), so the sum bounds the
+       overlap; rows whose bound < R cannot belong to a verifying
+       pair.
+
+    Correctness requires only that probe and index ranks come from
+    the SAME total order over tokens — the frequency-ascending choice
+    is the performance heuristic (short posting lists), not a
+    correctness condition (the incremental serve path leans on this:
+    it ranks batch docs under the index's FROZEN build-time order).
+    """
+    req = F.ceil(F.lit(threshold) * F.col("sza"))
+    need = F.least(F.lit(1 + d).cast("long"), req)
+    ubound = (
+        F.least(F.col("rka"), F.col("rkb"))
+        + F.least(
+            F.col("sza") - F.col("rka"), F.col("szb") - F.col("rkb")
         )
+    )
+    return (
+        probes.join(index.hint("merge"), "t")
         .filter(
             (F.col("a") != F.col("b"))
-            & (F.col("szb") >= F.ceil(F.lit(threshold) * F.col("sza")))
+            & (F.col("szb") >= req)
+            & (F.col("rkb") <= F.col("szb") - req + need)
+            & (ubound >= req)
+        )
+        # same shuffle the old .distinct() paid, but the count filter
+        # rides it for free: pairs with fewer than `need` shared
+        # extended-prefix tokens provably cannot verify
+        .groupBy("a", "sza", "b")
+        .agg(F.count("*").alias("m"))
+        .filter(
+            F.col("m")
+            >= F.least(
+                F.lit(1 + d).cast("long"),
+                F.ceil(F.lit(threshold) * F.col("sza")),
+            )
         )
         .select("a", "b")
-        .distinct()
     )
-    verified = (
+
+
+def _containment_verify(
+    cand: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact verification: array_intersect on the two distinct shingle
+    arrays per candidate pair."""
+    return (
         cand.join(
-            shingled.select(F.col("id").alias("a"), F.col("sh").alias("sha")),
+            shingled.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+            .hint("merge"),
             "a",
         )
         .join(
-            shingled.select(F.col("id").alias("b"), F.col("sh").alias("shb")),
+            shingled.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+            .hint("merge"),
             "b",
         )
         .withColumn("overlap", F.size(F.array_intersect("sha", "shb")).cast("long"))
@@ -974,4 +1130,148 @@ def _containment_frames(
         )
         .filter(F.col("containment") >= threshold)
     )
-    return cand, verified
+
+
+def containment_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Persist the corpus containment-dedup index (mirrors
+    substring_index_build): three parquet frames under ``path`` —
+
+    - ``ranked``  (id, sz, t, rk): every corpus token with its rank in
+      the (df_t, t) order AT BUILD TIME, written repartitioned by t so
+      a serve's probe join reads co-located postings;
+    - ``freq``    (t, df_t): the build-time doc-frequency table, used
+      to rank BATCH docs under the same frozen order;
+    - ``shingles`` (id, sh): the distinct shingle arrays for exact
+      verification.
+
+    Built once by a scheduled job at steady state;
+    :func:`containment_pairs_incremental` serves batches against it
+    without re-shingling or re-ranking the corpus. The frozen order
+    is a correctness-safe snapshot (any shared total order works —
+    see _containment_candidates); drift from the true frequencies
+    only lengthens posting lists, so rebuild on the same cadence as
+    other index compaction."""
+    spark = df.sparkSession
+    shingled = (
+        with_shingle_hashes(df, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
+    )
+    # write shingles first, re-read, and derive tokens from the
+    # parquet so the text is shingled exactly once for all three
+    # artifacts
+    shingled.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh = spark.read.parquet(f"{path}/shingles")
+    freq, ranked = _ranked_tokens(sh)
+    ranked.select("id", "sz", "t", "rk").repartition("t").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/ranked")
+    freq.write.mode("overwrite").parquet(f"{path}/freq")
+
+
+def containment_pairs_incremental(
+    corpus,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    prefix_extension: int = 2,
+    corpus_is_index: bool = False,
+) -> DataFrame:
+    """Steady-state ingest spelling of containment dedup: all pairs of
+    :func:`containment_pairs` over corpus-union-batch where a or b is
+    a BATCH doc — exactly the full self-run restricted to
+    batch-touching pairs (corpus-corpus pairs are the ones already
+    reported when the corpus was ingested). Doc ids must be disjoint
+    across corpus and batch.
+
+    Two probe directions, disjoint by construction (no double
+    counting in the per-pair filters): batch docs as ``a`` probed
+    against corpus+batch postings, and corpus docs as ``a`` probed
+    against batch postings only — both batch-proportional on the
+    probe side, never a corpus-corpus join.
+
+    ``corpus_is_index=True`` treats ``corpus`` as the PATH of a
+    :func:`containment_index_build` index: corpus ranks, frequencies,
+    and shingle arrays come from parquet and the corpus text is never
+    re-shingled; batch docs are ranked under the index's frozen
+    build-time token order (df_t of unseen tokens = 0), which keeps
+    probe and index ranks in ONE shared total order — the only
+    correctness requirement of the candidate filters — so the output
+    still equals the full-run restriction exactly (verification is
+    exact either way).
+    """
+    d = int(prefix_extension)
+    sh_b = (
+        with_shingle_hashes(batch, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
+    )
+    if corpus_is_index:
+        spark = batch.sparkSession
+        ranked_c = spark.read.parquet(f"{corpus}/ranked")
+        freq_c = spark.read.parquet(f"{corpus}/freq")
+        sh_c = spark.read.parquet(f"{corpus}/shingles")
+        tok_b = sh_b.select(
+            "id", F.size("sh").alias("sz"), F.explode("sh").alias("t")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("df_t").asc(), F.col("t").asc()
+        )
+        ranked_b = (
+            tok_b.join(freq_c, "t", "left")
+            .withColumn("df_t", F.coalesce("df_t", F.lit(0)))
+            .withColumn("rk", F.row_number().over(w))
+            .select("id", "sz", "t", "rk")
+        )
+    else:
+        sh_c = (
+            with_shingle_hashes(corpus, id_col, text_col, n)
+            .filter(F.size("sh") > 0)
+        )
+        # union-wide frequencies: identical ranks to the full run; a
+        # rider marker splits the ranked frame back without id joins
+        sh_u = sh_c.withColumn("is_b", F.lit(0)).unionByName(
+            sh_b.withColumn("is_b", F.lit(1))
+        )
+        _, ranked_u = _ranked_tokens(sh_u, extra=("is_b",))
+        ranked_b = ranked_u.filter(F.col("is_b") == 1).drop("is_b")
+        ranked_c = ranked_u.filter(F.col("is_b") == 0).drop("is_b")
+    as_index = lambda r: r.select(  # noqa: E731
+        F.col("id").alias("b"),
+        F.col("sz").alias("szb"),
+        F.col("rk").alias("rkb"),
+        "t",
+    )
+    ranked_all = ranked_c.select("id", "sz", "t", "rk").unionByName(
+        ranked_b.select("id", "sz", "t", "rk")
+    )
+    cand = _containment_candidates(
+        _containment_probes(ranked_b, threshold, d),
+        as_index(ranked_all),
+        threshold,
+        d,
+    ).unionByName(
+        _containment_candidates(
+            _containment_probes(ranked_c, threshold, d),
+            as_index(ranked_b),
+            threshold,
+            d,
+        )
+    )
+    verified = _containment_verify(
+        cand, sh_c.select("id", "sh").unionByName(sh_b.select("id", "sh")),
+        threshold,
+    )
+    return verified.select(
+        F.col("a").alias("doc_id_a"),
+        F.col("b").alias("doc_id_b"),
+        "overlap",
+        "size_a",
+        F.round("containment", 6).alias("containment"),
+    )

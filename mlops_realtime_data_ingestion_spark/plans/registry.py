@@ -143,50 +143,89 @@ _R5_CHECKED = frozenset({
 # wf_cumulative_distinct_users, re-verified green in r5).
 _LAST_RED = frozenset()
 
-# Queries whose last driver check was the WEAK rows-only/no-oracle
-# path but which have since gained a full SQL oracle. Their oracle has
-# never been through the driver's hash compare, so they rank with the
-# red tier (0) rather than counting as green — otherwise they
-# enumerate at the back and never re-enter the 50-query sample
-# (s1_http_poll_ingest sat at position 115/182 through round 5 while
-# its round-5 VALUES-replay oracle went unverified; VERDICT r5 #2).
-_ORACLE_NEEDS_FIRST_CHECK = frozenset({
-    "s1_http_poll_ingest",
+# Queries with a green hash-match row in CORRECTNESS_r06.json (all 50
+# of round 6's driver sample were green, including the first-ever
+# hash check of s1_http_poll_ingest and all 8 round-6-changed
+# queries).
+_R6_CHECKED = frozenset({
+    "a6_minute_bucket", "a7_minmax_span", "a8_ordered_gather",
+    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_percentiles",
+    "agg_pivot", "agg_rollup", "agg_unpivot",
+    "asof_join_cogrouped_purchase", "asof_join_last_purchase",
+    "dedup_cdc_chunks", "dedup_containment", "dq_orders_report",
+    "dsir_select_en", "f1_epoch_roundtrip", "f4_base64_json",
+    "f5_json_encode_size", "f6_json_extract", "f7_f8_scalar_math",
+    "flagship_tx_window_1min", "forecast_backtest_rmse_wql",
+    "forecast_seasonal_naive", "j2_positional_zip",
+    "join_3way_brand_nation", "join_anti_no_big_orders",
+    "join_left_order_counts", "join_orders_customer_segment",
+    "join_salted_skew", "join_semi_big_spenders", "o2_topk_orders",
+    "p1_dedup_keep_first", "passages_sliding_window",
+    "range_join_attribution", "s10_latest_per_key",
+    "s1_http_poll_ingest", "session_window_agg", "set_ops_user_cohorts",
+    "sliding_window_agg", "substring_dedup_chains",
+    "substring_dedup_incremental", "substring_span_rows",
+    "substring_strip_text", "tpch_q1_pricing_summary", "ts_anomaly_mad",
+    "w1_train_test_split", "w2_expanding_validation_windows",
+    "w4_forecast_index", "wf_rank_lag_lead",
 })
 
-# Queries whose Spark implementation AND/OR oracle changed in round 6
-# (90-bit chain fingerprints, CDC fp widening, sliding-passage tail
-# clamp, MAD NULL filtering, persist-removal restructures). Their old
-# green rows no longer certify the current code, so they re-rank just
-# behind the red tier to guarantee re-verification in the next
-# driver sample.
-_CHANGED_R6 = frozenset({
-    "substring_dedup_chains", "substring_span_rows",
-    "substring_strip_text", "dedup_cdc_chunks",
-    "passages_sliding_window", "ts_anomaly_mad",
-    "dsir_select_en", "dedup_containment",
+# Queries whose last driver check was the WEAK rows-only/no-oracle
+# path but which have since gained a full SQL oracle (ranked with the
+# red tier so the new oracle gets its first hash check). Round 6's
+# sole entry, s1_http_poll_ingest, hash-verified green in r6 and
+# moved to _R6_CHECKED; the tier is currently empty.
+_ORACLE_NEEDS_FIRST_CHECK = frozenset()
+
+# Queries whose Spark implementation AND/OR oracle changed in round 7
+# (containment PPJoin+ positional filter + forced shuffle joins,
+# count_mode parameter threaded through CDC / passage spans, the
+# containment incremental lifecycle, substring-index append
+# idempotency guard). Their old green rows no longer certify the
+# current code, so they re-rank just behind the red tier to guarantee
+# re-verification in the next driver sample. streaming_record_highs
+# is here per ADVICE r6: its api='auto' resolution changed to
+# legacy-always in round 6 but it missed the _CHANGED_R6 tier, so its
+# r5 green row may have certified the other code path.
+_CHANGED_R7 = frozenset({
+    "dedup_containment", "dedup_cdc_chunks", "passage_dedup_spans",
+    "passages_sliding_window", "substring_dedup_incremental",
+    "streaming_record_highs",
 })
 
 _DRIVER_CHECKED = (
     _R1_CHECKED | _R2_CHECKED | _R3_CHECKED | _R4_CHECKED | _R5_CHECKED
+    | _R6_CHECKED
 ) - _LAST_RED - _ORACLE_NEEDS_FIRST_CHECK
+
+# Green in BOTH of the two most recent rounds and unchanged since —
+# the most-settled rows, enumerated dead last so driver samples spread
+# to the least-recently-checked queries first (VERDICT r6 task 3).
+_RECENTLY_DOUBLE_CHECKED = (
+    (_R5_CHECKED & _R6_CHECKED) - _CHANGED_R7 - _LAST_RED
+)
 
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then never-driver-green oracled
-    queries, then never-checked rows-only queries (their driver check
-    is weaker), then everything with a green driver row already.
-    Within the oracled groups, flat-schema guarantees hold for every
-    oracled query (see tests/test_registry.py) so the driver's pandas
-    canonicalizer can hash each one."""
+    re-verified by the driver), then round-7-changed queries (their
+    old green rows certify stale code), then never-driver-green
+    oracled queries, then never-checked rows-only queries (their
+    driver check is weaker), then queries with a green driver row,
+    with the green-in-both-r5-and-r6 rows dead last so the sample
+    spreads to the least-recently-checked. Within the oracled groups,
+    flat-schema guarantees hold for every oracled query (see
+    tests/test_registry.py) so the driver's pandas canonicalizer can
+    hash each one."""
 
     def rank(item: tuple[str, QuerySpec]) -> int:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return 0
-        if name in _CHANGED_R6:
+        if name in _CHANGED_R7:
             return 1
+        if name in _RECENTLY_DOUBLE_CHECKED:
+            return 5
         if name in _DRIVER_CHECKED:
             return 4
         if spec.oracle is None:

@@ -844,6 +844,37 @@ SPECS["dedup_containment"] = QuerySpec(
 )
 
 
+def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest spelling of containment dedup: pairs of
+    the full self-run where a or b is a BATCH doc (doc_id % 5 == 0),
+    probed batch-proportionally in both directions — corpus-corpus
+    pairs never join. The production path serves from a persisted
+    containment_index_build index (frozen-rank parquet) instead of
+    re-shingling the corpus; both spellings are output-identical
+    (tests/test_round7_plans.py)."""
+    from ..operators.dedup import containment_pairs_incremental
+
+    docs = _docs(spark, sf_dir)
+    return containment_pairs_incremental(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=_CONTAIN_T,
+    )
+
+
+CONTAINMENT_INCREMENTAL_ORACLE = CONTAINMENT_ORACLE.rstrip() + """
+  AND (da % 5 = 0 OR db % 5 = 0)
+"""
+
+SPECS["dedup_containment_incremental"] = QuerySpec(
+    dedup_containment_incremental, CONTAINMENT_INCREMENTAL_ORACLE,
+    "batch-vs-corpus containment pairs, full-run-restricted-to-batch",
+)
+
+
 # ---------- temperature mixture sampling (round 5) ----------
 
 _DUCK_ID_HASH4 = (

@@ -51,7 +51,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g default: local[32] means 32 executor threads share ONE
+        # JVM heap — 8g left sort/window-heavy stages at ~256 MB per
+        # thread and the 100x containment sweep hit GCLocker
+        # allocation failures; the target box has 128 GiB (on a real
+        # cluster this knob is per-executor and sized with the
+        # partition-bytes budget instead).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The driver's testdata stores events.ts as TIMESTAMP(NANOS),

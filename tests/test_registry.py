@@ -43,27 +43,37 @@ def test_never_driver_checked_enumerate_first():
     """The driver checks the first N enumerated queries each round;
     ordering must surface never-green and changed-this-round queries
     before already-green ones, with oracled (strong check) ahead of
-    rows-only (weak). The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R6) are allowed ahead of
+    rows-only (weak), and green-in-both-of-the-last-two-rounds rows
+    dead last. The recheck tiers (_LAST_RED,
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R7) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R6,
+        _CHANGED_R7,
         _DRIVER_CHECKED,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
+        _RECENTLY_DOUBLE_CHECKED,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R6
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R7
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
+    seen_double = False
     for n in names:
         if n in recheck:
             # recheck tiers may precede unchecked queries
             assert not seen_checked, f"recheck {n} after settled-green queries"
             continue
+        if n in _RECENTLY_DOUBLE_CHECKED:
+            seen_double = True
+            seen_checked = True
+            continue
         if n in _DRIVER_CHECKED:
             seen_checked = True
+            assert not seen_double, (
+                f"single-checked {n} ranked after double-checked queries"
+            )
             continue
         # an unchecked query after any checked one breaks the contract
         assert not seen_checked, f"unchecked {n} ranked after checked queries"
@@ -73,3 +83,19 @@ def test_never_driver_checked_enumerate_first():
             assert not seen_rows_only, (
                 f"oracled unchecked {n} ranked after rows-only unchecked"
             )
+
+
+def test_round7_sample_spreads_to_least_recently_checked():
+    """VERDICT r6 task 3 acceptance: the next 50-query driver sample
+    must contain no query already green in BOTH r5 and r6 unless it
+    changed in r7."""
+    from mlops_realtime_data_ingestion_spark.plans.registry import (
+        _CHANGED_R7,
+        _RECENTLY_DOUBLE_CHECKED,
+        all_specs,
+    )
+
+    sample = list(all_specs())[:50]
+    stale = [n for n in sample if n in _RECENTLY_DOUBLE_CHECKED]
+    assert not stale, f"double-checked unchanged queries in sample: {stale}"
+    assert _RECENTLY_DOUBLE_CHECKED.isdisjoint(_CHANGED_R7)

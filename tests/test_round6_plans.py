@@ -157,6 +157,18 @@ def test_bench_compact_line_stays_under_driver_cap():
     line2 = compact_line(full)
     assert len(line2) <= 1900 and json.loads(line2)["scale100_total_sec"] == 99999.999
 
+    # adversarial (ADVICE r6): absurdly wide names everywhere — the
+    # re-checking trim loop must STILL land under the cap, shedding
+    # optional sections until it fits
+    wide = {("q" * 120) + str(i): 99999.999 for i in range(60)}
+    full["queries"] = wide
+    full["scaled"] = {"total_sec": 9.9, "superlinear": dict(wide), "queries": wide}
+    full["scale100"] = {"total_sec": 9.9, "queries": dict(wide)}
+    line3 = compact_line(full)
+    assert len(line3) <= 1900
+    parsed3 = json.loads(line3)
+    assert parsed3["value"] == 9999.999 and parsed3["detail"] == "BENCH_DETAIL.json"
+
 
 # ---------------------------------------------------------------
 # transformWithStateInPandas coverage (ADVICE r5, medium): the tws

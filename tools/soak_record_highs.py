@@ -68,6 +68,10 @@ def gen_rows(n_batches: int, rows_per_batch: int, n_users: int = 200):
 
 
 def run_stream(spark, src_dir: str, ckpt: str, sink: str, n_files: int):
+    """Drain src_dir through record_high_tracker one file per
+    micro-batch; asserts exactly n_files data batches fired (ADVICE
+    r6: the parameter used to be declared and ignored) and returns
+    their progress records."""
     from mlops_realtime_data_ingestion_spark.streaming.stateful import (
         record_high_tracker,
     )
@@ -98,6 +102,10 @@ def run_stream(spark, src_dir: str, ckpt: str, sink: str, n_files: int):
         for p in (json.loads(str(j.json)) for j in q.recentProgress)
         if p.get("numInputRows", 0) > 0
     ]
+    assert len(progresses) == n_files, (
+        f"{sink}: expected {n_files} one-file micro-batches, "
+        f"saw {len(progresses)}"
+    )
     return progresses
 
 
@@ -151,21 +159,29 @@ def main() -> None:
         }
 
         # replay determinism: fresh checkpoint + sink over the same files
-        run_stream(spark, src, os.path.join(root, "ckpt2"), "rh_soak2", n_batches)
+        prog2 = run_stream(
+            spark, src, os.path.join(root, "ckpt2"), "rh_soak2", n_batches
+        )
         got2 = {
             (r["user_id"], r["event_id"], r["record_rank"])
             for r in spark.sql("SELECT * FROM rh_soak2").collect()
         }
 
-        batch_sec = [
-            round(p["durationMs"]["triggerExecution"] / 1000.0, 2) for p in prog
-        ]
+        def _secs(p):
+            return [
+                round(x["durationMs"]["triggerExecution"] / 1000.0, 2) for x in p
+            ]
+
+        # latency flatness (soak claim b) is reported for BOTH runs —
+        # ADVICE r6: the replay run's progress used to be discarded
+        batch_sec, batch_sec_replay = _secs(prog), _secs(prog2)
         print(
             json.dumps(
                 {
                     "batches": len(batch_sec),
                     "rows": len(all_rows),
                     "batch_sec": batch_sec,
+                    "batch_sec_replay": batch_sec_replay,
                     "records": len(got),
                     "oracle_match": got == oracle,
                     "replay_match": got == got2,
