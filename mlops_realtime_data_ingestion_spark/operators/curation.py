@@ -389,13 +389,20 @@ def duplicate_passage_spans(
     else:
         # skew-safe: partial agg flattens hot fps before the shuffle;
         # only duplicated fps survive the filter, so the join-back
-        # side is small (inner join == the c >= 2 filter)
+        # side is usually small (inner join == the c >= 2 filter).
+        # merge hint: Catalyst sizes this post-explode aggregate at
+        # the pre-explode scan, so the static planner broadcasts it
+        # regardless of its true size — on a dup-dense 100 TB crawl
+        # the duplicated-fp set is billions of rows and that build
+        # OOMs (the containment family hit exactly this, SCALE.md
+        # round-7); the sort-merge spelling survives any size and
+        # AQE still skew-splits it.
         dup_fp = (
             pos.groupBy("fp")
             .agg(F.count("*").alias("c"))
             .filter(F.col("c") >= 2)
         )
-        dup = pos.join(dup_fp, "fp")
+        dup = pos.join(dup_fp.hint("merge"), "fp")
     w = Window.partitionBy("id").orderBy(F.col("s").asc())
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = (
@@ -977,13 +984,16 @@ def cdc_chunk_dedup(
             "c", F.count("*").over(Window.partitionBy("fp", "fp3"))
         )
     else:
+        # merge hint for the same reason as duplicate_passage_spans:
+        # the post-explode size estimate would statically broadcast
+        # the duplicated-fp set whatever its true size
         dup_fp = (
             chunks.groupBy("fp", "fp3")
             .agg(F.count("*").alias("cc"))
             .filter(F.col("cc") >= 2)
         )
         cnt = (
-            chunks.join(dup_fp, ["fp", "fp3"], "left")
+            chunks.join(dup_fp.hint("merge"), ["fp", "fp3"], "left")
             .withColumn("c", F.coalesce("cc", F.lit(1)))
             .drop("cc")
         )

@@ -1248,9 +1248,15 @@ def containment_pairs_incremental(
         F.col("rk").alias("rkb"),
         "t",
     )
-    ranked_all = ranked_c.select("id", "sz", "t", "rk").unionByName(
-        ranked_b.select("id", "sz", "t", "rk")
-    )
+    if corpus_is_index:
+        ranked_all = ranked_c.select("id", "sz", "t", "rk").unionByName(
+            ranked_b.select("id", "sz", "t", "rk")
+        )
+    else:
+        # the union ranked frame IS corpus+batch — reuse it directly
+        # instead of unioning two filtered copies of the same subtree
+        # (Spark 4.1 shows no exchange reuse across plan copies)
+        ranked_all = ranked_u.select("id", "sz", "t", "rk")
     cand = _containment_candidates(
         _containment_probes(ranked_b, threshold, d),
         as_index(ranked_all),

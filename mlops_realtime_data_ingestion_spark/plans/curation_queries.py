@@ -323,6 +323,22 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16)
 
 
+def dedup_cdc_chunks_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe spelling of dedup_cdc_chunks: occurrence counts
+    via groupBy + join-back (map-side partial agg flattens a hot
+    boilerplate fingerprint; AQE can skew-split the join) instead of
+    the single-partition-per-fingerprint window. Same oracle — the
+    two spellings are equal by construction and this row lets the
+    driver hash-certify the join plan itself."""
+    return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16, count_mode="join")
+
+
+def passage_dedup_spans_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe spelling of passage_dedup_spans (groupBy + join-back
+    occurrence counting); same oracle as the window spelling."""
+    return duplicate_passage_spans(_docs(spark, sf_dir), n=5, count_mode="join")
+
+
 CDC_CHUNKS_ORACLE = f"""
 WITH base AS (
   SELECT doc_id AS id, {H.duck_token_hashes('text')} AS h,
@@ -579,6 +595,12 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_cdc_chunks": QuerySpec(
         dedup_cdc_chunks, CDC_CHUNKS_ORACLE,
         "content-defined chunking dedup (shift-resistant chunk fps)"),
+    "dedup_cdc_chunks_join": QuerySpec(
+        dedup_cdc_chunks_join, CDC_CHUNKS_ORACLE,
+        "CDC dedup, skew-safe groupBy+join-back occurrence counting"),
+    "passage_dedup_spans_join": QuerySpec(
+        passage_dedup_spans_join, PASSAGE_SPANS_ORACLE,
+        "passage spans, skew-safe groupBy+join-back counting"),
     "passages_sliding_window": QuerySpec(
         passages_sliding_window, PASSAGES_SLIDING_ORACLE,
         "overlapping retrieval passages (64-token windows, stride 32)"),

@@ -65,6 +65,15 @@ def test_cdc_join_mode_plan_has_no_window(spark, sf_dir):
     # cdc has NO other window, so the executed plan itself is the proof
     assert "Window" not in jplan
     assert "Window" in wplan
+    # and the join-back must never be a static broadcast: Catalyst
+    # sizes the post-explode dup-fp aggregate at the pre-explode scan,
+    # which would broadcast it whatever its true size (driver OOM on
+    # dup-dense crawls — the containment failure class)
+    assert "BroadcastExchange" not in jplan
+    ppj = duplicate_passage_spans(
+        docs, "doc_id", "text", count_mode="join"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in ppj
 
 
 def test_cdc_skewed_fingerprint_join_mode_correct(spark):
