@@ -51,13 +51,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
-        # 16g default: local[32] means 32 executor threads share ONE
-        # JVM heap — 8g left sort/window-heavy stages at ~256 MB per
-        # thread and the 100x containment sweep hit GCLocker
-        # allocation failures; the target box has 128 GiB (on a real
-        # cluster this knob is per-executor and sized with the
-        # partition-bytes budget instead).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 8g default, measured: raising to 16g slowed SHORT queries
+        # 15-25% across the board (larger G1 young gen = slower minor
+        # GC churn; A/B'd on tpch_q1 1.29 vs 1.52 s at sf0.1). The one
+        # observed 8g failure (GCLocker allocation retries in the
+        # round-7 100x containment sweep) was caused by the
+        # pre-adaptive-prefix plan's 46M-pair distinct, which no
+        # longer exists (99k candidates now). Heavy one-off jobs can
+        # still raise SPARK_GRAFT_DRIVER_MEM; on a real cluster this
+        # knob is per-executor and sized with the partition-bytes
+        # budget instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The driver's testdata stores events.ts as TIMESTAMP(NANOS),
