@@ -169,7 +169,10 @@ def _prefix_candidates(
     tok = shingled.select("id", *keys, F.explode("sh").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
     ordered = (
-        tok.join(dfreq, "t")
+        # merge hint: the post-explode size estimate would statically
+        # broadcast the vocabulary whatever its true size (the
+        # containment OOM class, SCALE.md round 7)
+        tok.join(dfreq.hint("merge"), "t")
         .groupBy("id", *keys)
         .agg(
             F.expr(
