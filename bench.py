@@ -76,8 +76,12 @@ HEADLINE = [
     # asymmetric containment (quote/sub-document) dedup
     "substring_dedup_incremental",
     "dedup_containment",
-    # round-7: steady-state batch-vs-corpus containment serve
+    # round-7: steady-state batch-vs-corpus containment serve, and
+    # simhash newly 100x-viable (pigeonhole-minimal 12-bit bands +
+    # hamming-before-distinct replaced the 8-bit-band spelling whose
+    # docs^2/256 candidate stream OOMed at this scale)
     "dedup_containment_incremental",
+    "dedup_simhash",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

@@ -858,9 +858,12 @@ def strip_duplicate_spans(
 
     Scale: spans aggregate per doc (row count bounded by docs with
     duplicates, row width by span count) and equi-join back on doc id
-    against one corpus scan — AQE picks broadcast when the dup side
-    is small; the cut itself is a codegen higher-order filter over
-    the token array — no Python in the rewrite path.
+    against one corpus scan — merge-hinted, because the operator
+    exists FOR dup-dense corpora where the span side is
+    corpus-proportional, and the static planner would broadcast it on
+    its bogus pre-explode size estimate (round-7 broadcast audit);
+    the cut itself is a codegen higher-order filter over the token
+    array — no Python in the rewrite path.
     """
     islands = _chain_islands(df, id_col, text_col, n, max_occ, impl)
     spans = islands.groupBy("id").agg(
@@ -878,7 +881,7 @@ def strip_duplicate_spans(
     )
     src = df.filter(F.col(text_col).isNotNull())
     return (
-        src.join(spans, src[id_col] == spans["id"], "left")
+        src.join(spans.hint("merge"), src[id_col] == spans["id"], "left")
         .select(
             F.col(id_col),
             F.size(toks).cast("long").alias("n_tokens"),

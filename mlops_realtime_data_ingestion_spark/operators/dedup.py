@@ -627,48 +627,74 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 48,
     n: int = 2,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, byte-band blocked:
-    hashes within hamming <= (bands-1) share at least one byte band
-    (pigeonhole: 6 bands at 48 bits covers hamming <= 5).
+    """Near-dup pairs by SimHash hamming distance, band blocked:
+    hashes within hamming <= (n_bands - 1) share at least one band
+    (pigeonhole), so ``n_bands`` defaults to the MINIMAL lossless
+    count, max_hamming + 1 — at 48 bits / hamming 3 that is 4 bands
+    of 12 bits, a 4096-value key space per band.
+
+    Band width is the collision-rate knob (round 7): the old fixed
+    8-bit bands gave a 256-value key space whose random collisions
+    grow as docs^2 x bands / 2^width — measured OOM at the 100x
+    checkpoint from billions of candidate pairs. Wider bands cover
+    exactly the requested hamming radius with 2^(width-8)x fewer
+    collisions per band. The hamming verification runs BEFORE the
+    pair distinct, so the distinct shuffle carries only true
+    near-dup pairs, never the candidate stream.
 
     Cache contract: the fingerprint frame stays persisted for the
     session — it is the SimHash index the band join consumes twice,
     re-served by the cache manager to identical plans. One-shot
     callers: ``spark.catalog.clearCache()``."""
+    nb = n_bands if n_bands is not None else max_hamming + 1
+    if nb < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={nb} cannot cover hamming <= {max_hamming} "
+            f"(pigeonhole needs >= {max_hamming + 1})"
+        )
     sh = simhash_fingerprints(df, id_col, text_col, bits, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_bytes = bits // 8
+    w = bits // nb
+    widths = [w + (bits - nb * w if k == nb - 1 else 0) for k in range(nb)]
     banded = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"(simhash >> {8 * k}) & 255")
-                    for k in range(n_bytes)
+                    F.expr(f"(simhash >> {w * k}) & {(1 << widths[k]) - 1}")
+                    for k in range(nb)
                 ]
             )
-        ).alias("band_id", "band_byte"),
+        ).alias("band_id", "band_key"),
     )
     rhs = banded.select(
         "band_id",
-        "band_byte",
+        "band_key",
         F.col("id").alias("id2"),
         F.col("simhash").alias("simhash2"),
     )
-    pairs = (
-        banded.join(rhs, ["band_id", "band_byte"])
-        .filter(F.col("id") < F.col("id2"))
-        .select("id", "id2", "simhash", "simhash2")
-        .dropDuplicates(["id", "id2"])
-    )
+    # shuffle_hash hint: the band frame is CORPUS-proportional (docs
+    # x bands) but the static planner sizes it at the pre-explode
+    # scan and broadcast it whole (round-7 broadcast audit) — the
+    # containment OOM class at 100 TB. shuffle_hash rather than
+    # merge: the band key space is small relative to the rows, and
+    # sort-merge over few huge key groups thrashed the heap with
+    # sort read-ahead buffers (measured at the 100x checkpoint),
+    # while a per-partition hash build of the slim band rows is
+    # bounded and AQE can still skew-split it.
     return (
-        pairs.withColumn(
+        banded.join(rhs.hint("shuffle_hash"), ["band_id", "band_key"])
+        .filter(F.col("id") < F.col("id2"))
+        .withColumn(
             "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2")))
         )
         .filter(F.col("hamming") <= max_hamming)
+        .select("id", "id2", "hamming")
+        .dropDuplicates(["id", "id2"])
         .select(
             F.col("id").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
@@ -744,11 +770,15 @@ def minhash_lsh_join(
     Returns (batch_doc_id, corpus_doc_id, jaccard).
     """
     ver, b_mem, c_mem = _lsh_join_frames(corpus, batch, id_col, text_col, n, threshold)
+    # merge hint on the CORPUS member map only: it is corpus-
+    # proportional, and the static planner would broadcast it on its
+    # bogus post-UDF size estimate (round-7 broadcast audit); the
+    # batch side is bounded by construction and may broadcast freely
     return (
         ver.join(b_mem.select(F.col("ghash").alias("bgh"), F.col("gsz").alias("bgs"),
                               F.col("id").alias("bid")), ["bgh", "bgs"])
         .join(c_mem.select(F.col("ghash").alias("cgh"), F.col("gsz").alias("cgs"),
-                           F.col("id").alias("cid")), ["cgh", "cgs"])
+                           F.col("id").alias("cid")).hint("merge"), ["cgh", "cgs"])
         .select(
             F.col("bid").alias("batch_doc_id"),
             F.col("cid").alias("corpus_doc_id"),
@@ -787,8 +817,13 @@ def _lsh_join_frames(
         F.col("ghash").alias("bgh"), F.col("gsz").alias("bgs"),
         F.posexplode("bands").alias("band_id", "band_key"),
     )
+    # merge hints on the CORPUS-side frames (band index, rep shingle
+    # arrays): both are corpus-proportional, and the static planner
+    # sizes them at the pre-explode/post-UDF estimate and would
+    # broadcast them whole (round-7 broadcast audit) — the batch side
+    # is bounded by construction and stays broadcastable
     cand = (
-        b_banded.join(c_banded, ["band_id", "band_key"])
+        b_banded.join(c_banded.hint("merge"), ["band_id", "band_key"])
         .select("bgh", "bgs", "cgh", "cgs")
         .distinct()
     )
@@ -800,7 +835,7 @@ def _lsh_join_frames(
     )
     ver = (
         cand.join(b_sh, ["bgh", "bgs"])
-        .join(c_sh, ["cgh", "cgs"])
+        .join(c_sh.hint("merge"), ["cgh", "cgs"])
         .withColumn("jaccard", _jaccard("bsh", "csh"))
         .filter(F.col("jaccard") >= threshold)
         .select("bgh", "bgs", "cgh", "cgs", "jaccard")
@@ -829,7 +864,7 @@ def minhash_lsh_join_accounting(
             verp.join(b_mem.select(F.col("ghash").alias("bgh"), F.col("gsz").alias("bgs"),
                                    F.col("id").alias("bid")), ["bgh", "bgs"])
             .join(c_mem.select(F.col("ghash").alias("cgh"), F.col("gsz").alias("cgs"),
-                               F.col("id").alias("cid")), ["cgh", "cgs"])
+                               F.col("id").alias("cid")).hint("merge"), ["cgh", "cgs"])
             .count()
         )
     finally:
@@ -850,7 +885,7 @@ def minhash_lsh_join_accounting(
         F.posexplode("bands").alias("band_id", "band_key"),
     )
     candidates = (
-        b_banded.join(c_banded, ["band_id", "band_key"])
+        b_banded.join(c_banded.hint("merge"), ["band_id", "band_key"])
         .select("bgh", "bgs", "cgh", "cgs")
         .distinct()
         .count()

@@ -65,8 +65,12 @@ def edit_distance_join(
         "name", F.explode(_deletion_variants("name", max_dist)).alias("v")
     )
     rhs = variants.select(F.col("name").alias("name2"), "v")
+    # merge hint: the variant frame is VOCAB x O(L^d) rows, but the
+    # static planner sizes it at the pre-explode scan and would
+    # broadcast the whole dictionary (round-7 broadcast audit) — at a
+    # 100 TB-scale vocabulary that build OOMs the driver
     cand = (
-        variants.join(rhs, "v")
+        variants.join(rhs.hint("merge"), "v")
         .filter(F.col("name") < F.col("name2"))
         .select("name", "name2")
         .distinct()

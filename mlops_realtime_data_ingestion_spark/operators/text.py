@@ -95,7 +95,10 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     bagg = bc.groupBy("doc_id").agg(
         F.sum("count").alias("bn"), F.count("*").alias("bnd")
     )
-    return wagg.join(bagg, "doc_id", "left").select(
+    # merge hint: both aggregates are DOC-proportional (billions of
+    # rows at 100 TB) but the static planner sizes the bigram side at
+    # the pre-explode scan and broadcasts it (round-7 broadcast audit)
+    return wagg.join(bagg.hint("merge"), "doc_id", "left").select(
         "doc_id",
         F.col("n").cast("long").alias("n_words"),
         F.round(1 - F.col("nd") / F.col("n").cast("double"), 6).alias("dup_word_frac"),

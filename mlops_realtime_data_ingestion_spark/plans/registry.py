@@ -178,19 +178,29 @@ _R6_CHECKED = frozenset({
 _ORACLE_NEEDS_FIRST_CHECK = frozenset()
 
 # Queries whose Spark implementation AND/OR oracle changed in round 7
-# (containment PPJoin+ positional filter + forced shuffle joins,
-# count_mode parameter threaded through CDC / passage spans, the
-# containment incremental lifecycle, substring-index append
-# idempotency guard). Their old green rows no longer certify the
-# current code, so they re-rank just behind the red tier to guarantee
-# re-verification in the next driver sample. streaming_record_highs
-# is here per ADVICE r6: its api='auto' resolution changed to
-# legacy-always in round 6 but it missed the _CHANGED_R6 tier, so its
-# r5 green row may have certified the other code path.
+# (containment PPJoin+ positional + adaptive-prefix rework with
+# forced shuffle joins, count_mode parameter threaded through CDC /
+# passage spans, merge hint on the jaccard vocabulary join,
+# substring-index append idempotency guard). Their old green rows no
+# longer certify the current code, so they re-rank just behind the
+# red tier to guarantee re-verification in the next driver sample.
+# streaming_record_highs is here per ADVICE r6: its api='auto'
+# resolution changed to legacy-always in round 6 but it missed the
+# _CHANGED_R6 tier, so its r5 green row may have certified the other
+# code path. (The brand-new round-7 rows — dedup_containment_
+# incremental, dedup_cdc_chunks_join, passage_dedup_spans_join —
+# need no tier: never-checked oracled queries already rank ahead of
+# every green row.)
 _CHANGED_R7 = frozenset({
     "dedup_containment", "dedup_cdc_chunks", "passage_dedup_spans",
-    "passages_sliding_window", "substring_dedup_incremental",
+    "dedup_ngram_jaccard", "substring_dedup_incremental",
     "streaming_record_highs",
+    # round-7 broadcast audit: these six statically broadcast a
+    # corpus-proportional frame off a bogus post-explode estimate and
+    # now carry merge hints (values unchanged, plans changed)
+    "split_ngram_novelty", "substring_strip_text", "dedup_simhash",
+    "text_repetition_metrics", "fuzzy_join_part_names",
+    "dedup_incremental_lsh",
 })
 
 _DRIVER_CHECKED = (

@@ -671,7 +671,11 @@ def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     held_sh = exploded.filter(~F.col("is_train")).select("sh").distinct()
-    return held_sh.join(train_sh, "sh", "left").agg(
+    # merge hint: the docstring's no-broadcast promise was NOT what
+    # the static planner produced — it sized the post-explode train
+    # vocab at the pre-explode scan and broadcast it (round-7
+    # broadcast audit); at 100 TB that build OOMs the driver
+    return held_sh.join(train_sh.hint("merge"), "sh", "left").agg(
         F.count("*").alias("n_heldout"),
         # count(when(...)) not sum(when/otherwise): on an empty
         # heldout side this yields 0 like the oracle's FILTER count,

@@ -283,6 +283,34 @@ def test_containment_accounting_single_pass(spark, sf_dir):
     assert pairs.count() == acct["survivors"]
 
 
+def test_no_corpus_proportional_static_broadcasts(spark, sf_dir):
+    """Round-7 broadcast audit regression guard: these queries used to
+    statically broadcast a CORPUS-proportional frame (train vocab,
+    span sets, band index, per-doc aggregates, variant dictionary,
+    corpus rep maps) because Catalyst sizes post-explode/post-UDF
+    frames at the pre-explode scan. The merge hints must keep every
+    suspect broadcast out of the static plan. dedup_incremental_lsh
+    legitimately broadcasts its BATCH-side frames (bounded by
+    construction), so it allows exactly those two."""
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+    from tools.broadcast_audit import flagged_broadcasts
+
+    specs = all_specs()
+    budget = {
+        "split_ngram_novelty": 0,
+        "substring_strip_text": 0,
+        "dedup_simhash": 0,
+        "text_repetition_metrics": 0,
+        "fuzzy_join_part_names": 0,
+        "dedup_incremental_lsh": 2,  # batch-side only
+    }
+    for name, allowed in budget.items():
+        df = specs[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = flagged_broadcasts(plan)
+        assert len(hits) <= allowed, f"{name}: {hits}"
+
+
 def test_containment_plan_budget_no_broadcasts(spark):
     """Plan-shape budget for the round-7 containment rework: the
     static plan must contain ZERO broadcast exchanges (Catalyst's
