@@ -82,6 +82,15 @@ HEADLINE = [
     # docs^2/256 candidate stream OOMed at this scale)
     "dedup_containment_incremental",
     "dedup_simhash",
+    # round-8: the steady-state containment serve from the persisted
+    # frozen-rank index (the plan a 100 TB pipeline actually runs per
+    # ingest — the index build happens at plan-construction time on
+    # first touch and is NOT in the timing, mirroring its scheduled-
+    # job role), and simhash block-combination banding (the >= 1e8-doc
+    # plan, ~820x fewer random band collisions than 12-bit simple
+    # banding for 5x the probe rows)
+    "dedup_containment_index_serve",
+    "dedup_simhash_combi",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

@@ -12,9 +12,10 @@ asserted in tests.
 
 Scale design:
 - candidate generation is always BLOCKED (length-band blocking for
-  plain Jaccard, band-bucket join for MinHash-LSH, byte-band join for
-  SimHash): the all-pairs comparison never materializes. Shuffle
-  volume = docs x small-constant (bands), never docs^2.
+  plain Jaccard, band-bucket join for MinHash-LSH, pigeonhole band /
+  block-combination join for SimHash): the all-pairs comparison never
+  materializes. Shuffle volume = docs x small-constant (bands), never
+  docs^2.
 - the shingle/token hashing is REPARTITIONED first and PERSISTED:
   higher-order-function lambdas evaluate interpreted (outside
   whole-stage codegen), so the fold is the dominant cost — it must
@@ -129,6 +130,22 @@ def _jaccard(a: str, b: str):
     return inter / union
 
 
+def _r9(col):
+    """Drift-safe guard for threshold-derived INTEGER bounds: a double
+    product can overshoot an exact integer (0.55 * 60 =
+    33.000000000000004; (1 - 0.55) * 60 = 26.999999999999996), so a
+    bare ceil()/floor() inflates/deflates the bound by 1 and the
+    lossless prefix/positional/count filters silently over-tighten —
+    dropping pairs exact verification accepts (ADVICE r7). Rounding to
+    9 decimals restores the exact rational for any human-scale
+    threshold; if a bound is genuinely non-integral, a 1e-9
+    perturbation only LOOSENS the filter by at most one candidate
+    row — never drops a true pair. The final verification filters
+    (jaccard/containment >= threshold) are NOT guarded: they are plain
+    double comparisons that mirror the oracle's float math exactly."""
+    return F.round(col, 9)
+
+
 def _prefix_candidates(
     shingled: DataFrame,
     keys: list[str],
@@ -187,7 +204,7 @@ def _prefix_candidates(
     # (no ReusedExchange — the two sides' plans differ).
     ptok = ordered.withColumn(
         "plen",
-        (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+        (F.col("sz") - F.ceil(_r9(F.lit(threshold) * F.col("sz"))) + 1).cast("int"),
     ).select(
         "id",
         *keys,
@@ -204,7 +221,7 @@ def _prefix_candidates(
         "t",
     )
     overlap_need = F.ceil(
-        F.lit(threshold) / (1.0 + threshold) * (F.col("sz") + F.col("sz2"))
+        _r9(F.lit(threshold) / (1.0 + threshold) * (F.col("sz") + F.col("sz2")))
     )
     overlap_ub = 1 + F.least(
         F.col("sz") - F.col("pa") - 1, F.col("sz2") - F.col("pb") - 1
@@ -213,8 +230,8 @@ def _prefix_candidates(
         ptok.join(rtok, keys + ["t"])
         .filter(
             (F.col("id") < F.col("id2"))
-            & (F.col("sz2") >= threshold * F.col("sz"))
-            & (F.col("sz") >= threshold * F.col("sz2"))
+            & (F.col("sz2") >= _r9(F.lit(threshold) * F.col("sz")))
+            & (F.col("sz") >= _r9(F.lit(threshold) * F.col("sz2")))
             & (overlap_ub >= overlap_need)
         )
         .select(F.col("id").alias("a"), F.col("id2").alias("b"))
@@ -628,48 +645,109 @@ def simhash_pairs(
     bits: int = 48,
     n: int = 2,
     n_bands: int | None = None,
+    n_blocks: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, band blocked:
-    hashes within hamming <= (n_bands - 1) share at least one band
-    (pigeonhole), so ``n_bands`` defaults to the MINIMAL lossless
-    count, max_hamming + 1 — at 48 bits / hamming 3 that is 4 bands
-    of 12 bits, a 4096-value key space per band.
+    """Near-dup pairs by SimHash hamming distance, band blocked.
 
-    Band width is the collision-rate knob (round 7): the old fixed
-    8-bit bands gave a 256-value key space whose random collisions
-    grow as docs^2 x bands / 2^width — measured OOM at the 100x
-    checkpoint from billions of candidate pairs. Wider bands cover
-    exactly the requested hamming radius with 2^(width-8)x fewer
-    collisions per band. The hamming verification runs BEFORE the
-    pair distinct, so the distinct shuffle carries only true
-    near-dup pairs, never the candidate stream.
+    SIMPLE banding (default): hashes within hamming <= (n_bands - 1)
+    share at least one band (pigeonhole), so ``n_bands`` defaults to
+    the MINIMAL lossless count, max_hamming + 1 — at 48 bits /
+    hamming 3 that is 4 bands of 12 bits, a 4096-value key space per
+    band. Band width is the collision-rate knob (round 7): the old
+    fixed 8-bit bands gave a 256-value key space whose random
+    collisions grow as docs^2 x bands / 2^width — measured OOM at the
+    100x checkpoint from billions of candidate pairs.
 
-    Cache contract: the fingerprint frame stays persisted for the
-    session — it is the SimHash index the band join consumes twice,
-    re-served by the cache manager to identical plans. One-shot
-    callers: ``spark.catalog.clearCache()``."""
-    nb = n_bands if n_bands is not None else max_hamming + 1
-    if nb < max_hamming + 1:
-        raise ValueError(
-            f"n_bands={nb} cannot cover hamming <= {max_hamming} "
-            f"(pigeonhole needs >= {max_hamming + 1})"
-        )
-    sh = simhash_fingerprints(df, id_col, text_col, bits, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    w = bits // nb
-    widths = [w + (bits - nb * w if k == nb - 1 else 0) for k in range(nb)]
+    COMBINATION banding (``n_blocks``, round 8 — Manku, Jain &
+    Sarma's block-permutation scheme from the simhash dedup paper,
+    WWW'07, re-expressed as block-subset keys): split the fingerprint
+    into b = n_blocks > max_hamming + 1 blocks and emit one join key
+    per (b - max_hamming)-subset of blocks, the CONCATENATION of that
+    subset's block values. Lossless at the same radius: <= max_hamming
+    differing bits touch <= max_hamming blocks, so some
+    (b - max_hamming)-subset is entirely agreement (pigeonhole over
+    block subsets) and that subset's key matches. The key widens from
+    bits/b to bits*(b-h)/b, so the random-collision term drops from
+    docs^2 * (h+1) / 2^(bits/(h+1)) to
+    docs^2 * C(b,h) / 2^(bits*(b-h)/b) — at 48 bits / h=3 / b=6 that
+    is docs^2 * 20 / 2^24 vs docs^2 * 4 / 2^12, ~820x fewer random
+    candidates for 5x the probe rows. This is the >= 1e8-doc regime's
+    plan (the true 100 TB document count), where simple banding's
+    docs^2/2^12 term re-OOMs; simple banding stays the default because
+    below ~1e7 docs its 4-rows/doc probe side is cheaper than
+    combination's 20 (measured: see SCALE.md round 8). Output is
+    IDENTICAL either way (equality tested): hamming verification runs
+    BEFORE the pair distinct in both modes, so the distinct shuffle
+    carries only true near-dup pairs, never the candidate stream.
+
+    ``cache`` (default True): persist the fingerprint frame — it is
+    the SimHash index the band join consumes twice (probe + index
+    side), re-served by the cache manager to identical plans, and the
+    registry/bench warm runs measure exactly that reuse (measured at
+    sf0.1: 0.6 s cached vs 1.1 s uncached — the Arrow fingerprint UDF
+    is the dominant cost and runs twice without it). ``cache=False``
+    for one-shot 100 TB runs where a corpus-sized cache is pure
+    memory pressure and each side recomputes from the scan
+    (ADVICE/VERDICT r7 — mirrors ngram_jaccard_pairs'
+    ``cache_prefix``)."""
+    h = max_hamming
+    if n_blocks is not None:
+        from itertools import combinations
+
+        b = n_blocks
+        if b < h + 2:
+            raise ValueError(
+                f"n_blocks={b} needs >= max_hamming + 2 = {h + 2} "
+                f"(at b = h + 1 use simple banding: identical keys, "
+                f"fewer probe rows)"
+            )
+        if bits // b == 0:
+            raise ValueError(f"n_blocks={b} > bits={bits}: zero-width blocks")
+        w = bits // b
+        widths = [w + (bits - b * w if k == b - 1 else 0) for k in range(b)]
+        offs = [w * k for k in range(b)]
+        key_bits = sorted(widths, reverse=True)[: b - h]
+        if sum(key_bits) > 63:
+            raise ValueError(
+                f"combination key would need {sum(key_bits)} bits (> 63): "
+                f"lower bits or raise n_blocks"
+            )
+        keys = []
+        for subset in combinations(range(b), b - h):
+            shift, parts = 0, []
+            for k in subset:
+                parts.append(
+                    f"(((simhash >> {offs[k]}) & {(1 << widths[k]) - 1}) "
+                    f"<< {shift})"
+                )
+                shift += widths[k]
+            keys.append(F.expr(" | ".join(parts)))
+        band_exprs = keys
+    else:
+        nb = n_bands if n_bands is not None else h + 1
+        if nb < h + 1:
+            raise ValueError(
+                f"n_bands={nb} cannot cover hamming <= {h} "
+                f"(pigeonhole needs >= {h + 1})"
+            )
+        if bits // nb == 0:
+            # zero-width bands make every band_key 0 — the all-pairs
+            # cross join this blocking exists to eliminate (ADVICE r7)
+            raise ValueError(f"n_bands={nb} > bits={bits}: zero-width bands")
+        w = bits // nb
+        widths = [w + (bits - nb * w if k == nb - 1 else 0) for k in range(nb)]
+        band_exprs = [
+            F.expr(f"(simhash >> {w * k}) & {(1 << widths[k]) - 1}")
+            for k in range(nb)
+        ]
+    sh = simhash_fingerprints(df, id_col, text_col, bits, n)
+    if cache:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"(simhash >> {w * k}) & {(1 << widths[k]) - 1}")
-                    for k in range(nb)
-                ]
-            )
-        ).alias("band_id", "band_key"),
+        F.posexplode(F.array(*band_exprs)).alias("band_id", "band_key"),
     )
     rhs = banded.select(
         "band_id",
@@ -1075,7 +1153,7 @@ def _containment_probes(ranked: DataFrame, threshold: float, d: int) -> DataFram
     shared global token order (P = |a| - ceil(t*|a|) + 1, the minimal
     lossless prefix)."""
     return ranked.filter(
-        F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1 + d
+        F.col("rk") <= F.floor(_r9((1 - threshold) * F.col("sz"))) + 1 + d
     ).select(
         F.col("id").alias("a"),
         F.col("sz").alias("sza"),
@@ -1112,7 +1190,7 @@ def _containment_candidates(
     correctness condition (the incremental serve path leans on this:
     it ranks batch docs under the index's FROZEN build-time order).
     """
-    req = F.ceil(F.lit(threshold) * F.col("sza"))
+    req = F.ceil(_r9(F.lit(threshold) * F.col("sza")))
     need = F.least(F.lit(1 + d).cast("long"), req)
     ubound = (
         F.least(F.col("rka"), F.col("rkb"))
@@ -1137,7 +1215,7 @@ def _containment_candidates(
             F.col("m")
             >= F.least(
                 F.lit(1 + d).cast("long"),
-                F.ceil(F.lit(threshold) * F.col("sza")),
+                F.ceil(_r9(F.lit(threshold) * F.col("sza"))),
             )
         )
         .select("a", "b")
@@ -1232,8 +1310,21 @@ def containment_pairs_incremental(
     Two probe directions, disjoint by construction (no double
     counting in the per-pair filters): batch docs as ``a`` probed
     against corpus+batch postings, and corpus docs as ``a`` probed
-    against batch postings only — both batch-proportional on the
-    probe side, never a corpus-corpus join.
+    against batch postings only — never a corpus-corpus join.
+    Direction 1 is batch-proportional end to end. Direction 2's raw
+    probe frame is CORPUS-proportional (every corpus doc's prefix
+    rows — only the join OUTPUT is batch-bounded), so it is
+    prefiltered with a broadcast left-semi join on the batch's
+    distinct token set before the shuffle: probe rows whose token has
+    no batch posting produce zero join output (the inner join on
+    ``t`` would drop them anyway — lossless), and the broadcast makes
+    the drop map-side, bounding the rows that reach the direction-2
+    shuffle by the corpus prefix rows that SHARE a token with the
+    batch. The explicit broadcast is safe because the batch token set
+    is bounded by the ingest-increment contract (batch << corpus at
+    steady state); it is also why the static planner's post-explode
+    misestimate can't hurt here — we force the small side, not guess
+    it (ADVICE r7).
 
     ``corpus_is_index=True`` treats ``corpus`` as the PATH of a
     :func:`containment_index_build` index: corpus ranks, frequencies,
@@ -1295,18 +1386,17 @@ def containment_pairs_incremental(
         # instead of unioning two filtered copies of the same subtree
         # (Spark 4.1 shows no exchange reuse across plan copies)
         ranked_all = ranked_u.select("id", "sz", "t", "rk")
+    batch_tokens = ranked_b.select("t").distinct()
+    probes_c = _containment_probes(ranked_c, threshold, d).join(
+        F.broadcast(batch_tokens), "t", "left_semi"
+    )
     cand = _containment_candidates(
         _containment_probes(ranked_b, threshold, d),
         as_index(ranked_all),
         threshold,
         d,
     ).unionByName(
-        _containment_candidates(
-            _containment_probes(ranked_c, threshold, d),
-            as_index(ranked_b),
-            threshold,
-            d,
-        )
+        _containment_candidates(probes_c, as_index(ranked_b), threshold, d)
     )
     verified = _containment_verify(
         cand, sh_c.select("id", "sh").unionByName(sh_b.select("id", "sh")),

@@ -151,8 +151,10 @@ SELECT doc_id_1, doc_id_2, jaccard FROM (
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(48) over word-bigram shingles, hamming <= 3, byte-band
-    blocked (6 bands)."""
+    """SimHash(48) over word-bigram shingles, hamming <= 3,
+    pigeonhole-minimal banding (4 lossless 12-bit bands, round 7).
+    The <= ~1e7-doc plan; dedup_simhash_combi is the same operator on
+    the >= 1e8-doc combination-banding path."""
     return simhash_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3, bits=48, n=2
     )
@@ -186,6 +188,19 @@ SELECT doc_id_1, doc_id_2, hamming FROM (
   SELECT id1 AS doc_id_1, id2 AS doc_id_2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming FROM cand
 ) WHERE hamming <= 3
 """
+
+
+def dedup_simhash_combi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48) hamming <= 3 via Manku block-COMBINATION banding
+    (6 blocks choose 3 -> 20 join keys of 24 bits): the >= 1e8-doc
+    plan, where simple 12-bit banding's docs^2 * 4 / 2^12
+    random-collision term re-OOMs (VERDICT r7). Output identical to
+    dedup_simhash — both blockings are lossless at hamming <= 3 — so
+    the oracle is shared."""
+    return simhash_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        max_hamming=3, bits=48, n=2, n_blocks=6,
+    )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +935,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "dedup-jaccard"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "dedup-minhash-lsh"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE, "dedup-simhash"),
+    "dedup_simhash_combi": QuerySpec(
+        dedup_simhash_combi, DEDUP_SIMHASH_ORACLE,
+        "simhash near-dup pairs via Manku block-combination banding",
+    ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
     "sim_search_lsh_topk": QuerySpec(sim_search_lsh_topk, SIM_LSH_ORACLE, "ann-lsh (deterministic)"),

@@ -177,52 +177,74 @@ _R6_CHECKED = frozenset({
 # moved to _R6_CHECKED; the tier is currently empty.
 _ORACLE_NEEDS_FIRST_CHECK = frozenset()
 
-# Queries whose Spark implementation AND/OR oracle changed in round 7
-# (containment PPJoin+ positional + adaptive-prefix rework with
-# forced shuffle joins, count_mode parameter threaded through CDC /
-# passage spans, merge hint on the jaccard vocabulary join,
-# substring-index append idempotency guard). Their old green rows no
-# longer certify the current code, so they re-rank just behind the
-# red tier to guarantee re-verification in the next driver sample.
-# streaming_record_highs is here per ADVICE r6: its api='auto'
-# resolution changed to legacy-always in round 6 but it missed the
-# _CHANGED_R6 tier, so its r5 green row may have certified the other
-# code path. (The brand-new round-7 rows — dedup_containment_
-# incremental, dedup_cdc_chunks_join, passage_dedup_spans_join —
-# need no tier: never-checked oracled queries already rank ahead of
-# every green row.)
-_CHANGED_R7 = frozenset({
-    "dedup_containment", "dedup_cdc_chunks", "passage_dedup_spans",
-    "dedup_ngram_jaccard", "substring_dedup_incremental",
-    "streaming_record_highs",
-    # round-7 broadcast audit: these six statically broadcast a
-    # corpus-proportional frame off a bogus post-explode estimate and
-    # now carry merge hints (values unchanged, plans changed)
-    "split_ngram_novelty", "substring_strip_text", "dedup_simhash",
-    "text_repetition_metrics", "fuzzy_join_part_names",
-    "dedup_incremental_lsh",
+# Queries with a green hash-match row in CORRECTNESS_r07.json (all 50
+# of round 7's driver sample were green, including all 12 round-7-
+# changed plans and the 3 brand-new rows).
+_R7_CHECKED = frozenset({
+    "a8_ordered_gather", "dedup_cdc_chunks", "dedup_cdc_chunks_join",
+    "dedup_containment", "dedup_containment_incremental",
+    "dedup_incremental_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "forecast_backtest_rmse_wql", "forecast_seasonal_naive",
+    "fuzzy_join_part_names", "interval_overlap_orders",
+    "metrics_rmse_wql", "monitoring_consecutive_breach",
+    "passage_dedup_spans", "passage_dedup_spans_join",
+    "scd2_price_history", "sessionize_events", "split_ngram_novelty",
+    "streaming_record_highs", "substring_dedup_incremental",
+    "substring_strip_text", "text_repetition_metrics",
+    "threshold_update_rule", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_predicates",
+    "tpch_q22_dormant_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "ts_cusum_alerts", "ts_ewma_smooth", "ts_gapfill_interpolate",
+    "ts_seasonal_decompose", "ts_trend_per_user", "w1_train_test_split",
+    "w2_expanding_validation_windows", "w4_forecast_index",
+    "wf_cumulative_distinct_users", "wf_first_last_nth",
+    "wf_rank_lag_lead", "wf_rolling_time_range", "wf_running_sum",
+})
+
+# Queries whose Spark implementation changed in round 8: the
+# drift-safe threshold bounds (ADVICE r7 medium) rewrite the filter
+# expressions of the containment stack and of every plan routing
+# through the jaccard PPJoin prefix path, and
+# dedup_containment_incremental additionally gained the direction-2
+# broadcast-semi probe prefilter. Their old green rows no longer
+# certify the current plans, so they re-rank just behind the red tier
+# to guarantee re-verification in the next driver sample. (The
+# brand-new round-8 rows — dedup_simhash_combi,
+# dedup_containment_index_serve — need no tier: never-checked oracled
+# queries already rank ahead of every green row. dedup_simhash is NOT
+# here: round 8 only added band-shape validation and a docstring fix;
+# the produced plan is expression-identical.)
+_CHANGED_R8 = frozenset({
+    "dedup_containment", "dedup_containment_incremental",
+    "dedup_ngram_jaccard", "split_leakage_safe",
+    "dedup_connected_components", "dedup_cc_star", "dedup_survivors",
 })
 
 _DRIVER_CHECKED = (
     _R1_CHECKED | _R2_CHECKED | _R3_CHECKED | _R4_CHECKED | _R5_CHECKED
-    | _R6_CHECKED
+    | _R6_CHECKED | _R7_CHECKED
 ) - _LAST_RED - _ORACLE_NEEDS_FIRST_CHECK
 
 # Green in BOTH of the two most recent rounds and unchanged since —
 # the most-settled rows, enumerated dead last so driver samples spread
-# to the least-recently-checked queries first (VERDICT r6 task 3).
+# to the least-recently-checked queries first (VERDICT r6 task 3,
+# recomputed over r6 ∩ r7 per VERDICT r7 task 3).
 _RECENTLY_DOUBLE_CHECKED = (
-    (_R5_CHECKED & _R6_CHECKED) - _CHANGED_R7 - _LAST_RED
+    (_R6_CHECKED & _R7_CHECKED) - _CHANGED_R8 - _LAST_RED
 )
 
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then round-7-changed queries (their
+    re-verified by the driver), then round-8-changed queries (their
     old green rows certify stale code), then never-driver-green
     oracled queries, then never-checked rows-only queries (their
     driver check is weaker), then queries with a green driver row,
-    with the green-in-both-r5-and-r6 rows dead last so the sample
+    with the green-in-both-r6-and-r7 rows dead last so the sample
     spreads to the least-recently-checked. Within the oracled groups,
     flat-schema guarantees hold for every oracled query (see
     tests/test_registry.py) so the driver's pandas canonicalizer can
@@ -232,7 +254,7 @@ def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return 0
-        if name in _CHANGED_R7:
+        if name in _CHANGED_R8:
             return 1
         if name in _RECENTLY_DOUBLE_CHECKED:
             return 5
