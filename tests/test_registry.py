@@ -45,17 +45,17 @@ def test_never_driver_checked_enumerate_first():
     before already-green ones, with oracled (strong check) ahead of
     rows-only (weak), and green-in-both-of-the-last-two-rounds rows
     dead last. The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R7) are allowed ahead of
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R8) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R7,
+        _CHANGED_R8,
         _DRIVER_CHECKED,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
         _RECENTLY_DOUBLE_CHECKED,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R7
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R8
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
@@ -85,12 +85,12 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round7_sample_spreads_to_least_recently_checked():
-    """VERDICT r6 task 3 acceptance: the next 50-query driver sample
-    must contain no query already green in BOTH r5 and r6 unless it
-    changed in r7."""
+def test_round8_sample_spreads_to_least_recently_checked():
+    """VERDICT r7 task 3 acceptance: the next 50-query driver sample
+    must contain no query already green in BOTH r6 and r7 unless it
+    changed in r8."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R7,
+        _CHANGED_R8,
         _RECENTLY_DOUBLE_CHECKED,
         all_specs,
     )
@@ -98,4 +98,4 @@ def test_round7_sample_spreads_to_least_recently_checked():
     sample = list(all_specs())[:50]
     stale = [n for n in sample if n in _RECENTLY_DOUBLE_CHECKED]
     assert not stale, f"double-checked unchanged queries in sample: {stale}"
-    assert _RECENTLY_DOUBLE_CHECKED.isdisjoint(_CHANGED_R7)
+    assert _RECENTLY_DOUBLE_CHECKED.isdisjoint(_CHANGED_R8)

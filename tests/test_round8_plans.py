@@ -198,6 +198,30 @@ def test_new_rows_registered():
         assert name in specs and specs[name].oracle is not None
 
 
+def test_round8_plan_broadcast_budget(spark, sf_dir):
+    """Round-8 audit pin: dedup_simhash_combi must keep the zero-
+    suspect-broadcast contract of dedup_simhash (the band frame is
+    corpus x 20 keys — statically broadcasting it is the 100x OOM
+    class). The incremental containment rows are allowed EXACTLY
+    their one intentional broadcast each: the left-semi build side on
+    the batch's distinct token set (bounded by the ingest contract,
+    SCALE.md round 8)."""
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+    from tools.broadcast_audit import flagged_broadcasts
+
+    specs = all_specs()
+    budget = {
+        "dedup_simhash_combi": 0,
+        "dedup_containment_incremental": 1,
+        "dedup_containment_index_serve": 1,
+    }
+    for name, allowed in budget.items():
+        df = specs[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = flagged_broadcasts(plan)
+        assert len(hits) <= allowed, f"{name}: {hits}"
+
+
 def test_containment_index_serve_equals_dataframe_mode(spark, sf_dir):
     from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
 
