@@ -91,6 +91,10 @@ HEADLINE = [
     # banding for 5x the probe rows)
     "dedup_containment_index_serve",
     "dedup_simhash_combi",
+    # round-8: the steady-state batch-vs-corpus simhash serve
+    # (completes the incremental family: lsh / substring /
+    # containment / simhash)
+    "dedup_simhash_incremental",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

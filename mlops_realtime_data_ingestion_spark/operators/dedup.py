@@ -52,6 +52,8 @@ __all__ = [
     "minhash_lsh_join_accounting",
     "simhash_fingerprints",
     "simhash_pairs",
+    "simhash_index_build",
+    "simhash_join",
     "containment_pairs",
     "containment_accounting",
     "containment_index_build",
@@ -130,20 +132,31 @@ def _jaccard(a: str, b: str):
     return inter / union
 
 
-def _r9(col):
+def _tq(threshold: float) -> tuple[int, int]:
     """Drift-safe guard for threshold-derived INTEGER bounds: a double
     product can overshoot an exact integer (0.55 * 60 =
     33.000000000000004; (1 - 0.55) * 60 = 26.999999999999996), so a
     bare ceil()/floor() inflates/deflates the bound by 1 and the
     lossless prefix/positional/count filters silently over-tighten —
-    dropping pairs exact verification accepts (ADVICE r7). Rounding to
-    9 decimals restores the exact rational for any human-scale
-    threshold; if a bound is genuinely non-integral, a 1e-9
-    perturbation only LOOSENS the filter by at most one candidate
-    row — never drops a true pair. The final verification filters
-    (jaccard/containment >= threshold) are NOT guarded: they are plain
-    double comparisons that mirror the oracle's float math exactly."""
-    return F.round(col, 9)
+    dropping pairs exact verification accepts (ADVICE r7).
+
+    Returns (p, q) with q = 1e9 and p/q the threshold's exact 9-dp
+    rational, so every bound becomes pure int64 arithmetic:
+    ceil(t*sz)  == (p*sz + q-1) div q,
+    floor(t*sz) == (p*sz) div q,
+    sz2 >= t*sz <=> q*sz2 >= p*sz.
+    Same semantics as rounding the double product to 9 decimals (the
+    exact rational for any human-scale threshold; a genuinely
+    non-integral bound only LOOSENS by one row — never drops a true
+    pair), but integer ops per row instead of Spark's Round, whose
+    double path allocates a BigDecimal PER ROW — measured +49% on the
+    containment candidate join at 100x when the round sat inside the
+    join filters (round-8 bench diff). Overflow-safe: p*sz <= 1e9 *
+    shingles-per-doc, far inside int64. The final verification
+    filters (jaccard/containment >= threshold) are NOT guarded: they
+    are plain double comparisons that mirror the oracle's float math
+    exactly."""
+    return round(threshold * 1_000_000_000), 1_000_000_000
 
 
 def _prefix_candidates(
@@ -202,9 +215,10 @@ def _prefix_candidates(
     # Persisted: the dfreq join + per-doc sort above is the expensive
     # subtree, and without the cache the self-join computes it twice
     # (no ReusedExchange — the two sides' plans differ).
+    p, q = _tq(threshold)
     ptok = ordered.withColumn(
         "plen",
-        (F.col("sz") - F.ceil(_r9(F.lit(threshold) * F.col("sz"))) + 1).cast("int"),
+        F.expr(f"cast(sz - (({p}L * sz + {q - 1}L) div {q}L) + 1 as int)"),
     ).select(
         "id",
         *keys,
@@ -220,8 +234,10 @@ def _prefix_candidates(
         F.col("pa").alias("pb"),
         "t",
     )
-    overlap_need = F.ceil(
-        _r9(F.lit(threshold) / (1.0 + threshold) * (F.col("sz") + F.col("sz2")))
+    # jaccard >= t needs |A∩B| >= t/(1+t)*(|A|+|B|): with t = p/q the
+    # ceiling is (p*(sz+sz2) + p+q-1) div (p+q) — exact integer math
+    overlap_need = F.expr(
+        f"({p}L * (sz + sz2) + {p + q - 1}L) div {p + q}L"
     )
     overlap_ub = 1 + F.least(
         F.col("sz") - F.col("pa") - 1, F.col("sz2") - F.col("pb") - 1
@@ -230,8 +246,8 @@ def _prefix_candidates(
         ptok.join(rtok, keys + ["t"])
         .filter(
             (F.col("id") < F.col("id2"))
-            & (F.col("sz2") >= _r9(F.lit(threshold) * F.col("sz")))
-            & (F.col("sz") >= _r9(F.lit(threshold) * F.col("sz2")))
+            & F.expr(f"{q}L * sz2 >= {p}L * sz")
+            & F.expr(f"{q}L * sz >= {p}L * sz2")
             & (overlap_ub >= overlap_need)
         )
         .select(F.col("id").alias("a"), F.col("id2").alias("b"))
@@ -637,6 +653,69 @@ def simhash_fingerprints(
     )
 
 
+def _simhash_band_exprs(
+    max_hamming: int,
+    bits: int,
+    n_bands: int | None,
+    n_blocks: int | None,
+) -> list:
+    """The band-key expressions shared by the self-dedup
+    (simhash_pairs) and the incremental corpus join (simhash_join):
+    simple pigeonhole bands by default, Manku block-combination keys
+    when ``n_blocks`` is set — see simhash_pairs' docstring for the
+    scheme and the collision math. Rejects degenerate shapes: too few
+    bands for the radius, zero-width bands (every key collapses to 0
+    — the all-pairs cross join this blocking exists to eliminate,
+    ADVICE r7), and combination keys wider than a long."""
+    h = max_hamming
+    if n_blocks is not None:
+        from itertools import combinations
+
+        b = n_blocks
+        if b < h + 2:
+            raise ValueError(
+                f"n_blocks={b} needs >= max_hamming + 2 = {h + 2} "
+                f"(at b = h + 1 use simple banding: identical keys, "
+                f"fewer probe rows)"
+            )
+        if bits // b == 0:
+            raise ValueError(f"n_blocks={b} > bits={bits}: zero-width blocks")
+        w = bits // b
+        widths = [w + (bits - b * w if k == b - 1 else 0) for k in range(b)]
+        offs = [w * k for k in range(b)]
+        key_bits = sorted(widths, reverse=True)[: b - h]
+        if sum(key_bits) > 63:
+            raise ValueError(
+                f"combination key would need {sum(key_bits)} bits (> 63): "
+                f"lower bits or raise n_blocks"
+            )
+        keys = []
+        for subset in combinations(range(b), b - h):
+            shift, parts = 0, []
+            for k in subset:
+                parts.append(
+                    f"(((simhash >> {offs[k]}) & {(1 << widths[k]) - 1}) "
+                    f"<< {shift})"
+                )
+                shift += widths[k]
+            keys.append(F.expr(" | ".join(parts)))
+        return keys
+    nb = n_bands if n_bands is not None else h + 1
+    if nb < h + 1:
+        raise ValueError(
+            f"n_bands={nb} cannot cover hamming <= {h} "
+            f"(pigeonhole needs >= {h + 1})"
+        )
+    if bits // nb == 0:
+        raise ValueError(f"n_bands={nb} > bits={bits}: zero-width bands")
+    w = bits // nb
+    widths = [w + (bits - nb * w if k == nb - 1 else 0) for k in range(nb)]
+    return [
+        F.expr(f"(simhash >> {w * k}) & {(1 << widths[k]) - 1}")
+        for k in range(nb)
+    ]
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -692,56 +771,7 @@ def simhash_pairs(
     where a corpus-sized session cache is pure memory pressure and
     each side recomputes from the scan (VERDICT r7 task 4 — mirrors
     ngram_jaccard_pairs' ``cache_prefix``)."""
-    h = max_hamming
-    if n_blocks is not None:
-        from itertools import combinations
-
-        b = n_blocks
-        if b < h + 2:
-            raise ValueError(
-                f"n_blocks={b} needs >= max_hamming + 2 = {h + 2} "
-                f"(at b = h + 1 use simple banding: identical keys, "
-                f"fewer probe rows)"
-            )
-        if bits // b == 0:
-            raise ValueError(f"n_blocks={b} > bits={bits}: zero-width blocks")
-        w = bits // b
-        widths = [w + (bits - b * w if k == b - 1 else 0) for k in range(b)]
-        offs = [w * k for k in range(b)]
-        key_bits = sorted(widths, reverse=True)[: b - h]
-        if sum(key_bits) > 63:
-            raise ValueError(
-                f"combination key would need {sum(key_bits)} bits (> 63): "
-                f"lower bits or raise n_blocks"
-            )
-        keys = []
-        for subset in combinations(range(b), b - h):
-            shift, parts = 0, []
-            for k in subset:
-                parts.append(
-                    f"(((simhash >> {offs[k]}) & {(1 << widths[k]) - 1}) "
-                    f"<< {shift})"
-                )
-                shift += widths[k]
-            keys.append(F.expr(" | ".join(parts)))
-        band_exprs = keys
-    else:
-        nb = n_bands if n_bands is not None else h + 1
-        if nb < h + 1:
-            raise ValueError(
-                f"n_bands={nb} cannot cover hamming <= {h} "
-                f"(pigeonhole needs >= {h + 1})"
-            )
-        if bits // nb == 0:
-            # zero-width bands make every band_key 0 — the all-pairs
-            # cross join this blocking exists to eliminate (ADVICE r7)
-            raise ValueError(f"n_bands={nb} > bits={bits}: zero-width bands")
-        w = bits // nb
-        widths = [w + (bits - nb * w if k == nb - 1 else 0) for k in range(nb)]
-        band_exprs = [
-            F.expr(f"(simhash >> {w * k}) & {(1 << widths[k]) - 1}")
-            for k in range(nb)
-        ]
+    band_exprs = _simhash_band_exprs(max_hamming, bits, n_bands, n_blocks)
     sh = simhash_fingerprints(df, id_col, text_col, bits, n)
     if cache:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -779,6 +809,117 @@ def simhash_pairs(
             F.col("id2").alias("doc_id_2"),
             "hamming",
         )
+    )
+
+
+def simhash_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    n: int = 2,
+) -> None:
+    """Persist the corpus SimHash index (mirrors
+    containment_index_build / substring_index_build): ONE parquet
+    frame of (id, simhash) fingerprints under ``path``. Built once by
+    a scheduled job; appended per ingest (write mode "append" after
+    serving the batch); :func:`simhash_join` serves batches against
+    it without re-fingerprinting the corpus. The band keys are pure
+    bit arithmetic over the stored fingerprint, so the index is valid
+    for ANY later (n_bands, n_blocks, max_hamming <= banding radius)
+    choice — banding is a query-time decision, not a build-time one."""
+    simhash_fingerprints(df, id_col, text_col, bits, n).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def simhash_join(
+    corpus,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 48,
+    n: int = 2,
+    n_bands: int | None = None,
+    n_blocks: int | None = None,
+    corpus_is_index: bool = False,
+) -> DataFrame:
+    """INCREMENTAL SimHash dedup: all pairs of the full self-run
+    (:func:`simhash_pairs`) where at least one side is a BATCH doc —
+    corpus-corpus pairs never join (they were reported when the
+    corpus was ingested). Doc ids must be disjoint across corpus and
+    batch. The steady-state shape for a growing corpus, completing
+    the incremental family (minhash_lsh_join,
+    duplicate_substring_chains_incremental,
+    containment_pairs_incremental).
+
+    Plan: fingerprints for both sides (``corpus_is_index=True`` reads
+    the corpus side from a :func:`simhash_index_build` parquet path
+    instead of re-hashing the text) -> band-explode BOTH sides with
+    the same key expressions (simple pigeonhole bands, or Manku
+    block-combination keys via ``n_blocks``) -> equi-join the BATCH
+    probe side against corpus+batch postings on (band_id, band_key).
+    Lossless: any pair within the hamming radius shares a band
+    (pigeonhole), and every qualifying pair has a batch member to
+    probe from. Batch-batch pairs are kept once via id order;
+    batch-corpus pairs survive whichever side is smaller because the
+    emitted pair is (least, greatest). Hamming verification runs
+    BEFORE the pair distinct, exactly like the self-dedup, so the
+    distinct shuffle carries only true near-dups.
+
+    Scale: probe rows = |batch| x keys; the posting side is
+    corpus-proportional but slim (id, simhash, key) and shuffle_hash-
+    hinted for the same reason as simhash_pairs (the static planner
+    sizes the post-explode frame at the pre-explode scan — the
+    broadcast-audit OOM class). Candidate cost tracks
+    |batch| x keys + true collisions, never |corpus|^2.
+
+    Returns (doc_id_1, doc_id_2, hamming) with doc_id_1 < doc_id_2 —
+    identical to the full self-run restricted to batch-touching
+    pairs (equality tested)."""
+    band_exprs = _simhash_band_exprs(max_hamming, bits, n_bands, n_blocks)
+    if corpus_is_index:
+        sh_c = batch.sparkSession.read.parquet(corpus)
+    else:
+        sh_c = simhash_fingerprints(corpus, id_col, text_col, bits, n)
+    sh_b = simhash_fingerprints(batch, id_col, text_col, bits, n)
+
+    def banded(sh: DataFrame, mark: int) -> DataFrame:
+        return sh.select(
+            "id",
+            "simhash",
+            F.lit(mark).alias("is_b"),
+            F.posexplode(F.array(*band_exprs)).alias("band_id", "band_key"),
+        )
+
+    probe = banded(sh_b, 1)
+    postings = banded(sh_c, 0).unionByName(probe).select(
+        "band_id",
+        "band_key",
+        F.col("id").alias("id2"),
+        F.col("simhash").alias("simhash2"),
+        F.col("is_b").alias("is_b2"),
+    )
+    return (
+        probe.join(postings.hint("shuffle_hash"), ["band_id", "band_key"])
+        # batch-batch pairs once (id < id2); batch-corpus pairs always
+        # (the corpus side never probes, so no double counting)
+        .filter(
+            ((F.col("is_b2") == 1) & (F.col("id") < F.col("id2")))
+            | (F.col("is_b2") == 0)
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("id", "id2").alias("doc_id_1"),
+            F.greatest("id", "id2").alias("doc_id_2"),
+            "hamming",
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
 
 
@@ -1153,8 +1294,9 @@ def _containment_probes(ranked: DataFrame, threshold: float, d: int) -> DataFram
     """a-side probe rows: each doc's first P + d ranks under the
     shared global token order (P = |a| - ceil(t*|a|) + 1, the minimal
     lossless prefix)."""
+    p, q = _tq(threshold)
     return ranked.filter(
-        F.col("rk") <= F.floor(_r9((1 - threshold) * F.col("sz"))) + 1 + d
+        F.col("rk") <= F.expr(f"(({q - p}L * sz) div {q}L) + {1 + d}L")
     ).select(
         F.col("id").alias("a"),
         F.col("sz").alias("sza"),
@@ -1191,7 +1333,8 @@ def _containment_candidates(
     correctness condition (the incremental serve path leans on this:
     it ranks batch docs under the index's FROZEN build-time order).
     """
-    req = F.ceil(_r9(F.lit(threshold) * F.col("sza")))
+    p, q = _tq(threshold)
+    req = F.expr(f"({p}L * sza + {q - 1}L) div {q}L")
     need = F.least(F.lit(1 + d).cast("long"), req)
     ubound = (
         F.least(F.col("rka"), F.col("rkb"))
@@ -1216,7 +1359,7 @@ def _containment_candidates(
             F.col("m")
             >= F.least(
                 F.lit(1 + d).cast("long"),
-                F.ceil(_r9(F.lit(threshold) * F.col("sza"))),
+                F.expr(f"({p}L * sza + {q - 1}L) div {q}L"),
             )
         )
         .select("a", "b")
@@ -1300,6 +1443,7 @@ def containment_pairs_incremental(
     threshold: float = 0.6,
     prefix_extension: int = 2,
     corpus_is_index: bool = False,
+    prefilter_corpus_probes: bool = False,
 ) -> DataFrame:
     """Steady-state ingest spelling of containment dedup: all pairs of
     :func:`containment_pairs` over corpus-union-batch where a or b is
@@ -1314,18 +1458,23 @@ def containment_pairs_incremental(
     against batch postings only — never a corpus-corpus join.
     Direction 1 is batch-proportional end to end. Direction 2's raw
     probe frame is CORPUS-proportional (every corpus doc's prefix
-    rows — only the join OUTPUT is batch-bounded), so it is
-    prefiltered with a broadcast left-semi join on the batch's
-    distinct token set before the shuffle: probe rows whose token has
-    no batch posting produce zero join output (the inner join on
-    ``t`` would drop them anyway — lossless), and the broadcast makes
-    the drop map-side, bounding the rows that reach the direction-2
-    shuffle by the corpus prefix rows that SHARE a token with the
-    batch. The explicit broadcast is safe because the batch token set
-    is bounded by the ingest-increment contract (batch << corpus at
-    steady state); it is also why the static planner's post-explode
-    misestimate can't hurt here — we force the small side, not guess
-    it (ADVICE r7).
+    rows — only the join OUTPUT is batch-bounded; ADVICE r7 corrected
+    the old docstring's claim here). ``prefilter_corpus_probes=True``
+    bounds it: a broadcast left-semi join on the batch's distinct
+    token set drops, MAP-SIDE and before the shuffle, every corpus
+    probe row whose token has no batch posting (lossless — the inner
+    join on ``t`` drops them anyway), so the direction-2 shuffle
+    carries only corpus prefix rows sharing a token with the batch.
+    The explicit broadcast is safe exactly when the prefilter is
+    useful: a batch small relative to the corpus (the steady-state
+    ingest contract), whose token set filters most probe rows AND
+    fits a broadcast. Default OFF, mirroring the count_mode story
+    (SCALE.md round 7): at the certified 20%-batch registry shape the
+    batch covers most of the vocabulary, so the semi join filters
+    little and costs its build — measured at 100x best-of-2:
+    DataFrame mode 26.4 s OFF vs 28.4 s ON, index serve 8.0 s OFF vs
+    10.2 s ON — while at batch << corpus it is the per-task-balance
+    insurance that keeps direction 2 off the corpus-sized shuffle.
 
     ``corpus_is_index=True`` treats ``corpus`` as the PATH of a
     :func:`containment_index_build` index: corpus ranks, frequencies,
@@ -1387,10 +1536,10 @@ def containment_pairs_incremental(
         # instead of unioning two filtered copies of the same subtree
         # (Spark 4.1 shows no exchange reuse across plan copies)
         ranked_all = ranked_u.select("id", "sz", "t", "rk")
-    batch_tokens = ranked_b.select("t").distinct()
-    probes_c = _containment_probes(ranked_c, threshold, d).join(
-        F.broadcast(batch_tokens), "t", "left_semi"
-    )
+    probes_c = _containment_probes(ranked_c, threshold, d)
+    if prefilter_corpus_probes:
+        batch_tokens = ranked_b.select("t").distinct()
+        probes_c = probes_c.join(F.broadcast(batch_tokens), "t", "left_semi")
     cand = _containment_candidates(
         _containment_probes(ranked_b, threshold, d),
         as_index(ranked_all),

@@ -203,6 +203,28 @@ def dedup_simhash_combi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest spelling of SimHash dedup: pairs of the
+    full self-run where at least one side is a BATCH doc (doc_id % 5
+    == 0); the corpus side is never re-paired against itself. The
+    production path reads the corpus fingerprints from a persisted
+    simhash_index_build parquet (corpus_is_index=True) — both
+    spellings are output-identical (tests/test_round8_plans.py)."""
+    from ..operators.dedup import simhash_join
+
+    docs = _docs(spark, sf_dir)
+    return simhash_join(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id", "text", max_hamming=3, bits=48, n=2,
+    )
+
+
+DEDUP_SIMHASH_INCR_ORACLE = DEDUP_SIMHASH_ORACLE.rstrip() + """
+  AND (doc_id_1 % 5 = 0 OR doc_id_2 % 5 = 0)
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidates: intra-label pairs with cosine >=
     0.4 (label = the coarse blocking key; the testdata plants no true
@@ -938,6 +960,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash_combi": QuerySpec(
         dedup_simhash_combi, DEDUP_SIMHASH_ORACLE,
         "simhash near-dup pairs via Manku block-combination banding",
+    ),
+    "dedup_simhash_incremental": QuerySpec(
+        dedup_simhash_incremental, DEDUP_SIMHASH_INCR_ORACLE,
+        "batch-vs-corpus simhash pairs, full-run-restricted-to-batch",
     ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),

@@ -194,17 +194,62 @@ def test_new_rows_registered():
     from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
 
     specs = all_specs()
-    for name in ("dedup_simhash_combi", "dedup_containment_index_serve"):
+    for name in ("dedup_simhash_combi", "dedup_containment_index_serve",
+                 "dedup_simhash_incremental"):
         assert name in specs and specs[name].oracle is not None
+
+
+# ---------------------------------------------------------------
+# simhash_join (round 8): the incremental spelling equals the full
+# self-run restricted to batch-touching pairs, in DataFrame mode,
+# index mode, and combination-banding mode.
+# ---------------------------------------------------------------
+
+
+def test_simhash_join_equals_restricted_full_run(spark, sf_dir, tmp_path):
+    from mlops_realtime_data_ingestion_spark.operators.dedup import (
+        simhash_index_build,
+        simhash_join,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    full = {
+        tuple(r)
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    want = {
+        (a, b, h) for (a, b, h) in full if a % 5 == 0 or b % 5 == 0
+    }
+    got_df = {
+        tuple(r)
+        for r in simhash_join(corpus, batch, "doc_id", "text").collect()
+    }
+    assert got_df == want
+    got_combi = {
+        tuple(r)
+        for r in simhash_join(corpus, batch, "doc_id", "text",
+                              n_blocks=6).collect()
+    }
+    assert got_combi == want
+    idx = str(tmp_path / "simhash_idx")
+    simhash_index_build(corpus, idx, "doc_id", "text")
+    got_idx = {
+        tuple(r)
+        for r in simhash_join(idx, batch, "doc_id", "text",
+                              corpus_is_index=True).collect()
+    }
+    assert got_idx == want
 
 
 def test_round8_plan_broadcast_budget(spark, sf_dir):
     """Round-8 audit pin: dedup_simhash_combi must keep the zero-
     suspect-broadcast contract of dedup_simhash (the band frame is
     corpus x 20 keys — statically broadcasting it is the 100x OOM
-    class). The incremental containment rows are allowed EXACTLY
-    their one intentional broadcast each: the left-semi build side on
-    the batch's distinct token set (bounded by the ingest contract,
+    class), and the certified incremental containment rows carry none
+    either (the direction-2 batch-token broadcast is the opt-in
+    `prefilter_corpus_probes` knob, default OFF on measurement —
     SCALE.md round 8)."""
     from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
     from tools.broadcast_audit import flagged_broadcasts
@@ -212,8 +257,9 @@ def test_round8_plan_broadcast_budget(spark, sf_dir):
     specs = all_specs()
     budget = {
         "dedup_simhash_combi": 0,
-        "dedup_containment_incremental": 1,
-        "dedup_containment_index_serve": 1,
+        "dedup_simhash_incremental": 0,
+        "dedup_containment_incremental": 0,
+        "dedup_containment_index_serve": 0,
     }
     for name, allowed in budget.items():
         df = specs[name].fn(spark, sf_dir)
@@ -235,3 +281,29 @@ def test_containment_index_serve_equals_dataframe_mode(spark, sf_dir):
         for r in specs["dedup_containment_index_serve"].fn(spark, sf_dir).collect()
     }
     assert idx_mode == df_mode
+
+
+def test_containment_probe_prefilter_is_lossless(spark, sf_dir):
+    """The direction-2 broadcast-semi prefilter (the batch << corpus
+    steady-state knob) must not change the output."""
+    from mlops_realtime_data_ingestion_spark.operators.dedup import (
+        containment_pairs_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    base = {
+        tuple(r)
+        for r in containment_pairs_incremental(
+            corpus, batch, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    filtered = {
+        tuple(r)
+        for r in containment_pairs_incremental(
+            corpus, batch, "doc_id", "text", n=3, threshold=0.6,
+            prefilter_corpus_probes=True,
+        ).collect()
+    }
+    assert filtered == base
