@@ -605,7 +605,8 @@ def simhash_fingerprints(
     or synthetic corpora) unigram bit-votes converge to the corpus
     frequency profile and everything collides; n-gram votes are
     order-sensitive and discriminative. 48 bits sidesteps BIGINT sign
-    issues while keeping byte-banding natural (6 bands).
+    issues while dividing evenly into both banding schemes (4x12-bit
+    pigeonhole bands; 6x8-bit blocks for combination keys).
 
     Instead of a nested fold with an array accumulator (which DuckDB's
     lambda surface can't mirror), the bit-vote sum is a plain
