@@ -93,8 +93,11 @@ HEADLINE = [
     "dedup_simhash_combi",
     # round-8: the steady-state batch-vs-corpus simhash serve
     # (completes the incremental family: lsh / substring /
-    # containment / simhash)
+    # containment / simhash); the index-serve spelling reads the
+    # persisted fingerprint parquet (build untimed at plan
+    # construction, mirroring containment's index-serve row)
     "dedup_simhash_incremental",
+    "dedup_simhash_index_serve",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

@@ -225,6 +225,41 @@ DEDUP_SIMHASH_INCR_ORACLE = DEDUP_SIMHASH_ORACLE.rstrip() + """
 """
 
 
+# Build-once simhash fingerprint index per (process, sf_dir) —
+# mirrors the containment index-serve row: the build runs at
+# plan-construction time on first touch (the scheduled-job role) and
+# every timed window measures the SERVE, which is the plan a 100 TB
+# pipeline runs per ingest.
+_SIMHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def dedup_simhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-mode simhash serve: corpus fingerprints come from a
+    persisted simhash_index_build parquet (the corpus text is never
+    re-hashed); only the batch (doc_id % 5 == 0) is fingerprinted per
+    call. Output-identical to dedup_simhash_incremental — the band
+    keys are query-time bit arithmetic over the stored fingerprints —
+    so the oracle is shared."""
+    from ..operators.dedup import simhash_index_build, simhash_join
+
+    docs = _docs(spark, sf_dir)
+    idx = _SIMHASH_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="simhash_idx_") + "/fingerprints"
+        simhash_index_build(
+            docs.filter(F.col("doc_id") % 5 != 0), idx, "doc_id", "text"
+        )
+        _SIMHASH_INDEX_CACHE[sf_dir] = idx
+    return simhash_join(
+        idx,
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id", "text", max_hamming=3, bits=48, n=2,
+        corpus_is_index=True,
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidates: intra-label pairs with cosine >=
     0.4 (label = the coarse blocking key; the testdata plants no true
@@ -964,6 +999,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash_incremental": QuerySpec(
         dedup_simhash_incremental, DEDUP_SIMHASH_INCR_ORACLE,
         "batch-vs-corpus simhash pairs, full-run-restricted-to-batch",
+    ),
+    "dedup_simhash_index_serve": QuerySpec(
+        dedup_simhash_index_serve, DEDUP_SIMHASH_INCR_ORACLE,
+        "simhash serve from the persisted fingerprint index",
     ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),

@@ -195,7 +195,7 @@ def test_new_rows_registered():
 
     specs = all_specs()
     for name in ("dedup_simhash_combi", "dedup_containment_index_serve",
-                 "dedup_simhash_incremental"):
+                 "dedup_simhash_incremental", "dedup_simhash_index_serve"):
         assert name in specs and specs[name].oracle is not None
 
 
@@ -258,6 +258,7 @@ def test_round8_plan_broadcast_budget(spark, sf_dir):
     budget = {
         "dedup_simhash_combi": 0,
         "dedup_simhash_incremental": 0,
+        "dedup_simhash_index_serve": 0,
         "dedup_containment_incremental": 0,
         "dedup_containment_index_serve": 0,
     }
@@ -279,6 +280,21 @@ def test_containment_index_serve_equals_dataframe_mode(spark, sf_dir):
     idx_mode = {
         tuple(r)
         for r in specs["dedup_containment_index_serve"].fn(spark, sf_dir).collect()
+    }
+    assert idx_mode == df_mode
+
+
+def test_simhash_index_serve_equals_incremental(spark, sf_dir):
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    df_mode = {
+        tuple(r)
+        for r in specs["dedup_simhash_incremental"].fn(spark, sf_dir).collect()
+    }
+    idx_mode = {
+        tuple(r)
+        for r in specs["dedup_simhash_index_serve"].fn(spark, sf_dir).collect()
     }
     assert idx_mode == df_mode
 
