@@ -80,9 +80,24 @@ def main() -> None:
             signal.alarm(0)
         except _Timeout:
             skipped.append(name)
+            # the alarm can land MID py4j call, leaving the gateway
+            # socket desynchronized — every later call then dies with
+            # Py4JNetworkError (observed round 8). Probe the session
+            # and rebuild it if the gateway is poisoned.
+            try:
+                spark.range(1).count()
+            except Exception:
+                spark.stop()
+                spark = get_spark("broadcast-audit", shuffle_partitions=8)
             continue
         except Exception as ex:  # noqa: BLE001 - audit must not die
+            signal.alarm(0)
             skipped.append(f"{name}:{type(ex).__name__}")
+            try:
+                spark.range(1).count()
+            except Exception:
+                spark.stop()
+                spark = get_spark("broadcast-audit", shuffle_partitions=8)
             continue
         hits = flagged_broadcasts(plan)
         if hits:
