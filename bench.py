@@ -98,6 +98,18 @@ HEADLINE = [
     # construction, mirroring containment's index-serve row)
     "dedup_simhash_incremental",
     "dedup_simhash_index_serve",
+    # round-9: the production-quality ANN spelling — ADC top-50
+    # shortlist + exact-cosine refine (recall@5 0.995 vs 0.045 for the
+    # ADC-only row on the planted-cluster fixture).
+    # (dedup_embedding_cosine is deliberately NOT here, same reasoning
+    # as dedup_semdedup above: its oracle-checkable registry spelling
+    # pins n_planes=4 for the static SQL mirror, and a 16-bucket table
+    # over a 100x corpus measures a misconfiguration (occupancy ~1250
+    # -> half a billion candidate pairs), not the plan. The scaled
+    # sections run the SAME operator in its scale configuration —
+    # auto n_planes via choose_lsh_planes — with candidate/survivor
+    # accounting; see dedup_embedding_cosine_scaled below.)
+    "sim_search_ivfpq_rerank",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be
@@ -164,16 +176,21 @@ def main() -> None:
         "aggregate(sequence(1, 50), 0L, (a, x) -> a + x)"
     ).collect()
 
-    # Best-of-2 per query: single-shot numbers at sf0.1 swing 2-5x on
-    # first-touch effects (page cache, codegen cache, worker reuse);
-    # the min is the reproducible per-query cost.
+    # Best-of-3 per query (round 9; was best-of-2): single-shot
+    # numbers at sf0.1 swing 2-5x on first-touch effects (page cache,
+    # codegen cache, worker reuse), and round 8 showed best-of-2 still
+    # lets a noisy session drift the whole headline ~1.2x at
+    # sub-second per-query scale (VERDICT r8 "Performance" — the 100x
+    # numbers were flat while sf0.1 drifted). The min of three is the
+    # reproducible per-query cost; total extra wall is <1 min at
+    # sf0.1.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
@@ -261,6 +278,14 @@ def main() -> None:
             # measurement the fixed-k=4 registry query cannot honestly
             # provide (see HEADLINE comment).
             "dedup_semdedup_scaled": _semdedup_scaled(spark, scaled_dir, k=16),
+            # round 9: the banded embedding dedup in its SCALE
+            # configuration (auto n_planes, 4-table amplification) —
+            # wall + candidate/survivor accounting so the old row's
+            # never-measured quadratic term is now measured at every
+            # scale (VERDICT r8 task 1)
+            "dedup_embedding_cosine_scaled": _embedding_lsh_scaled(
+                spark, {"sf": sf_dir, "scaled": scaled_dir}
+            ),
         }
 
     # 100x checkpoint: if the 100x-replicated dataset exists
@@ -315,6 +340,10 @@ def main() -> None:
             # PPJoin+ positional + adaptive-prefix filters
             "containment_accounting": _containment_accounting_safe(
                 spark, s100_dir
+            ),
+            # round 9: banded embedding dedup at 100x (auto n_planes)
+            "dedup_embedding_cosine_scaled": _embedding_lsh_scaled(
+                spark, {"scale100": s100_dir}
             ),
         }
 
@@ -544,6 +573,42 @@ def _containment_accounting_safe(spark, data_dir: str) -> dict | None:
         return containment_accounting(
             docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
         )
+    except Exception:
+        return None
+
+
+def _embedding_lsh_scaled(spark, dirs: dict[str, str]) -> dict | None:
+    """Wall time + candidate/survivor accounting for the banded
+    embedding dedup (dedup_embedding_cosine's operator) in its SCALE
+    configuration — auto n_planes (choose_lsh_planes), 4-table
+    amplification, label blocking, threshold 0.3 like the registry
+    row. The registry row itself pins n_planes=4 for its static SQL
+    oracle, which is a misconfiguration beyond ~10k vectors (see the
+    HEADLINE comment); this section is the honest scale measurement.
+    None on failure, like every accounting section."""
+    try:
+        from mlops_realtime_data_ingestion_spark.operators.similarity import (
+            embedding_lsh_accounting,
+            embedding_lsh_pairs,
+        )
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+        out = {}
+        for label, d in dirs.items():
+            emb = load_table(spark, d, "embeddings")
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                embedding_lsh_pairs(
+                    emb, threshold=0.3, n_tables=4, block_cols=("label",)
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            acc = embedding_lsh_accounting(
+                emb, threshold=0.3, n_tables=4, block_cols=("label",)
+            )
+            out[label] = {"sec": round(best, 3), **acc}
+        return out
     except Exception:
         return None
 

@@ -246,15 +246,32 @@ def duck_minhash_sigs(s_arr: str) -> str:
 # ---------- random-hyperplane LSH bucket of a float vector ----------
 # Plane j's weight at (1-based) dim i is a pseudo-random double in
 # [-0.5, 0.5) derived from the same public constants:
-#   w(j, i) = ((A[j] * i + B[j]) % P) / P - 0.5
+#   w(j, i) = ((A(j) * i + B(j)) % P) / P - 0.5
 # The bucket is the n-bit sign pattern of the plane dot products,
 # computed as a SEQUENTIAL ascending fold in both engines so the
 # doubles (and therefore the signs and the bucket) are bit-identical.
 
 
+def plane_ab(j: int) -> tuple[int, int]:
+    """Plane j's (A, B) constants. j < 16 reads the published arrays
+    (unchanged — every existing bucket/JL expression keeps its
+    values); j >= 16 extends them deterministically, cycling the
+    arrays with a public odd multiplier / prime offset per wrap:
+      A(j) = (A[j%16] * (2*(j//16) + 1)) % P
+      B(j) = (B[j%16] + 7919 * (j//16)) % P
+    Pure integer arithmetic on public constants, evaluated at
+    expression-BUILD time — the baked literals are what Spark, DuckDB
+    and the Arrow path all consume, so the engines cannot diverge."""
+    k, t = j % len(MINHASH_A), j // len(MINHASH_A)
+    if t == 0:
+        return MINHASH_A[k], MINHASH_B[k]
+    return (MINHASH_A[k] * (2 * t + 1)) % P, (MINHASH_B[k] + 7919 * t) % P
+
+
 def _spark_plane_dot(vec: str, j: int) -> str:
+    a, b = plane_ab(j)
     w = (
-        f"(cast((cast({MINHASH_A[j]} as bigint) * i + {MINHASH_B[j]}) % {P} as double)"
+        f"(cast((cast({a} as bigint) * i + {b}) % {P} as double)"
         f" / cast({P} as double) - 0.5d)"
     )
     return (
@@ -264,8 +281,9 @@ def _spark_plane_dot(vec: str, j: int) -> str:
 
 
 def _duck_plane_dot(vec: str, j: int) -> str:
+    a, b = plane_ab(j)
     w = (
-        f"(CAST((CAST({MINHASH_A[j]} AS BIGINT) * i + {MINHASH_B[j]}) % {P} AS DOUBLE)"
+        f"(CAST((CAST({a} AS BIGINT) * i + {b}) % {P} AS DOUBLE)"
         f" / CAST({P} AS DOUBLE) - 0.5)"
     )
     return (
@@ -286,6 +304,30 @@ def spark_hyperplane_bucket(vec: str, n_planes: int) -> str:
 def duck_hyperplane_bucket(vec: str, n_planes: int) -> str:
     bits = [
         f"(CASE WHEN {_duck_plane_dot(vec, j)} >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return f"CAST({' + '.join(bits)} AS INTEGER)"
+
+
+# Multi-table variants: table t's bucket reads planes
+# [t*n_planes, (t+1)*n_planes) — n_tables INDEPENDENT plane sets for
+# OR-amplified LSH (a pair is a candidate if ANY table's buckets
+# match). Table 0 equals the single-table bucket above.
+
+
+def spark_hyperplane_bucket_table(vec: str, n_planes: int, table: int) -> str:
+    bits = [
+        f"(case when {_spark_plane_dot(vec, table * n_planes + j)} >= 0.0d"
+        f" then {1 << j} else 0 end)"
+        for j in range(n_planes)
+    ]
+    return f"cast({' + '.join(bits)} as int)"
+
+
+def duck_hyperplane_bucket_table(vec: str, n_planes: int, table: int) -> str:
+    bits = [
+        f"(CASE WHEN {_duck_plane_dot(vec, table * n_planes + j)} >= 0.0"
+        f" THEN {1 << j} ELSE 0 END)"
         for j in range(n_planes)
     ]
     return f"CAST({' + '.join(bits)} AS INTEGER)"

@@ -226,3 +226,32 @@ def fingerprint_series(texts: pd.Series) -> pd.Series:
     import re
 
     return texts.map(lambda t: str_hash(re.sub(r"\s+", " ", (t or "").lower().strip())))
+
+
+def hyperplane_keys_series(
+    embs: pd.Series, n_planes: int, n_tables: int
+) -> pd.Series:
+    """Per-row array of ``n_tables`` hyperplane bucket keys (table t =
+    sign pattern of planes [t*n_planes, (t+1)*n_planes)) — the Arrow
+    fast path for H.spark_hyperplane_bucket_table, bit-identical to
+    the fold spelling (asserted in tests/test_round9_plans.py): the
+    per-plane dot accumulates float64 terms in ascending-dim order
+    (vectorized ACROSS rows, sequential across dims — the same
+    operation sequence per element as the SQL fold), and the plane
+    weights are the same baked (A(j)*i + B(j)) % P integers divided
+    in float64. Requires a fixed embedding dim per batch (the
+    embeddings-table contract)."""
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+    n, dim = X.shape
+    out = np.zeros((n, n_tables), dtype=np.int32)
+    for t in range(n_tables):
+        bucket = np.zeros(n, dtype=np.int32)
+        for j in range(n_planes):
+            a, b = H.plane_ab(t * n_planes + j)
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(1, dim + 1):
+                w = ((a * i + b) % H.P) / H.P - 0.5
+                acc = acc + X[:, i - 1] * w
+            bucket = bucket | ((acc >= 0.0).astype(np.int32) << j)
+        out[:, t] = bucket
+    return pd.Series(list(out))

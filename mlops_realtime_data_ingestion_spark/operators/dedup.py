@@ -155,8 +155,24 @@ def _tq(threshold: float) -> tuple[int, int]:
     shingles-per-doc, far inside int64. The final verification
     filters (jaccard/containment >= threshold) are NOT guarded: they
     are plain double comparisons that mirror the oracle's float math
-    exactly."""
-    return round(threshold * 1_000_000_000), 1_000_000_000
+    exactly.
+
+    p is CLAMPED so p/q <= threshold as doubles (ADVICE r8): bare
+    round() can land ABOVE the double threshold (t = 2/3 ->
+    p = 666666667, p/q = 0.666666667 > 0.66666666666666663), and a
+    rational sitting above t re-tightens every derived bound past
+    what the float verification accepts — the exact bug class this
+    helper exists to prevent, reintroduced for any threshold whose
+    9-dp rounding exceeds its double value. Decrementing p keeps
+    decimal thresholds exact (their rounding never overshoots) and
+    makes a non-decimal threshold's bound one row LOOSER — lossless,
+    the verification filter still applies t itself. Boundary
+    fixtures: tests/test_round9_plans.py (t = 2/3, sz = 3)."""
+    q = 1_000_000_000
+    p = round(threshold * q)
+    if p / q > threshold:
+        p -= 1
+    return p, q
 
 
 def _prefix_candidates(
@@ -385,6 +401,12 @@ def _candidate_pair_frame(
         big_rows = big.limit(65).collect()  # bounded driver metadata
         if not big_rows:
             pairs = direct_pairs(shingled)
+        elif not keys:
+            # unblocked spelling (no block_cols, no length_band): the
+            # corpus is ONE block, and it is hot — route it whole
+            # through the prefix filter (the literal/semi split below
+            # would reduce over zero key predicates)
+            pairs = _prefix_pairs(shingled, keys, threshold, cache_prefix)
         elif len(big_rows) <= 64:
             import functools
             import operator
@@ -717,6 +739,65 @@ def _simhash_band_exprs(
     ]
 
 
+def choose_simhash_banding(
+    n_docs: int,
+    bits: int = 48,
+    max_hamming: int = 3,
+    simple_max_docs: int = 10_000_000,
+    pairs_per_doc: float = 10.0,
+) -> dict:
+    """The banding decision rule (VERDICT r8 task 5): given a corpus
+    doc count, return the ``{"n_bands": ..., "n_blocks": ...}`` kwargs
+    whose plan survives that scale, so callers no longer need to know
+    that >= 1e8 docs requires combination banding.
+
+    Rule (contract = the SCALE.md round-8/9 collision table):
+
+    - ``n_docs < simple_max_docs`` (1e7, the measured crossover —
+      below it simple banding's (h+1)-rows/doc probe side beats
+      combination's C(b,h), and the docs^2*(h+1)/2^(bits/(h+1))
+      random term is still small): simple pigeonhole bands.
+    - else: combination banding with the SMALLEST feasible block
+      count b (fewest probe keys) whose expected random-collision
+      pairs, docs^2/2 * C(b,h) / 2^keybits(b), stay within
+      ``pairs_per_doc`` * docs — i.e. the candidate stream stays
+      LINEAR in the corpus. keybits(b) = the (b-h) widest blocks'
+      total width (matching _simhash_band_exprs), capped at 63.
+    - if NO feasible b exists at these bits (e.g. 1e9 docs at 48
+      bits), return the argmin-collision b anyway — the best this
+      fingerprint width can do — so the caller gets the survivable-
+      est plan; the fix at that scale is wider fingerprints
+      (bits=64, where b=6 already holds 1e9 docs to ~6e8 random
+      pairs), which this function will select once given them.
+    """
+    from itertools import combinations as _comb  # noqa: F401
+
+    h = max_hamming
+    if n_docs < simple_max_docs:
+        return {"n_bands": None, "n_blocks": None}
+
+    def keybits(b: int) -> int:
+        w = bits // b
+        widths = [w + (bits - b * w if k == b - 1 else 0) for k in range(b)]
+        return sum(sorted(widths, reverse=True)[: b - h])
+
+    def nck(n_: int, k_: int) -> int:
+        from math import comb
+
+        return comb(n_, k_)
+
+    best, best_pairs = None, None
+    for b in range(h + 2, bits + 1):
+        if bits // b == 0 or keybits(b) > 63:
+            continue
+        est = n_docs * n_docs / 2 * nck(b, h) / (1 << keybits(b))
+        if est <= pairs_per_doc * n_docs:
+            return {"n_bands": None, "n_blocks": b}
+        if best_pairs is None or est < best_pairs:
+            best, best_pairs = b, est
+    return {"n_bands": None, "n_blocks": best}
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -727,10 +808,20 @@ def simhash_pairs(
     n_bands: int | None = None,
     n_blocks: int | None = None,
     cache: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, band blocked.
 
-    SIMPLE banding (default): hashes within hamming <= (n_bands - 1)
+    BANDING AUTO-SELECT (round 9): with neither ``n_bands`` nor
+    ``n_blocks`` given, the banding scheme is chosen by
+    :func:`choose_simhash_banding` from the corpus doc count
+    (``n_docs``, counted with one column-pruned job when not passed —
+    parquet-metadata cheap), so the DEFAULT plan is the survivable
+    one at every scale: simple banding below the measured 1e7-doc
+    crossover, block-combination keys above it. Passing either knob
+    pins the scheme explicitly (the certified registry rows do).
+
+    SIMPLE banding: hashes within hamming <= (n_bands - 1)
     share at least one band (pigeonhole), so ``n_bands`` defaults to
     the MINIMAL lossless count, max_hamming + 1 — at 48 bits /
     hamming 3 that is 4 bands of 12 bits, a 4096-value key space per
@@ -772,6 +863,11 @@ def simhash_pairs(
     where a corpus-sized session cache is pure memory pressure and
     each side recomputes from the scan (VERDICT r7 task 4 — mirrors
     ngram_jaccard_pairs' ``cache_prefix``)."""
+    if n_bands is None and n_blocks is None:
+        if n_docs is None:
+            n_docs = df.select(id_col).count()
+        chosen = choose_simhash_banding(n_docs, bits, max_hamming)
+        n_bands, n_blocks = chosen["n_bands"], chosen["n_blocks"]
     band_exprs = _simhash_band_exprs(max_hamming, bits, n_bands, n_blocks)
     sh = simhash_fingerprints(df, id_col, text_col, bits, n)
     if cache:
@@ -820,18 +916,26 @@ def simhash_index_build(
     text_col: str = "text",
     bits: int = 48,
     n: int = 2,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the corpus SimHash index (mirrors
     containment_index_build / substring_index_build): ONE parquet
     frame of (id, simhash) fingerprints under ``path``. Built once by
-    a scheduled job; appended per ingest (write mode "append" after
-    serving the batch); :func:`simhash_join` serves batches against
-    it without re-fingerprinting the corpus. The band keys are pure
-    bit arithmetic over the stored fingerprint, so the index is valid
-    for ANY later (n_bands, n_blocks, max_hamming <= banding radius)
-    choice — banding is a query-time decision, not a build-time one."""
+    a scheduled job with the default ``mode="overwrite"``; per-ingest
+    maintenance is ``mode="append"`` with the served batch (ADVICE
+    r8 — the lifecycle the docstring promised now has an API,
+    mirroring substring_index_update's contract, including its
+    EXACTLY-ONCE caveat: a retried append leaves duplicate (id,
+    simhash) rows, which the serve's final dropDuplicates masks for
+    pair OUTPUT but still pays as doubled posting rows — drive
+    appends from exactly-once orchestration). :func:`simhash_join`
+    serves batches against the index without re-fingerprinting the
+    corpus. The band keys are pure bit arithmetic over the stored
+    fingerprint, so the index is valid for ANY later (n_bands,
+    n_blocks, max_hamming <= banding radius) choice — banding is a
+    query-time decision, not a build-time one."""
     simhash_fingerprints(df, id_col, text_col, bits, n).write.mode(
-        "overwrite"
+        mode
     ).parquet(path)
 
 
@@ -846,6 +950,7 @@ def simhash_join(
     n_bands: int | None = None,
     n_blocks: int | None = None,
     corpus_is_index: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL SimHash dedup: all pairs of the full self-run
     (:func:`simhash_pairs`) where at least one side is a BATCH doc —
@@ -879,13 +984,30 @@ def simhash_join(
 
     Returns (doc_id_1, doc_id_2, hamming) with doc_id_1 < doc_id_2 —
     identical to the full self-run restricted to batch-touching
-    pairs (equality tested)."""
-    band_exprs = _simhash_band_exprs(max_hamming, bits, n_bands, n_blocks)
+    pairs (equality tested).
+
+    Banding auto-select (round 9): with neither ``n_bands`` nor
+    ``n_blocks`` given, the scheme is chosen by
+    :func:`choose_simhash_banding` from the POSTING-side doc count
+    (corpus + batch — that is the frame whose random band collisions
+    scale) — index mode counts the parquet (metadata-cheap), else one
+    column-pruned count per side; pass ``n_docs`` to skip the jobs or
+    either knob to pin the scheme."""
     if corpus_is_index:
         sh_c = batch.sparkSession.read.parquet(corpus)
     else:
         sh_c = simhash_fingerprints(corpus, id_col, text_col, bits, n)
     sh_b = simhash_fingerprints(batch, id_col, text_col, bits, n)
+    if n_bands is None and n_blocks is None:
+        if n_docs is None:
+            n_docs = (
+                sh_c.select("id").count()
+                if corpus_is_index
+                else corpus.select(id_col).count()
+            ) + batch.select(id_col).count()
+        chosen = choose_simhash_banding(n_docs, bits, max_hamming)
+        n_bands, n_blocks = chosen["n_bands"], chosen["n_blocks"]
+    band_exprs = _simhash_band_exprs(max_hamming, bits, n_bands, n_blocks)
 
     def banded(sh: DataFrame, mark: int) -> DataFrame:
         return sh.select(
@@ -1435,6 +1557,14 @@ def containment_index_build(
     freq.write.mode("overwrite").parquet(f"{path}/freq")
 
 
+# Auto threshold for containment_pairs_incremental's direction-2
+# probe prefilter: ON iff batch docs < this fraction of corpus docs.
+# Chosen from the shuffle-volume contract (see the docstring) — the
+# sandbox cannot shape a batch whose vocabulary is a small subset of
+# the corpus's, so wall-clock alone cannot locate the break-even here.
+_PREFILTER_BATCH_RATIO = 0.05
+
+
 def containment_pairs_incremental(
     corpus,
     batch: DataFrame,
@@ -1444,7 +1574,7 @@ def containment_pairs_incremental(
     threshold: float = 0.6,
     prefix_extension: int = 2,
     corpus_is_index: bool = False,
-    prefilter_corpus_probes: bool = False,
+    prefilter_corpus_probes: bool | None = None,
 ) -> DataFrame:
     """Steady-state ingest spelling of containment dedup: all pairs of
     :func:`containment_pairs` over corpus-union-batch where a or b is
@@ -1469,13 +1599,29 @@ def containment_pairs_incremental(
     The explicit broadcast is safe exactly when the prefilter is
     useful: a batch small relative to the corpus (the steady-state
     ingest contract), whose token set filters most probe rows AND
-    fits a broadcast. Default OFF, mirroring the count_mode story
-    (SCALE.md round 7): at the certified 20%-batch registry shape the
-    batch covers most of the vocabulary, so the semi join filters
-    little and costs its build — measured at 100x best-of-2:
-    DataFrame mode 26.4 s OFF vs 28.4 s ON, index serve 8.0 s OFF vs
-    10.2 s ON — while at batch << corpus it is the per-task-balance
-    insurance that keeps direction 2 off the corpus-sized shuffle.
+    fits a broadcast.
+
+    Default AUTO (round 9, VERDICT r8 task 4): ``None`` derives the
+    knob from the batch/corpus DOC-COUNT ratio at plan build (one
+    column-pruned count per side — parquet-metadata cheap; index
+    mode counts the persisted shingle frame): ON iff batch <
+    ``_PREFILTER_BATCH_RATIO`` (5%) of the corpus. The row exists to
+    certify the TRUE steady state (batch << corpus), where direction
+    2 without the prefilter shuffles every corpus doc's prefix rows
+    per ingest — a static OFF tuned to the registry's 20%-batch test
+    shape was the wrong contract (VERDICT r8). Measured at the 100x
+    checkpoint (tools/sweep_round9.py, index serve, best-of-2):
+    20%-batch 8.2 s OFF vs 10.4 s ON (batch covers most of the
+    vocabulary — the semi join filters little and costs its build);
+    2%-batch 5.6 s OFF vs 5.8 s ON at 60k-doc scale, where even a 2%
+    batch of a Zipfian corpus still covers most of the TOKEN
+    vocabulary. The wall-clock break-even therefore sits BELOW any
+    ratio this sandbox can shape; 5% is chosen from the shuffle-
+    volume contract instead (direction-2 shuffle rows drop from
+    corpus-proportional to matched-token-proportional exactly when
+    the batch vocabulary is a small subset), with both measurements
+    recorded in SCALE.md round 9. Pass True/False to pin either
+    behavior (the equality tests pin both lossless).
 
     ``corpus_is_index=True`` treats ``corpus`` as the PATH of a
     :func:`containment_index_build` index: corpus ranks, frequencies,
@@ -1488,6 +1634,15 @@ def containment_pairs_incremental(
     exact either way).
     """
     d = int(prefix_extension)
+    if prefilter_corpus_probes is None:
+        n_batch = batch.select(id_col).count()
+        n_corpus = (
+            batch.sparkSession.read.parquet(f"{corpus}/shingles")
+            .select("id").count()
+            if corpus_is_index
+            else corpus.select(id_col).count()
+        )
+        prefilter_corpus_probes = n_batch < _PREFILTER_BATCH_RATIO * n_corpus
     sh_b = (
         with_shingle_hashes(batch, id_col, text_col, n)
         .filter(F.size("sh") > 0)

@@ -18,6 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,6 +35,9 @@ __all__ = [
     "ivfpq_topk",
     "ivfpq_build",
     "ivfpq_search",
+    "ivfpq_rerank",
+    "embedding_lsh_pairs",
+    "embedding_lsh_accounting",
 ]
 
 
@@ -732,3 +736,193 @@ def ivfpq_search(
     if vectors is None:
         raise ValueError("rerank requires the raw `vectors` DataFrame")
     return ivfpq_rerank(shortlist, queries, vectors, k, id_col, vec_col)
+
+
+def _hyperplane_keys_col(vec_col: str, n_planes: int, n_tables: int, impl: str):
+    """array<int> of the n_tables bucket keys for ``vec_col``.
+
+    impl="pandas" (default): Arrow-batched numpy, bit-identical to the
+    fold (equality asserted in tests/test_round9_plans.py); impl="sql"
+    keeps the interpreted higher-order-function spelling as the
+    oracle-documented reference."""
+    if impl == "sql":
+        return F.array(*[
+            F.expr(H.spark_hyperplane_bucket_table(vec_col, n_planes, t))
+            for t in range(n_tables)
+        ])
+    from ..functions import hashing_pandas as HP
+
+    @F.pandas_udf("array<int>")
+    def keys_udf(v: pd.Series) -> pd.Series:
+        return HP.hyperplane_keys_series(v, n_planes, n_tables)
+
+    return keys_udf(F.col(vec_col))
+
+
+def choose_lsh_planes(
+    n_docs: int, target_occupancy: int = 16, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count holding expected bucket occupancy n_docs /
+    2^n_planes near ``target_occupancy`` — the survivable-default rule
+    for :func:`embedding_lsh_pairs` (mirrors choose_simhash_banding):
+    candidates per table ~ buckets * C(occupancy, 2), LINEAR in the
+    corpus at constant occupancy. Recall per table falls as planes
+    grow ((1 - theta/pi)^n_planes), so production amplifies with more
+    ``n_tables`` as it scales — that knob stays explicit (it is a
+    recall budget, not a survival constraint)."""
+    import math
+
+    if n_docs <= target_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_docs / target_occupancy))))
+
+
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_cols: tuple[str, ...] = (),
+    impl: str = "pandas",
+) -> DataFrame:
+    """Embedding near-dup pairs with BOUNDED candidate generation
+    (VERDICT r8 task 1 — replaces the raw intra-block all-pairs join,
+    the engine's last corpus^2 plan): random-hyperplane LSH banding
+    with OR-amplification, exact-cosine verification.
+
+    Candidates = pairs sharing ``block_cols`` AND at least one of
+    ``n_tables`` independent hyperplane bucket keys (table t = the
+    sign pattern of planes [t*n_planes, (t+1)*n_planes) — fixed
+    PUBLIC pseudo-random planes, functions/hashing.py, so the
+    buckets, candidate set, and ranking are bit-deterministic across
+    engines and the whole plan is DuckDB-oracle-checkable). Verified
+    pairs carry exact 6dp-rounded cosine >= ``threshold``.
+
+    RECALL CONTRACT (documented, like ngram_jaccard's length_band):
+    a true pair is missed iff some plane separates it in EVERY
+    table — P(candidate | angle theta) = 1 - (1 - (1 - theta/pi)^
+    n_planes)^n_tables. At near-dup similarity (cos >= 0.95, theta
+    <= 18deg) the default 4x2 reaches ~0.88 and 4-table
+    amplification ~0.99; at the 0.4 threshold boundary recall is
+    intentionally lower — LSH trades borderline-pair recall for the
+    corpus^2 -> linear candidate bound, the same trade every
+    production embedding-dedup pipeline makes (the lossless
+    alternative for thresholded cosine does not exist without a
+    data-dependent index; `dedup_semdedup` / IVF cells are the
+    in-repo data-dependent variants).
+
+    SCALE: ``n_planes`` is the bucket-size knob — buckets per table =
+    2^n_planes, so expected bucket occupancy n_docs / (blocks *
+    2^n_planes) is held ~constant by n_planes ~ log2(n_docs). The
+    DEFAULT (``n_planes=None``) applies exactly that rule
+    (:func:`choose_lsh_planes`, one column-pruned count at plan
+    build) so the default plan stays linear at every corpus size;
+    the oracle-checked registry row pins n_planes=4 explicitly (a
+    data-dependent plane count is not expressible in a static SQL
+    oracle). ``n_tables`` buys recall linearly in probe rows.
+    Candidate count = sum of per-(block, table, bucket)
+    C(occupancy, 2) — linear in the corpus at constant occupancy;
+    measured in the 10x/100x bench accounting
+    (embedding_lsh_accounting). The band join is shuffle_hash-hinted
+    like simhash_pairs: the banded frame is corpus-proportional and
+    the static planner would broadcast it on the pre-explode
+    estimate (the round-7 broadcast-audit OOM class).
+
+    Plan: keys (one Arrow projection) -> posexplode -> self-join on
+    (block, table, key) -> distinct id pairs -> re-join the two
+    embedding arrays -> exact cosine filter. The distinct runs BEFORE
+    the (interpreted-fold) cosine so each surviving pair pays the
+    verification exactly once; candidates carry ids only, never the
+    vectors.
+    """
+    if n_planes is None:
+        n_planes = choose_lsh_planes(corpus.select(id_col).count())
+    base = corpus.select(
+        F.col(id_col).alias("id"), *block_cols, F.col(vec_col).alias("v")
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    keys = _hyperplane_keys_col("v", n_planes, n_tables, impl)
+    banded = base.withColumn("__keys", keys).select(
+        "id", *block_cols, F.posexplode("__keys").alias("tbl", "bkey")
+    )
+    rhs = banded.select(
+        *block_cols, "tbl", "bkey", F.col("id").alias("id2")
+    )
+    cand = (
+        banded.join(rhs.hint("shuffle_hash"), list(block_cols) + ["tbl", "bkey"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2")
+        .distinct()
+    )
+    lhs_v = base.select(F.col("id").alias("id"), F.col("v").alias("v1"))
+    rhs_v = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    # merge hints on BOTH vector-side verification joins: the frames
+    # are corpus-proportional (full-width embedding arrays), and the
+    # static planner broadcasts them off the pre-UDF scan estimate
+    # (round-7 broadcast-audit OOM class; observed BuildRight on both
+    # at sf0.01 without the hints)
+    return (
+        cand.join(lhs_v.hint("merge"), "id")
+        .join(rhs_v.hint("merge"), "id2")
+        .withColumn("sim", F.round(cosine("v1", "v2"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("id").alias("vec_id_1"),
+            F.col("id2").alias("vec_id_2"),
+            "sim",
+        )
+    )
+
+
+def embedding_lsh_accounting(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_cols: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Candidates (post band join + distinct, pre verification) vs
+    survivors for :func:`embedding_lsh_pairs` — the number the scaled
+    bench tracks so the linear-candidates claim is measured, not
+    argued (same contract as ngram_jaccard_accounting). n_planes=None
+    applies the choose_lsh_planes auto rule; the returned dict
+    records the resolved value."""
+    if n_planes is None:
+        n_planes = choose_lsh_planes(corpus.select(id_col).count())
+    base = corpus.select(
+        F.col(id_col).alias("id"), *block_cols, F.col(vec_col).alias("v")
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    keys = _hyperplane_keys_col("v", n_planes, n_tables, "pandas")
+    banded = base.withColumn("__keys", keys).select(
+        "id", *block_cols, F.posexplode("__keys").alias("tbl", "bkey")
+    )
+    rhs = banded.select(*block_cols, "tbl", "bkey", F.col("id").alias("id2"))
+    cand = (
+        banded.join(rhs.hint("shuffle_hash"), list(block_cols) + ["tbl", "bkey"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2")
+        .distinct()
+        .persist()
+    )
+    try:
+        candidates = cand.count()
+        lhs_v = base.select(F.col("id").alias("id"), F.col("v").alias("v1"))
+        rhs_v = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+        survivors = (
+            cand.join(lhs_v.hint("merge"), "id")
+            .join(rhs_v.hint("merge"), "id2")
+            .withColumn("sim", F.round(cosine("v1", "v2"), 6))
+            .filter(F.col("sim") >= threshold)
+            .count()
+        )
+    finally:
+        cand.unpersist()
+    return {
+        "candidates": candidates,
+        "survivors": survivors,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+    }

@@ -490,7 +490,8 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(coarse_k: int, m: int, subdim: int, pq_k: int,
-                  iters: int, nprobe: int, topk: int, nq: int) -> str:
+                  iters: int, nprobe: int, topk: int, nq: int,
+                  rerank: int | None = None) -> str:
     from .extension_queries import _duck_sq_dist
     from .quality_queries import pq_subspace_ctes
 
@@ -533,18 +534,72 @@ def _ivfpq_oracle(coarse_k: int, m: int, subdim: int, pq_k: int,
         " JOIN lut l ON l.query_id = c.query_id AND l.s = co.s"
         " AND l.code = co.code GROUP BY 1, 2)"
     )
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
+    if rerank is None:
+        return (
+            "WITH " + ",\n".join(ctes) + f"""
 SELECT query_id, rank, neighbor_id, adc_dist FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
   FROM adc
 ) WHERE rank <= {topk}
 """
+        )
+    # FAISS refine stage (mirrors operators/similarity.ivfpq_rerank):
+    # ADC top-``rerank`` shortlist, re-ranked by exact sequential-fold
+    # cosine against the raw vectors, top-``topk`` kept.
+    from .extension_queries import _duck_cosine
+
+    ctes.append(
+        f"shortlist AS (SELECT query_id, neighbor_id FROM ("
+        f" SELECT *, row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY adc_dist ASC, neighbor_id ASC) AS srank FROM adc)"
+        f" WHERE srank <= {rerank})"
+    )
+    ctes.append(
+        f"rr AS (SELECT s.query_id, s.neighbor_id,"
+        f" round({_duck_cosine('qe.embedding', 'ne.embedding')}, 6) AS sim"
+        f" FROM shortlist s"
+        f" JOIN embeddings ne ON ne.vec_id = s.neighbor_id"
+        f" JOIN embeddings qe ON qe.vec_id = s.query_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {topk}
+"""
     )
 
 
 IVFPQ_ORACLE = _ivfpq_oracle(4, 4, 16, 4, 2, nprobe=2, topk=5, nq=5)
+
+
+def sim_search_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + FAISS refine stage, the PRODUCTION-QUALITY ANN
+    spelling (VERDICT r8 task 3): ADC top-50 shortlist from
+    finer-grained codebooks (m=4, pq_k=32), re-ranked by EXACT cosine
+    against the raw vectors for shortlist rows only. The planted-
+    cluster fixture (tests/test_ann_recall.py) measured ADC-only
+    ranking at recall@5 = 0.045 on tightly clustered data (PQ
+    quantization error is cluster-radius-scale, so ADC ties within a
+    cell) and the rerank spelling at 0.995 — certifying only the
+    ADC-only row meant a user copying the certified plan got the
+    measured-bad quality path. Refine cost: raw vectors are touched
+    for queries x 50 rows only (~1e-4 of brute force at 1e9 docs)."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64,
+        coarse_k=4, m=4, pq_k=32, iters=2, nprobe=2, k=5, rerank=50,
+    )
+
+
+IVFPQ_RERANK_ORACLE = _ivfpq_oracle(
+    4, 4, 16, 32, 2, nprobe=2, topk=5, nq=5, rerank=50
+)
 
 
 # ---------- dataset card ----------
@@ -613,6 +668,9 @@ SPECS: dict[str, QuerySpec] = {
     "sim_search_ivfpq": QuerySpec(
         sim_search_ivfpq, IVFPQ_ORACLE,
         "IVF-PQ ANN with ADC lookup tables (deterministic)"),
+    "sim_search_ivfpq_rerank": QuerySpec(
+        sim_search_ivfpq_rerank, IVFPQ_RERANK_ORACLE,
+        "IVF-PQ + exact-cosine refine of the ADC top-50 shortlist"),
     "dataset_card_report": QuerySpec(
         dataset_card_report, DATASET_CARD_ORACLE,
         "per-(source,lang) dataset-card accounting"),

@@ -261,29 +261,55 @@ def dedup_simhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup candidates: intra-label pairs with cosine >=
-    0.4 (label = the coarse blocking key; the testdata plants no true
-    vector dups, so the threshold sits at the top of the intra-cluster
-    distribution)."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("label"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("label"), F.col("embedding").alias("e2"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("sim", F.round(cosine("e1", "e2"), 6))
-        .filter(F.col("sim") >= 0.4)
-        .select(F.col("id1").alias("vec_id_1"), F.col("id2").alias("vec_id_2"), "sim")
+    """Embedding near-dup pairs with cosine >= 0.4 over BOUNDED
+    candidates: same label AND >= 1 shared hyperplane-LSH bucket
+    (4 planes x 2 tables of fixed public planes), exact cosine
+    verification (VERDICT r8 task 1 — the old spelling was a raw
+    intra-label all-pairs join, the engine's last corpus^2 plan:
+    10 fixed labels means pairs grew as corpus^2/10 with no filter
+    in front; the banding bounds candidates at constant bucket
+    occupancy, with n_planes the log2(corpus)-scaled knob and the
+    recall contract documented on the operator). threshold=0.3 with
+    4-table amplification: the testdata plants no true vector dups,
+    so the row certifies the plan on the upper intra-cluster tail —
+    53 verified pairs at sf0.01 (the old 0.4 cut would leave 1
+    surviving pair under banding, too thin a hash check)."""
+    from ..operators.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=4,
+        block_cols=("label",),
     )
 
 
-DEDUP_EMB_ORACLE = f"""
+def _dedup_emb_oracle(n_planes: int, n_tables: int, threshold: float) -> str:
+    keys = ", ".join(
+        H.duck_hyperplane_bucket_table("embedding", n_planes, t)
+        for t in range(n_tables)
+    )
+    return f"""
+WITH k AS (
+  SELECT vec_id, label, [{keys}] AS keys FROM embeddings
+), banded AS (
+  SELECT vec_id, label, tbl, keys[tbl + 1] AS bkey
+  FROM k, (SELECT unnest(range(0, {n_tables})) AS tbl) ts
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.tbl = b.tbl AND a.bkey = b.bkey
+   AND a.vec_id < b.vec_id
+)
 SELECT vec_id_1, vec_id_2, sim FROM (
-  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-         round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS sim
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE sim >= 0.4
+  SELECT c.id1 AS vec_id_1, c.id2 AS vec_id_2,
+         round({_duck_cosine('e1.embedding', 'e2.embedding')}, 6) AS sim
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.id1
+  JOIN embeddings e2 ON e2.vec_id = c.id2
+) WHERE sim >= {threshold}
 """
+
+
+DEDUP_EMB_ORACLE = _dedup_emb_oracle(4, 4, 0.3)
 
 
 # ---------- similarity search ----------
@@ -1004,7 +1030,9 @@ SPECS: dict[str, QuerySpec] = {
         dedup_simhash_index_serve, DEDUP_SIMHASH_INCR_ORACLE,
         "simhash serve from the persisted fingerprint index",
     ),
-    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMB_ORACLE, "dedup-embedding"),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, DEDUP_EMB_ORACLE,
+        "embedding near-dup pairs, hyperplane-LSH-banded candidates"),
     "sim_search_cosine_topk": QuerySpec(sim_search_cosine_topk, SIM_TOPK_ORACLE, "ann-bruteforce"),
     "sim_search_lsh_topk": QuerySpec(sim_search_lsh_topk, SIM_LSH_ORACLE, "ann-lsh (deterministic)"),
     "sim_search_ivf_kmeans": QuerySpec(sim_search_ivf_kmeans, IVF_KMEANS_ORACLE, "ann-ivf, learned quantizer (deterministic)"),

@@ -205,64 +205,99 @@ _R7_CHECKED = frozenset({
     "wf_rank_lag_lead", "wf_rolling_time_range", "wf_running_sum",
 })
 
-# Queries whose Spark implementation changed in round 8: the
-# drift-safe threshold bounds (ADVICE r7 medium) rewrite the filter
-# expressions of the containment stack and of every plan routing
-# through the jaccard PPJoin prefix path, and
-# dedup_containment_incremental additionally gained the direction-2
-# broadcast-semi probe prefilter. Their old green rows no longer
-# certify the current plans, so they re-rank just behind the red tier
-# to guarantee re-verification in the next driver sample. (The
-# brand-new round-8 rows — dedup_simhash_combi,
-# dedup_containment_index_serve — need no tier: never-checked oracled
-# queries already rank ahead of every green row. dedup_simhash is NOT
-# here: round 8 only added band-shape validation and a docstring fix;
-# the produced plan is expression-identical.)
-_CHANGED_R8 = frozenset({
-    "dedup_containment", "dedup_containment_incremental",
-    "dedup_ngram_jaccard", "split_leakage_safe",
-    "dedup_connected_components", "dedup_cc_star", "dedup_survivors",
+# Queries with a green hash-match row in CORRECTNESS_r08.json (all 50
+# of round 8's driver sample were green, including all 7 of
+# _CHANGED_R8 — the round-8 drift-safe-bounds tier, now folded in —
+# and the 4 brand-new round-8 rows).
+_R8_CHECKED = frozenset({
+    "a6_minute_bucket", "a7_minmax_span", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_percentiles", "agg_pivot", "agg_rollup",
+    "agg_unpivot", "asof_join_cogrouped_purchase",
+    "asof_join_last_purchase", "dedup_cc_star",
+    "dedup_connected_components", "dedup_containment",
+    "dedup_containment_incremental", "dedup_containment_index_serve",
+    "dedup_ngram_jaccard", "dedup_simhash_combi",
+    "dedup_simhash_incremental", "dedup_simhash_index_serve",
+    "dedup_survivors", "dq_orders_report", "f1_epoch_roundtrip",
+    "f4_base64_json", "f5_json_encode_size", "f6_json_extract",
+    "f7_f8_scalar_math", "flagship_tx_window_1min", "j2_positional_zip",
+    "join_3way_brand_nation", "join_anti_no_big_orders",
+    "join_left_order_counts", "join_orders_customer_segment",
+    "join_salted_skew", "join_semi_big_spenders", "metrics_rmse_wql",
+    "o2_topk_orders", "p1_dedup_keep_first", "range_join_attribution",
+    "s10_latest_per_key", "scd2_price_history", "session_window_agg",
+    "sessionize_events", "set_ops_user_cohorts", "sliding_window_agg",
+    "split_leakage_safe", "tpch_q1_pricing_summary", "wf_first_last_nth",
+    "wf_rolling_time_range", "wf_running_sum",
 })
 
-_DRIVER_CHECKED = (
-    _R1_CHECKED | _R2_CHECKED | _R3_CHECKED | _R4_CHECKED | _R5_CHECKED
-    | _R6_CHECKED | _R7_CHECKED
-) - _LAST_RED - _ORACLE_NEEDS_FIRST_CHECK
+# Queries whose Spark implementation changed in round 9 in a way that
+# can alter the certified OUTPUT, so their old green rows no longer
+# certify the current plans:
+# - dedup_embedding_cosine: REWRITTEN (hyperplane-LSH-banded
+#   candidates + threshold 0.3/4-table amplification replace the raw
+#   intra-label all-pairs join, VERDICT r8 task 1) — new oracle too.
+# - dedup_survivors_best_quality: ADVICE r8 — it routes through the
+#   round-8-rewritten _prefix_candidates expressions via
+#   ngram_jaccard_pairs exactly like dedup_survivors (which was in
+#   _CHANGED_R8 and re-certified), but was omitted from that tier;
+#   its last green (r5) certifies pre-rewrite expressions.
+# NOT here (reasoned, with tests pinning the no-op): the _tq clamp
+# (ADVICE r8) leaves p unchanged at every registry threshold (0.5 /
+# 0.6 — decimal thresholds never overshoot; boundary fixture at 2/3
+# in tests/test_round9_plans.py), simhash banding auto-select picks
+# the same simple-banding expressions below 1e7 docs (every test
+# scale), and the containment probe-prefilter auto-default resolves
+# OFF at the registry rows' 20% batch ratio — all three leave the
+# certified plans expression-identical (equality tests in
+# tests/test_round9_plans.py).
+_CHANGED_R9 = frozenset({
+    "dedup_embedding_cosine", "dedup_survivors_best_quality",
+})
 
-# Green in BOTH of the two most recent rounds and unchanged since —
-# the most-settled rows, enumerated dead last so driver samples spread
-# to the least-recently-checked queries first (VERDICT r6 task 3,
-# recomputed over r6 ∩ r7 per VERDICT r7 task 3).
-_RECENTLY_DOUBLE_CHECKED = (
-    (_R6_CHECKED & _R7_CHECKED) - _CHANGED_R8 - _LAST_RED
+_ROUNDS: tuple[tuple[int, frozenset], ...] = (
+    (1, _R1_CHECKED), (2, _R2_CHECKED), (3, _R3_CHECKED),
+    (4, _R4_CHECKED), (5, _R5_CHECKED), (6, _R6_CHECKED),
+    (7, _R7_CHECKED), (8, _R8_CHECKED),
+)
+
+# name -> most recent round with a green driver row (absent = never).
+_LAST_GREEN: dict[str, int] = {}
+for _rnd, _names in _ROUNDS:
+    for _n in _names:
+        _LAST_GREEN[_n] = _rnd
+
+_DRIVER_CHECKED = (
+    frozenset(_LAST_GREEN) - _LAST_RED - _ORACLE_NEEDS_FIRST_CHECK
 )
 
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then round-8-changed queries (their
+    re-verified by the driver), then round-9-changed queries (their
     old green rows certify stale code), then never-driver-green
     oracled queries, then never-checked rows-only queries (their
-    driver check is weaker), then queries with a green driver row,
-    with the green-in-both-r6-and-r7 rows dead last so the sample
-    spreads to the least-recently-checked. Within the oracled groups,
-    flat-schema guarantees hold for every oracled query (see
+    driver check is weaker), then queries with a green driver row
+    ordered by last-green round ASCENDING (VERDICT r8 task 2: the old
+    module-insertion order within this tier left dedup_minhash_lsh
+    six rounds stale while newer rows were re-checked; staleness-
+    first ordering drains the r2/r3-era backlog — 65 rows, so the
+    50-query sample clears it over two rounds). Within the oracled
+    groups, flat-schema guarantees hold for every oracled query (see
     tests/test_registry.py) so the driver's pandas canonicalizer can
     hash each one."""
 
-    def rank(item: tuple[str, QuerySpec]) -> int:
+    def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, str]:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
-            return 0
-        if name in _CHANGED_R8:
-            return 1
-        if name in _RECENTLY_DOUBLE_CHECKED:
-            return 5
+            return (0, 0, name)
+        if name in _CHANGED_R9:
+            return (1, 0, name)
         if name in _DRIVER_CHECKED:
-            return 4
+            return (4, _LAST_GREEN[name], name)
         if spec.oracle is None:
-            return 3
-        return 2
+            return (3, 0, name)
+        return (2, 0, name)
 
     return dict(sorted(specs.items(), key=rank))
 

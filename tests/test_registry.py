@@ -43,37 +43,36 @@ def test_never_driver_checked_enumerate_first():
     """The driver checks the first N enumerated queries each round;
     ordering must surface never-green and changed-this-round queries
     before already-green ones, with oracled (strong check) ahead of
-    rows-only (weak), and green-in-both-of-the-last-two-rounds rows
-    dead last. The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R8) are allowed ahead of
+    rows-only (weak), and the green tier ordered by last-green round
+    ASCENDING (VERDICT r8 task 2). The recheck tiers (_LAST_RED,
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R9) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R8,
+        _CHANGED_R9,
         _DRIVER_CHECKED,
+        _LAST_GREEN,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
-        _RECENTLY_DOUBLE_CHECKED,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R8
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R9
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
-    seen_double = False
+    last_round_seen = 0
     for n in names:
         if n in recheck:
             # recheck tiers may precede unchecked queries
             assert not seen_checked, f"recheck {n} after settled-green queries"
             continue
-        if n in _RECENTLY_DOUBLE_CHECKED:
-            seen_double = True
-            seen_checked = True
-            continue
         if n in _DRIVER_CHECKED:
             seen_checked = True
-            assert not seen_double, (
-                f"single-checked {n} ranked after double-checked queries"
+            rnd = _LAST_GREEN[n]
+            assert rnd >= last_round_seen, (
+                f"{n} (last green r{rnd}) ranked after a fresher row "
+                f"(r{last_round_seen}) — staleness ordering broken"
             )
+            last_round_seen = rnd
             continue
         # an unchecked query after any checked one breaks the contract
         assert not seen_checked, f"unchecked {n} ranked after checked queries"
@@ -85,17 +84,25 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round8_sample_spreads_to_least_recently_checked():
-    """VERDICT r7 task 3 acceptance: the next 50-query driver sample
-    must contain no query already green in BOTH r6 and r7 unless it
-    changed in r8."""
+def test_round9_sample_contains_the_stalest_rows():
+    """VERDICT r8 task 2 acceptance: the next 50-query driver sample
+    must be the changed/new rows plus the LEAST-recently-green rows —
+    specifically every remaining r2-era row (the stalest in the
+    registry; 65 r2/r3-era rows exist, so the backlog drains over two
+    rounds by arithmetic, r2 first)."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R8,
-        _RECENTLY_DOUBLE_CHECKED,
+        _CHANGED_R9,
+        _LAST_GREEN,
         all_specs,
     )
 
     sample = list(all_specs())[:50]
-    stale = [n for n in sample if n in _RECENTLY_DOUBLE_CHECKED]
-    assert not stale, f"double-checked unchanged queries in sample: {stale}"
-    assert _RECENTLY_DOUBLE_CHECKED.isdisjoint(_CHANGED_R8)
+    r2_era = {n for n, r in _LAST_GREEN.items() if r == 2}
+    missing = sorted(r2_era - set(sample) - _CHANGED_R9)
+    assert not missing, f"r2-stale rows left out of the sample: {missing}"
+    # and nothing fresher than r3 sneaks in ahead of the backlog
+    fresh = [
+        n for n in sample
+        if n in _LAST_GREEN and _LAST_GREEN[n] > 3 and n not in _CHANGED_R9
+    ]
+    assert not fresh, f"fresh rows consuming stale-backlog slots: {fresh}"
