@@ -1610,18 +1610,21 @@ def containment_pairs_incremental(
     2 without the prefilter shuffles every corpus doc's prefix rows
     per ingest — a static OFF tuned to the registry's 20%-batch test
     shape was the wrong contract (VERDICT r8). Measured at the 100x
-    checkpoint (tools/sweep_round9.py, index serve, best-of-2):
-    20%-batch 8.2 s OFF vs 10.4 s ON (batch covers most of the
-    vocabulary — the semi join filters little and costs its build);
-    2%-batch 5.6 s OFF vs 5.8 s ON at 60k-doc scale, where even a 2%
-    batch of a Zipfian corpus still covers most of the TOKEN
-    vocabulary. The wall-clock break-even therefore sits BELOW any
-    ratio this sandbox can shape; 5% is chosen from the shuffle-
-    volume contract instead (direction-2 shuffle rows drop from
-    corpus-proportional to matched-token-proportional exactly when
-    the batch vocabulary is a small subset), with both measurements
-    recorded in SCALE.md round 9. Pass True/False to pin either
-    behavior (the equality tests pin both lossless).
+    checkpoint (tools/sweep_round9.py, index serve, best-of-2, OFF
+    vs ON): 20%-batch 9.79 vs 9.92 s; 5%-batch 7.25 vs 7.61 s;
+    2%-batch 6.59 vs 6.68 s — a wall-clock break-even is NOT
+    observable in this sandbox, because even a 2% batch of the
+    synthetic Zipfian corpus still covers most of the TOKEN
+    vocabulary, so the semi join filters little and costs its
+    build (~1-5% premium). The 5% switch point is therefore chosen
+    from the shuffle-volume contract, not a measured crossing:
+    direction-2 shuffle rows drop from corpus-proportional to
+    matched-token-proportional exactly when the batch vocabulary is
+    a small subset of the corpus's — the true steady-state shape —
+    and the measured worst-case premium for that unbounded
+    protection is the ~5% above (SCALE.md round 9 has the table).
+    Pass True/False to pin either behavior (the equality tests pin
+    both lossless).
 
     ``corpus_is_index=True`` treats ``corpus`` as the PATH of a
     :func:`containment_index_build` index: corpus ranks, frequencies,

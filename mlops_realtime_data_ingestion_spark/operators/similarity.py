@@ -192,6 +192,7 @@ def lsh_bucket_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Random-hyperplane-LSH ANN: bucket every vector by the sign
     pattern of ``n_planes`` fixed pseudo-random hyperplane dot
@@ -210,15 +211,37 @@ def lsh_bucket_topk(
     side. Recall is tunable via n_planes (fewer planes = bigger
     buckets = higher recall); multi-table OR-amplification composes
     by unioning candidate sets from independent plane sets.
+
+    impl="pandas" (default, round 9): the corpus-side bucket comes
+    from the Arrow numpy path (hashing_pandas.hyperplane_keys_series,
+    table 0 == these planes), bit-identical to the interpreted fold
+    (asserted in tests/test_round9_plans.py) — the fold spelling
+    (impl="sql") is the oracle-documented reference and stays on the
+    tiny query side either way. The 100x bench history for this row
+    was BIMODAL (1.4 s warm-JIT vs ~6 s when the interpreted-HOF
+    path missed compilation); the Arrow path removes the interpreted
+    fold from the corpus-sized hot path entirely.
     """
     bucket = F.expr(H.spark_hyperplane_bucket(vec_col, n_planes))
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    if impl == "sql":
+        c_bucket = bucket
+    else:
+        from ..functions import hashing_pandas as HP
+
+        @F.pandas_udf("int")
+        def bucket_udf(v: pd.Series) -> pd.Series:
+            return HP.hyperplane_keys_series(v, n_planes, 1).map(
+                lambda a: int(a[0])
+            )
+
+        c_bucket = bucket_udf(F.col(vec_col))
     c = (
-        corpus.repartition(par)  # interpreted fold => spread the work
+        corpus.repartition(par)  # spread the bucket projection
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            bucket.alias("bucket"),
+            c_bucket.alias("bucket"),
         )
     )
     q = queries.select(

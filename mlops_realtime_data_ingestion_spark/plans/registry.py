@@ -242,6 +242,9 @@ _R8_CHECKED = frozenset({
 #   ngram_jaccard_pairs exactly like dedup_survivors (which was in
 #   _CHANGED_R8 and re-certified), but was omitted from that tier;
 #   its last green (r5) certifies pre-rewrite expressions.
+# - sim_search_lsh_topk: the corpus-side bucket projection moved to
+#   the Arrow numpy path (bit-identical to the fold, equality-tested,
+#   but a different physical plan than the green r2 row certified).
 # NOT here (reasoned, with tests pinning the no-op): the _tq clamp
 # (ADVICE r8) leaves p unchanged at every registry threshold (0.5 /
 # 0.6 — decimal thresholds never overshoot; boundary fixture at 2/3
@@ -253,6 +256,7 @@ _R8_CHECKED = frozenset({
 # tests/test_round9_plans.py).
 _CHANGED_R9 = frozenset({
     "dedup_embedding_cosine", "dedup_survivors_best_quality",
+    "sim_search_lsh_topk",
 })
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (

@@ -285,3 +285,15 @@ def test_plane_ab_extension():
         assert 0 < a < P and 0 <= b < P
         seen.add((a, b))
     assert len(seen) == 64  # no accidental plane collisions
+
+
+def test_lsh_bucket_topk_impls_bit_identical(spark, sf_dir):
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in lsh_bucket_topk(emb, q, impl="pandas").collect())
+    b = sorted(tuple(r) for r in lsh_bucket_topk(emb, q, impl="sql").collect())
+    assert a == b and len(a) > 0
