@@ -602,6 +602,44 @@ IVFPQ_RERANK_ORACLE = _ivfpq_oracle(
 )
 
 
+# Build-once IVF-PQ index per (process, sf_dir), same contract as the
+# containment/simhash index caches (training_queries.py): the first
+# call trains and persists the index, every later call measures the
+# serve — the shape a 100 TB pipeline actually runs (index build is a
+# scheduled job; query batches amortize it to zero).
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def sim_search_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serve from a persisted index + exact-cosine refine: the
+    steady-state ANN lifecycle row (the ANN analogue of
+    dedup_containment_index_serve / dedup_simhash_index_serve — with
+    this row every index-backed family has a driver-certified
+    build-once/serve-per-batch spelling). Identical parameters to
+    sim_search_ivfpq_rerank, so it shares that row's oracle verbatim:
+    parquet round-trips doubles exactly and the training is
+    deterministic, so serving from the persisted (assign, codes,
+    coarse, codebooks) artifact is output-identical to the inline
+    retrain (parity pinned in tests/test_curation.py and
+    tests/test_round9_plans.py). Per call only the 5 query vectors are
+    encoded; the corpus embedding column is read for the 5 x 50
+    shortlist rows alone."""
+    from ..operators.similarity import ivfpq_build, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        ivfpq_build(emb, idx, dim=64, coarse_k=4, m=4, pq_k=32, iters=2)
+        _IVFPQ_INDEX_CACHE[sf_dir] = idx
+    return ivfpq_search(
+        spark, idx, emb.filter(F.col("vec_id") < 5), dim=64,
+        m=4, nprobe=2, k=5, rerank=50, vectors=emb,
+    )
+
+
 # ---------- dataset card ----------
 
 def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +709,9 @@ SPECS: dict[str, QuerySpec] = {
     "sim_search_ivfpq_rerank": QuerySpec(
         sim_search_ivfpq_rerank, IVFPQ_RERANK_ORACLE,
         "IVF-PQ + exact-cosine refine of the ADC top-50 shortlist"),
+    "sim_search_ivfpq_serve": QuerySpec(
+        sim_search_ivfpq_serve, IVFPQ_RERANK_ORACLE,
+        "IVF-PQ rerank served from the persisted build-once index"),
     "dataset_card_report": QuerySpec(
         dataset_card_report, DATASET_CARD_ORACLE,
         "per-(source,lang) dataset-card accounting"),

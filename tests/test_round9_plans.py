@@ -297,3 +297,27 @@ def test_lsh_bucket_topk_impls_bit_identical(spark, sf_dir):
     a = sorted(tuple(r) for r in lsh_bucket_topk(emb, q, impl="pandas").collect())
     b = sorted(tuple(r) for r in lsh_bucket_topk(emb, q, impl="sql").collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------
+# sim_search_ivfpq_serve: the persisted-index serve row must be
+# output-identical to the inline-retrain rerank row (deterministic
+# training + exact parquet double round-trip), so sharing
+# IVFPQ_RERANK_ORACLE verbatim is sound.
+# ---------------------------------------------------------------
+
+def test_ivfpq_serve_row_matches_inline_rerank_row(spark, sf_dir):
+    from mlops_realtime_data_ingestion_spark.plans.curation_queries import (
+        sim_search_ivfpq_rerank,
+        sim_search_ivfpq_serve,
+    )
+
+    inline = sorted(map(tuple, sim_search_ivfpq_rerank(spark, sf_dir).collect()))
+    served = sorted(map(tuple, sim_search_ivfpq_serve(spark, sf_dir).collect()))
+    assert inline == served
+    # second call serves from the process-level cache (no rebuild)
+    from mlops_realtime_data_ingestion_spark.plans import curation_queries as cq
+
+    assert sf_dir in cq._IVFPQ_INDEX_CACHE
+    again = sorted(map(tuple, sim_search_ivfpq_serve(spark, sf_dir).collect()))
+    assert again == served
