@@ -114,6 +114,10 @@ HEADLINE = [
     # build-once index (first call in each scale section pays the
     # build; the recorded best-of-N is the steady-state serve).
     "sim_search_ivfpq_serve",
+    # round-9: sample-trained quantizers (Knuth high-bit 1/4 slice) —
+    # the FAISS bounded-sample build; at 1e9 vectors the Lloyd
+    # iteration term is sample-sized instead of corpus-sized.
+    "sim_search_ivfpq_sampled",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

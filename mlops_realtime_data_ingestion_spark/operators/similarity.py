@@ -286,6 +286,7 @@ def kmeans_iterate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_centroids: bool = False,
+    train_on: DataFrame | None = None,
 ):
     """Deterministic Lloyd's k-means over an embedding column,
     DataFrame-native and bit-reproducible:
@@ -309,19 +310,46 @@ def kmeans_iterate(
     Returns (id, cluster, dist) with dist rounded to 6 dp; with
     ``return_centroids`` also the trained (cluster, centroid) frame
     (the codebook IVF-PQ needs for ADC lookup tables).
+
+    ``train_on``: run the Lloyd ITERATIONS over this frame instead of
+    the corpus (the final assignment always covers the full corpus) —
+    the FAISS practice of training quantizers on a sample. Init then
+    becomes the ``k`` smallest-id training rows with cluster ids
+    0..k-1 in id order (the default path's ``id < k`` shortcut relies
+    on contiguous corpus ids a sample doesn't have); every stage
+    stays deterministic, so a sampled build is still oracle-checkable
+    (mirror with the same WHERE in the training CTEs). At 1e9 vectors
+    the iteration term drops from iters x corpus to iters x sample
+    distance evaluations while the one full-corpus pass that actually
+    needs every row (the assignment) remains.
     """
-    init = (
-        corpus.filter(F.col(id_col) < k)
-        .select(F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("centroid"))
-    )
+    if train_on is None:
+        train = corpus
+        init = (
+            corpus.filter(F.col(id_col) < k)
+            .select(F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("centroid"))
+        )
+    else:
+        train = train_on
+        wi = Window.orderBy(F.col(id_col).asc())
+        init = (
+            train.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(k)
+            .select(
+                (F.row_number().over(wi) - 1).cast("int").alias("cluster"),
+                F.col(vec_col).alias("centroid"),
+            )
+        )
     points = corpus.select(id_col, F.col(vec_col).alias("p"))
+    train_points = train.select(id_col, F.col(vec_col).alias("p"))
     cents = init
     for _ in range(iters):
         w = Window.partitionBy(id_col).orderBy(
             F.col("d").asc(), F.col("cluster").asc()
         )
         assigned = (
-            points.crossJoin(F.broadcast(cents))
+            train_points.crossJoin(F.broadcast(cents))
             .withColumn("d", sq_dist("p", "centroid"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -475,6 +503,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = None,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance computation (ADC) —
     the index layout production ANN runs at 100 TB (FAISS IVFPQ,
@@ -505,9 +534,14 @@ def ivfpq_topk(
     vectors (touched for shortlist rows only), returning (query_id,
     rank, neighbor_id, sim) — see :func:`ivfpq_rerank` for the
     measured recall this buys on tightly clustered corpora, where raw
-    ADC ties within cells."""
+    ADC ties within cells.
+
+    ``train_sample=s`` trains the quantizers on the 1/s id-slice only
+    (see :func:`_ivfpq_train`) — the knob that keeps the build's Lloyd
+    iterations sample-sized at 1e9 vectors."""
     assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
-        corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col
+        corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col,
+        train_sample=train_sample,
     )
     shortlist = _ivfpq_query(
         assign, coarse_cents, code_rows, codebooks, queries,
@@ -527,16 +561,47 @@ def _ivfpq_train(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ):
     """Index-build stage shared by ivfpq_topk (inline) and ivfpq_build
     (persisted): coarse assignment + centroids, corpus PQ code rows,
-    and the per-subspace codebooks as one (s, code, centroid) frame."""
+    and the per-subspace codebooks as one (s, code, centroid) frame.
+
+    ``train_sample=s`` trains the coarse quantizer and every PQ
+    codebook on a deterministic 1/s slice (FAISS trains on a bounded
+    sample for exactly this reason — the Lloyd iterations are the
+    only corpus x iters x k term in the build); assignment and
+    encoding still cover every corpus row. The slice keeps rows whose
+    Knuth multiplicative mix ``(id * 2654435761) mod 2^32`` falls
+    under ``2^32 / s`` — a HIGH-bit threshold test, for two measured
+    reasons: (a) raw ingestion ids correlate with content (the
+    planted-cluster fixture proves it — an ``id % 4`` stride landed
+    every init point in 2 of 8 clusters and cost 0.16 recall), and
+    (b) ``mix % s`` is NOT decorrelated either — an odd multiplier
+    leaves the low bits congruent to the id's (K ≡ 1 mod 4 here, so
+    mix ≡ id mod 4 exactly); multiplicative hashing randomizes the
+    high bits only, so the membership test must compare against a
+    threshold, not take a low-bit modulus. Pure int64 arithmetic
+    either way, so a DuckDB oracle mirrors it verbatim
+    (``(vec_id * 2654435761) % 4294967296 < 4294967296 // s``) and
+    the sampled build stays value-hash-certifiable."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
+    train = (
+        corpus.filter(
+            F.pmod(
+                F.col(id_col).cast("long") * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            < F.lit(4294967296 // train_sample)
+        )
+        if train_sample is not None and train_sample > 1
+        else None
+    )
     assign, coarse_cents = kmeans_iterate(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
-        return_centroids=True,
+        return_centroids=True, train_on=train,
     )
     code_rows = None   # (vec_id, s, code)
     codebooks = None   # (s, code, centroid)
@@ -544,9 +609,17 @@ def _ivfpq_train(
         sub = corpus.select(
             id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col)
         )
+        sub_train = (
+            train.select(
+                id_col,
+                F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col),
+            )
+            if train is not None
+            else None
+        )
         codes_s, cents_s = kmeans_iterate(
             sub, k=pq_k, iters=iters, id_col=id_col, vec_col=vec_col,
-            return_centroids=True,
+            return_centroids=True, train_on=sub_train,
         )
         cr = codes_s.select(
             id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
@@ -702,19 +775,23 @@ def ivfpq_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> None:
     """Persist the IVF-PQ index: cell assignment, PQ code rows, coarse
     centroids, and codebooks — the build-once artifact ``ivfpq_search``
     serves queries from without touching the corpus vectors again
     (what the inline ``ivfpq_topk`` retrains per call; at 100 TB the
     build is a scheduled job and searches amortize it to zero).
+    ``train_sample``: see :func:`_ivfpq_train` — the scheduled build
+    is where sample-trained quantizers matter most.
 
     Layout: ``path/{assign,codes,coarse,codebooks}`` parquet;
     assignment and code rows bucket-ready (keyed by cell / id)."""
     import os
 
     assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
-        corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col
+        corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col,
+        train_sample=train_sample,
     )
     assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
     code_rows.write.mode("overwrite").parquet(os.path.join(path, "codes"))

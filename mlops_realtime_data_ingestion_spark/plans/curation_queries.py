@@ -491,12 +491,13 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_oracle(coarse_k: int, m: int, subdim: int, pq_k: int,
                   iters: int, nprobe: int, topk: int, nq: int,
-                  rerank: int | None = None) -> str:
+                  rerank: int | None = None,
+                  train_where: str | None = None) -> str:
     from .extension_queries import _duck_sq_dist
     from .quality_queries import pq_subspace_ctes
 
-    ctes = kmeans_assign_ctes(coarse_k, iters) + pq_subspace_ctes(
-        m, subdim, pq_k, iters
+    ctes = kmeans_assign_ctes(coarse_k, iters, train_where) + pq_subspace_ctes(
+        m, subdim, pq_k, iters, train_where
     )
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv"
@@ -599,6 +600,33 @@ def sim_search_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVFPQ_RERANK_ORACLE = _ivfpq_oracle(
     4, 4, 16, 32, 2, nprobe=2, topk=5, nq=5, rerank=50
+)
+
+
+def sim_search_ivfpq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ rerank with SAMPLE-TRAINED quantizers (round 9): the
+    coarse quantizer and all m codebooks train on a deterministic 1/4
+    slice keyed on the Knuth mix (id * 2654435761) mod 2^32 — NOT the
+    raw id, which correlates with content (see _ivfpq_train) — while
+    assignment, encoding, and the exact-cosine refine still cover
+    every row. FAISS's standard practice, and the knob that keeps a
+    1e9-vector build's Lloyd iterations sample-sized instead of
+    corpus-sized. The slice is pure int64 arithmetic, so the DuckDB
+    oracle mirrors the sampled training CTE-for-CTE and the row is
+    value-hash certified."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64,
+        coarse_k=4, m=4, pq_k=32, iters=2, nprobe=2, k=5, rerank=50,
+        train_sample=4,
+    )
+
+
+IVFPQ_SAMPLED_ORACLE = _ivfpq_oracle(
+    4, 4, 16, 32, 2, nprobe=2, topk=5, nq=5, rerank=50,
+    train_where="(vec_id * 2654435761) % 4294967296 < 1073741824",
 )
 
 
@@ -712,6 +740,9 @@ SPECS: dict[str, QuerySpec] = {
     "sim_search_ivfpq_serve": QuerySpec(
         sim_search_ivfpq_serve, IVFPQ_RERANK_ORACLE,
         "IVF-PQ rerank served from the persisted build-once index"),
+    "sim_search_ivfpq_sampled": QuerySpec(
+        sim_search_ivfpq_sampled, IVFPQ_SAMPLED_ORACLE,
+        "IVF-PQ rerank with sample-trained quantizers (1/4 id-slice)"),
     "dataset_card_report": QuerySpec(
         dataset_card_report, DATASET_CARD_ORACLE,
         "per-(source,lang) dataset-card accounting"),

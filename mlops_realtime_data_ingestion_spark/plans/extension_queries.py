@@ -814,24 +814,43 @@ def _duck_sq_dist(p: str, c: str) -> str:
     )
 
 
-def kmeans_assign_ctes(k: int, iters: int) -> list[str]:
+def kmeans_assign_ctes(k: int, iters: int,
+                       train_where: str | None = None) -> list[str]:
     """CTE chain (shared with the SemDeDup oracle) that unrolls the
     deterministic Lloyd iterations and ends with
-    ``assign(vec_id, cluster, dist)`` — dist rounded to 6 dp."""
-    ctes = [
-        "pts AS (SELECT vec_id, embedding AS p FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid"
-        f" FROM embeddings WHERE vec_id < {k})",
-    ]
+    ``assign(vec_id, cluster, dist)`` — dist rounded to 6 dp.
+
+    ``train_where``: mirror of the Spark side's sample-trained
+    quantizer (kmeans_iterate(train_on=...)): the Lloyd iterations run
+    over ``pts_t`` (the WHERE-sliced sample) with init = the k
+    smallest sample ids renumbered 0..k-1 in id order; the final
+    assignment still covers every row."""
+    if train_where is None:
+        ctes = [
+            "pts AS (SELECT vec_id, embedding AS p FROM embeddings)",
+            f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid"
+            f" FROM embeddings WHERE vec_id < {k})",
+        ]
+        tr = "pts"
+    else:
+        ctes = [
+            "pts AS (SELECT vec_id, embedding AS p FROM embeddings)",
+            f"pts_t AS (SELECT vec_id, embedding AS p FROM embeddings"
+            f" WHERE {train_where})",
+            f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS INTEGER) AS cluster, p AS centroid FROM"
+            f" (SELECT vec_id, p FROM pts_t ORDER BY vec_id LIMIT {k}))",
+        ]
+        tr = "pts_t"
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
-        dist = _duck_sq_dist("pts.p", f"{prev}.centroid")
+        dist = _duck_sq_dist(f"{tr}.p", f"{prev}.centroid")
         ctes.append(
             f"a{it} AS (SELECT vec_id, cluster, p FROM ("
-            f" SELECT pts.vec_id, {prev}.cluster, pts.p,"
-            f" row_number() OVER (PARTITION BY pts.vec_id"
+            f" SELECT {tr}.vec_id, {prev}.cluster, {tr}.p,"
+            f" row_number() OVER (PARTITION BY {tr}.vec_id"
             f" ORDER BY {dist} ASC, {prev}.cluster ASC) AS rn"
-            f" FROM pts CROSS JOIN {prev}) WHERE rn = 1)"
+            f" FROM {tr} CROSS JOIN {prev}) WHERE rn = 1)"
         )
         ctes.append(
             f"m{it} AS (SELECT cluster, dim,"

@@ -360,11 +360,17 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, sf_dir, "embeddings"), dim=64, m=4, k=4)
 
 
-def pq_subspace_ctes(m: int, subdim: int, k: int, iters: int) -> list[str]:
+def pq_subspace_ctes(m: int, subdim: int, k: int, iters: int,
+                     train_where: str | None = None) -> list[str]:
     """Per-subspace deterministic-kmeans CTE chains (shared with the
     IVF-PQ oracle): for each subspace s the chain ends with the
     codebook ``s{s}c{iters}(cluster, centroid)`` and the assignment
-    ``asg{s}(vec_id, code{s}, d{s})``."""
+    ``asg{s}(vec_id, code{s}, d{s})``.
+
+    ``train_where`` mirrors the Spark sample-trained codebooks (see
+    kmeans_assign_ctes): iterations over the sliced sample, init =
+    the k smallest sample ids renumbered 0..k-1, final encoding over
+    every row."""
     from .extension_queries import _duck_sq_dist
 
     ctes: list[str] = []
@@ -373,20 +379,33 @@ def pq_subspace_ctes(m: int, subdim: int, k: int, iters: int) -> list[str]:
         ctes.append(
             f"pts{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS p FROM embeddings)"
         )
-        ctes.append(
-            f"s{s}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,"
-            f" embedding[{lo}:{hi}] AS centroid"
-            f" FROM embeddings WHERE vec_id < {k})"
-        )
+        if train_where is None:
+            ctes.append(
+                f"s{s}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,"
+                f" embedding[{lo}:{hi}] AS centroid"
+                f" FROM embeddings WHERE vec_id < {k})"
+            )
+            tr = f"pts{s}"
+        else:
+            ctes.append(
+                f"pts{s}t AS (SELECT vec_id, embedding[{lo}:{hi}] AS p"
+                f" FROM embeddings WHERE {train_where})"
+            )
+            ctes.append(
+                f"s{s}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+                f" - 1 AS INTEGER) AS cluster, p AS centroid FROM"
+                f" (SELECT vec_id, p FROM pts{s}t ORDER BY vec_id LIMIT {k}))"
+            )
+            tr = f"pts{s}t"
         for it in range(1, iters + 1):
             prev = f"s{s}c{it - 1}"
-            dist = _duck_sq_dist(f"pts{s}.p", f"{prev}.centroid")
+            dist = _duck_sq_dist(f"{tr}.p", f"{prev}.centroid")
             ctes.append(
                 f"s{s}a{it} AS (SELECT vec_id, cluster, p FROM ("
-                f" SELECT pts{s}.vec_id, {prev}.cluster, pts{s}.p,"
-                f" row_number() OVER (PARTITION BY pts{s}.vec_id"
+                f" SELECT {tr}.vec_id, {prev}.cluster, {tr}.p,"
+                f" row_number() OVER (PARTITION BY {tr}.vec_id"
                 f" ORDER BY {dist} ASC, {prev}.cluster ASC) AS rn"
-                f" FROM pts{s} CROSS JOIN {prev}) WHERE rn = 1)"
+                f" FROM {tr} CROSS JOIN {prev}) WHERE rn = 1)"
             )
             ctes.append(
                 f"s{s}m{it} AS (SELECT cluster, dim,"
