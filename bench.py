@@ -118,6 +118,10 @@ HEADLINE = [
     # the FAISS bounded-sample build; at 1e9 vectors the Lloyd
     # iteration term is sample-sized instead of corpus-sized.
     "sim_search_ivfpq_sampled",
+    # round-9: the ANN build/update/serve lifecycle — batch appended
+    # to the frozen index, no retraining; first call per scale pays
+    # build+update, best-of-N records the steady-state serve.
+    "sim_search_ivfpq_index_update",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be

@@ -35,6 +35,7 @@ __all__ = [
     "ivfpq_topk",
     "ivfpq_build",
     "ivfpq_search",
+    "ivfpq_index_update",
     "ivfpq_rerank",
     "embedding_lsh_pairs",
     "embedding_lsh_accounting",
@@ -562,6 +563,7 @@ def _ivfpq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = None,
+    train_on: DataFrame | None = None,
 ):
     """Index-build stage shared by ivfpq_topk (inline) and ivfpq_build
     (persisted): coarse assignment + centroids, corpus PQ code rows,
@@ -584,21 +586,30 @@ def _ivfpq_train(
     threshold, not take a low-bit modulus. Pure int64 arithmetic
     either way, so a DuckDB oracle mirrors it verbatim
     (``(vec_id * 2654435761) % 4294967296 < 4294967296 // s``) and
-    the sampled build stays value-hash-certifiable."""
+    the sampled build stays value-hash-certifiable.
+
+    ``train_on`` passes an explicit training frame instead (takes
+    precedence over ``train_sample``) — how the incremental index
+    lifecycle expresses "quantizers frozen at build time, rows keep
+    arriving": train_on = the build-time corpus, corpus = everything
+    indexed since."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
-    train = (
-        corpus.filter(
-            F.pmod(
-                F.col(id_col).cast("long") * F.lit(2654435761),
-                F.lit(4294967296),
+    if train_on is not None:
+        train = train_on
+    else:
+        train = (
+            corpus.filter(
+                F.pmod(
+                    F.col(id_col).cast("long") * F.lit(2654435761),
+                    F.lit(4294967296),
+                )
+                < F.lit(4294967296 // train_sample)
             )
-            < F.lit(4294967296 // train_sample)
+            if train_sample is not None and train_sample > 1
+            else None
         )
-        if train_sample is not None and train_sample > 1
-        else None
-    )
     assign, coarse_cents = kmeans_iterate(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
         return_centroids=True, train_on=train,
@@ -776,14 +787,21 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = None,
+    train_on: DataFrame | None = None,
 ) -> None:
     """Persist the IVF-PQ index: cell assignment, PQ code rows, coarse
     centroids, and codebooks — the build-once artifact ``ivfpq_search``
     serves queries from without touching the corpus vectors again
     (what the inline ``ivfpq_topk`` retrains per call; at 100 TB the
     build is a scheduled job and searches amortize it to zero).
-    ``train_sample``: see :func:`_ivfpq_train` — the scheduled build
-    is where sample-trained quantizers matter most.
+    ``train_sample`` / ``train_on``: see :func:`_ivfpq_train` — the
+    scheduled build is where sample-trained quantizers matter most.
+    An index that will be GROWN with :func:`ivfpq_index_update`
+    should pass ``train_on=corpus`` (even for full-corpus training):
+    that selects the rank-based k-means init (k smallest ids of the
+    training frame renumbered 0..k-1), which stays well-defined when
+    the build corpus lacks ids 0..k-1 — the default ``id < k``
+    shortcut silently trains fewer centroids there.
 
     Layout: ``path/{assign,codes,coarse,codebooks}`` parquet;
     assignment and code rows bucket-ready (keyed by cell / id)."""
@@ -791,7 +809,7 @@ def ivfpq_build(
 
     assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
         corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col,
-        train_sample=train_sample,
+        train_sample=train_sample, train_on=train_on,
     )
     assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
     code_rows.write.mode("overwrite").parquet(os.path.join(path, "codes"))
@@ -836,6 +854,77 @@ def ivfpq_search(
     if vectors is None:
         raise ValueError("rerank requires the raw `vectors` DataFrame")
     return ivfpq_rerank(shortlist, queries, vectors, k, id_col, vec_col)
+
+
+def ivfpq_index_update(
+    spark,
+    path: str,
+    batch: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new ingest batch to a persisted IVF-PQ index (see
+    :func:`ivfpq_build`) against the FROZEN build-time quantizers —
+    the per-ingest maintenance path that completes the ANN
+    build/update/serve lifecycle (mirror of substring_index_update /
+    simhash_index_build(mode="append")): the batch is assigned to its
+    nearest frozen coarse cell and PQ-encoded against the frozen
+    codebooks, and the (cell, id) / (id, s, code) rows are appended
+    to ``path/{assign,codes}``. The centroid/codebook artifacts are
+    untouched, so updating never re-trains and never touches prior
+    rows — per-ingest cost is |batch| x (coarse_k + m x pq_k)
+    broadcast-argmin evaluations plus two appends. Assignment and
+    encoding use the identical argmin + lower-id tie-break as the
+    build's final pass, so (build(c1) then update(c2)) is
+    row-identical to a build over c1+c2 with quantizers trained on c1
+    (``_ivfpq_train(train_on=c1)``) — equality pinned in
+    tests/test_round9_plans.py. Same exactly-once caveat as
+    substring_index_update: one append per batch, the caller dedups
+    replays (foreachBatch + checkpoint in the streaming path).
+
+    FAISS parity: IndexIVFPQ.add() after train() — adding vectors
+    never retrains; periodic rebuilds (a fresh ivfpq_build) absorb
+    distribution drift, the standard production cadence."""
+    import os
+
+    coarse = spark.read.parquet(os.path.join(path, "coarse"))
+    codebooks = spark.read.parquet(os.path.join(path, "codebooks"))
+    subdim = dim // m
+
+    pts = batch.select(id_col, F.col(vec_col).alias("p"))
+    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cluster").asc())
+    assign_new = (
+        pts.crossJoin(F.broadcast(coarse))
+        .withColumn("d", sq_dist("p", "centroid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cluster").alias("cell"))
+    )
+
+    code_new = None
+    for s in range(m):
+        sub = batch.select(
+            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("p")
+        )
+        cb = codebooks.filter(F.col("s") == s).select(
+            F.col("code").alias("cluster"), "centroid"
+        )
+        ws = Window.partitionBy(id_col).orderBy(
+            F.col("d").asc(), F.col("cluster").asc()
+        )
+        enc = (
+            sub.crossJoin(F.broadcast(cb))
+            .withColumn("d", sq_dist("p", "centroid"))
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(id_col, F.lit(s).alias("s"), F.col("cluster").alias("code"))
+        )
+        code_new = enc if code_new is None else code_new.unionByName(enc)
+
+    assign_new.write.mode("append").parquet(os.path.join(path, "assign"))
+    code_new.write.mode("append").parquet(os.path.join(path, "codes"))
 
 
 def _hyperplane_keys_col(vec_col: str, n_planes: int, n_tables: int, impl: str):

@@ -630,6 +630,55 @@ IVFPQ_SAMPLED_ORACLE = _ivfpq_oracle(
 )
 
 
+_IVFPQ_UPD_INDEX_CACHE: dict[str, str] = {}
+
+
+def sim_search_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ incremental-index lifecycle row (round 9): build the
+    index on the standing corpus (vec_id % 5 != 0), append the ingest
+    batch (vec_id % 5 == 0) with ivfpq_index_update against the
+    FROZEN build-time quantizers — no retraining, prior rows
+    untouched — then serve rerank queries from the grown index. With
+    this row the ANN family has the full build/update/serve
+    lifecycle driver-certified, like the substring/simhash/
+    containment families. The DuckDB oracle is exact: frozen
+    quantizers == training CTEs restricted to the build corpus
+    (train_where) while assignment/encoding cover every row — the
+    same _ivfpq_oracle machinery as the sampled row."""
+    from ..operators.similarity import ivfpq_build, ivfpq_index_update, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _IVFPQ_UPD_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="ivfpq_upd_idx_")
+        # train_on=build corpus (not the id<k default init): the build
+        # corpus lacks ids 0 and 5, so the rank-based init over the k
+        # smallest BUILD ids is the well-defined spelling — and the
+        # one the oracle's train_where CTEs mirror.
+        build_corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        ivfpq_build(
+            build_corpus, idx,
+            dim=64, coarse_k=4, m=4, pq_k=32, iters=2,
+            train_on=build_corpus,
+        )
+        ivfpq_index_update(
+            spark, idx, emb.filter(F.col("vec_id") % 5 == 0), dim=64, m=4
+        )
+        _IVFPQ_UPD_INDEX_CACHE[sf_dir] = idx
+    return ivfpq_search(
+        spark, idx, emb.filter(F.col("vec_id") < 5), dim=64,
+        m=4, nprobe=2, k=5, rerank=50, vectors=emb,
+    )
+
+
+IVFPQ_UPDATE_ORACLE = _ivfpq_oracle(
+    4, 4, 16, 32, 2, nprobe=2, topk=5, nq=5, rerank=50,
+    train_where="vec_id % 5 <> 0",
+)
+
+
 # Build-once IVF-PQ index per (process, sf_dir), same contract as the
 # containment/simhash index caches (training_queries.py): the first
 # call trains and persists the index, every later call measures the
@@ -743,6 +792,9 @@ SPECS: dict[str, QuerySpec] = {
     "sim_search_ivfpq_sampled": QuerySpec(
         sim_search_ivfpq_sampled, IVFPQ_SAMPLED_ORACLE,
         "IVF-PQ rerank with sample-trained quantizers (1/4 id-slice)"),
+    "sim_search_ivfpq_index_update": QuerySpec(
+        sim_search_ivfpq_index_update, IVFPQ_UPDATE_ORACLE,
+        "IVF-PQ build/update/serve: batch appended to frozen index"),
     "dataset_card_report": QuerySpec(
         dataset_card_report, DATASET_CARD_ORACLE,
         "per-(source,lang) dataset-card accounting"),

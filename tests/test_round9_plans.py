@@ -321,3 +321,52 @@ def test_ivfpq_serve_row_matches_inline_rerank_row(spark, sf_dir):
     assert sf_dir in cq._IVFPQ_INDEX_CACHE
     again = sorted(map(tuple, sim_search_ivfpq_serve(spark, sf_dir).collect()))
     assert again == served
+
+
+# ---------------------------------------------------------------
+# ivfpq_index_update: build(c1) then append(c2) must be
+# row-identical to a build over c1+c2 with quantizers trained on c1
+# (frozen-quantizer semantics), and the registry lifecycle row must
+# equal its own oracle's spelling.
+# ---------------------------------------------------------------
+
+def test_ivfpq_index_update_matches_frozen_training(spark, sf_dir, tmp_path):
+    import os
+
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        _ivfpq_query,
+        _ivfpq_train,
+        ivfpq_build,
+        ivfpq_index_update,
+        ivfpq_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    c1 = emb.filter(F.col("vec_id") % 5 != 0)
+    c2 = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    path = str(tmp_path / "idx")
+    ivfpq_build(c1, path, dim=64, coarse_k=4, m=4, pq_k=8, iters=2, train_on=c1)
+    ivfpq_index_update(spark, path, c2, dim=64, m=4)
+    grown = sorted(map(tuple, ivfpq_search(
+        spark, path, queries, dim=64, m=4, nprobe=2, k=5,
+        rerank=20, vectors=emb,
+    ).collect()))
+
+    # reference: one-shot train-on-c1 over the full corpus
+    assign, coarse, codes, books = _ivfpq_train(
+        emb, 64, 4, 4, 8, 2, train_on=c1
+    )
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        ivfpq_rerank,
+    )
+    ref_short = _ivfpq_query(assign, coarse, codes, books, queries,
+                             64, 4, 2, 20)
+    ref = sorted(map(tuple, ivfpq_rerank(
+        ref_short, queries, emb, 5).collect()))
+    assert grown == ref
+
+    # the appended index has exactly one assign/code row per vector
+    a = spark.read.parquet(os.path.join(path, "assign"))
+    assert a.count() == a.select("vec_id").distinct().count() == emb.count()
