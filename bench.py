@@ -122,6 +122,11 @@ HEADLINE = [
     # to the frozen index, no retraining; first call per scale pays
     # build+update, best-of-N records the steady-state serve.
     "sim_search_ivfpq_index_update",
+    # round-10: the 64-bit fingerprint (the >= 1e9-doc width the
+    # banding rule's contract requires), b=6 combination banding —
+    # expected ~the dedup_simhash_combi cost plus 16/48 more vote
+    # rows in the fingerprint stage.
+    "dedup_simhash64",
 ]
 
 # The 100x checkpoint now covers the FULL headline set (it used to be
@@ -136,6 +141,143 @@ HEADLINE = [
 # before any timing so a single-shot number never pays page-cache
 # cold reads.
 SCALE100_RERUN_CAP_S = 90.0
+
+# Headline rows whose RECORDED number includes quantizer TRAINING on
+# every run — the oracle-checkable inline-retrain ANN spellings. Their
+# steady-state serving cost is measured separately (the
+# sim_search_ivfpq_serve row + the ivfpq_lifecycle section), so
+# round-over-round diffs of query-serving cost should exclude these
+# rows; every section reports total_serve_sec = total_sec minus this
+# set (VERDICT r9 task 3 — training noise was dominating the scale100
+# diff).
+BUILD_INCLUSIVE = frozenset({
+    "sim_search_ivfpq",
+    "sim_search_ivfpq_rerank",
+    "sim_search_ivfpq_sampled",
+})
+
+
+def superlinear_flagged(t_sf: float, t_scaled: float, factor: float) -> bool:
+    """Two-sided superlinear detector (ADVICE r9). Clause 1: growth
+    over 2x-linear with the baseline floored at 0.5 s (sub-0.5 s
+    baselines are dominated by fixed per-query overhead that does not
+    scale with data — the round-9 false-alarm fix). Clause 2: the
+    floor alone lets a sub-0.5 s baseline escape below a fixed ~10 s
+    at 10x — a genuinely quadratic 0.1 s plan lands right at ~10 s
+    undetected — so also flag growth over 4x-linear on the TRUE
+    baseline with a 2 s absolute floor: quadratic 0.1 s -> 10 s trips
+    it (10 > 4*10*0.1), while the round-9 false alarm
+    (dedup_ngram_jaccard 0.31 s -> 6.27 s, candidate-set growth)
+    stays suppressed (6.27 < 4*10*0.31 = 12.4)."""
+    return t_scaled > 2 * factor * max(t_sf, 0.5) or (
+        t_scaled > 4 * factor * max(t_sf, 1e-3) and t_scaled > 2.0
+    )
+
+
+def _serve_total(timings: dict[str, float]) -> float:
+    return round(
+        sum(v for n, v in timings.items() if n not in BUILD_INCLUSIVE), 3
+    )
+
+
+def _calibration(spark, data_dir: str) -> dict | None:
+    """Fixed canonical probe workload, timed at the top of every scale
+    section and recorded in the JSON (VERDICT r9 task 1a): host-speed
+    drift between rounds becomes a measured divisor instead of an
+    asserted excuse. Two sub-probes over the section's own lineitem
+    table — a scan+shuffle+agg (TPC-H Q1 shape) and a global 2-column
+    sort — each best-of-2. The plan is FROZEN: changing it breaks
+    cross-round comparability, so don't."""
+    try:
+        from pyspark.sql import functions as F
+
+        from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+        li = load_table(spark, data_dir, "lineitem")
+
+        def _best2(df) -> float:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        agg = _best2(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum("l_quantity").alias("sq"),
+                F.avg("l_extendedprice").alias("ap"),
+                F.count("*").alias("c"),
+            )
+        )
+        srt = _best2(
+            li.select("l_extendedprice", "l_orderkey").orderBy(
+                "l_extendedprice", "l_orderkey"
+            )
+        )
+        return {"agg_sec": agg, "sort_sec": srt}
+    except Exception:
+        return None
+
+
+def _stage_evidence(t_start: float, t_end: float, max_stages: int = 5) -> list | None:
+    """Stage-level attribution for a slow run (VERDICT r9 task 1b):
+    top completed stages by executor run time from the live UI REST
+    API, restricted to stages that completed inside [t_start, t_end]
+    (epoch seconds). Records run/GC time, spill, and shuffle bytes so
+    an unexplained ballooned run names WHICH stage ballooned and
+    whether GC or spill drove it. Requires spark.ui.enabled=true on
+    the session (the 100x section enables it); None on any failure."""
+    try:
+        import datetime as _dt
+        import urllib.request
+
+        base = "http://localhost:4040/api/v1"
+        apps = json.loads(
+            urllib.request.urlopen(base + "/applications", timeout=5).read()
+        )
+        app_id = apps[0]["id"]
+        stages = json.loads(
+            urllib.request.urlopen(
+                f"{base}/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            ).read()
+        )
+
+        def _epoch(s: str | None) -> float | None:
+            if not s:
+                return None
+            try:
+                return _dt.datetime.strptime(
+                    s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+                ).timestamp()
+            except ValueError:
+                return None
+
+        in_window = []
+        for s in stages:
+            done = _epoch(s.get("completionTime"))
+            if done is not None and t_start - 5 <= done <= t_end + 5:
+                in_window.append(s)
+        in_window.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+        return [
+            {
+                "stage": s.get("stageId"),
+                "name": (s.get("name") or "").split("\n")[0][:100],
+                "run_ms": s.get("executorRunTime"),
+                "gc_ms": s.get("jvmGcTime"),
+                "cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
+                "spill_mem_b": s.get("memoryBytesSpilled"),
+                "spill_disk_b": s.get("diskBytesSpilled"),
+                "shuffle_read_b": s.get("shuffleReadBytes"),
+                "shuffle_write_b": s.get("shuffleWriteBytes"),
+                "tasks": s.get("numCompleteTasks"),
+            }
+            for s in in_window[:max_stages]
+        ]
+    except Exception:
+        return None
 
 
 def _warm_session(spark) -> None:
@@ -159,7 +301,7 @@ def _warm_session(spark) -> None:
     ).collect()
 
 
-def _fresh_session(name: str):
+def _fresh_session(name: str, extra_conf: dict[str, str] | None = None):
     """Stop the current session and build a warmed replacement — one
     session PER SCALE SECTION (round 9). Sharing one JVM across the
     sf0.1 + streaming + 10x + 100x phases let state accumulated by
@@ -178,7 +320,7 @@ def _fresh_session(name: str):
     from mlops_realtime_data_ingestion_spark.session import get_spark, stop_spark
 
     stop_spark()
-    spark = get_spark(name)
+    spark = get_spark(name, extra_conf=extra_conf)
     _warm_session(spark)
     return spark
 
@@ -215,6 +357,7 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
     _warm_session(spark)
+    calibration = _calibration(spark, sf_dir)
 
     # Best-of-3 per query (round 9; was best-of-2): single-shot
     # numbers at sf0.1 swing 2-5x on first-touch effects (page cache,
@@ -272,6 +415,7 @@ def main() -> None:
     scaled_factor = 10.0
     if os.path.isdir(scaled_dir):
         spark = _fresh_session("bench-10x")
+        s_calibration = _calibration(spark, scaled_dir)
         # best-of-2 like the primary set: a single-shot numerator over
         # a best-of-2 denominator makes the super-linear flag flap on
         # first-touch noise
@@ -300,16 +444,20 @@ def main() -> None:
         # grew 5.4x — the round-9 false alarm). The floor does not
         # blind the detector to real quadratics: a plan under 0.5 s at
         # sf0.1 that scaled quadratically would cost ~50 s at 10x,
-        # far over the floored 10 s threshold.
+        # far over the floored 10 s threshold. (Second clause: see
+        # superlinear_flagged.)
         anomalies = {
             n: round(s_timings[n] / max(timings[n], 1e-3), 1)
             for n in s_timings
-            if n in timings and s_timings[n] > 2 * scaled_factor * max(timings[n], 0.5)
+            if n in timings
+            and superlinear_flagged(timings[n], s_timings[n], scaled_factor)
         }
         scaled = {
             "dir": scaled_dir,
             "factor_vs_sf": scaled_factor,
             "total_sec": round(sum(s_timings.values()), 3),
+            "total_serve_sec": _serve_total(s_timings),
+            "calibration": s_calibration,
             "queries": s_timings,
             "superlinear": anomalies,
             # Candidate-vs-survivor accounting for every dedup path at
@@ -346,26 +494,60 @@ def main() -> None:
     scale100 = None
     s100_dir = os.environ.get("SPARK_GRAFT_SCALED100_DIR", "/root/repo/.data/sf10")
     if os.path.isdir(s100_dir):
-        spark = _fresh_session("bench-100x")
+        # UI enabled ONLY here so _stage_evidence can attribute a slow
+        # run to its ballooned stage via the REST API (VERDICT r9 task
+        # 1b); the sf0.1/10x sections keep ui off as before.
+        _UI = {"spark.ui.enabled": "true"}
+        spark = _fresh_session("bench-100x", extra_conf=_UI)
         _warm_scan(spark, s100_dir)
+        h_calibration = _calibration(spark, s100_dir)
         h_timings: dict[str, float] = {}
         single_shot: list[str] = []
+        slow_mode_retries: dict[str, dict] = {}
         for name in HEADLINE:
             spec = specs.get(name)
             if spec is None:
                 continue
             try:
                 df = spec.fn(spark, s100_dir)
+                w0 = time.time()
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = time.perf_counter() - t0
+                w1 = time.time()
                 if best < SCALE100_RERUN_CAP_S:
                     df = spec.fn(spark, s100_dir)
                     t0 = time.perf_counter()
                     df.write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                 else:
-                    single_shot.append(name)
+                    # Insurance rerun (VERDICT r9 task 1c): the round-9
+                    # official artifact shipped dedup_cdc_chunks at
+                    # 111.8 s single-shot — 9x its fresh-session
+                    # steady state — because a >=cap first run was
+                    # accepted unverified. Now: capture stage-level
+                    # evidence on the slow run, then rerun ONCE in a
+                    # brand-new warmed session and take the min. Both
+                    # numbers + the stage attribution land in the JSON
+                    # so a genuine slow mode is explained, not shipped
+                    # silently.
+                    evidence = _stage_evidence(w0, w1)
+                    spark = _fresh_session("bench-100x-retry", extra_conf=_UI)
+                    _warm_scan(spark, s100_dir)
+                    df = spec.fn(spark, s100_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    retry = time.perf_counter() - t0
+                    slow_mode_retries[name] = {
+                        "first_sec": round(best, 3),
+                        "fresh_retry_sec": round(retry, 3),
+                        "slow_run_stages": evidence,
+                    }
+                    best = min(best, retry)
+                    if best >= SCALE100_RERUN_CAP_S:
+                        # genuinely expensive: neither session saw a
+                        # warm same-session repeat
+                        single_shot.append(name)
                 h_timings[name] = round(best, 3)
             except Exception:
                 continue
@@ -373,8 +555,11 @@ def main() -> None:
             "dir": s100_dir,
             "factor_vs_sf": 100.0,
             "total_sec": round(sum(h_timings.values()), 3),
+            "total_serve_sec": _serve_total(h_timings),
+            "calibration": h_calibration,
             "queries": h_timings,
             "single_shot": single_shot,
+            "slow_mode_retries": slow_mode_retries,
             "dedup_lsh_accounting": _lsh_accounting(spark, {"scale100": s100_dir}),
             "dedup_semdedup_scaled": _semdedup_scaled(spark, s100_dir, k=64),
             # build-once/serve-many split; the sim_search_ivfpq row in
@@ -404,6 +589,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "total_serve_sec": _serve_total(timings),
+        "build_inclusive": sorted(BUILD_INCLUSIVE),
+        "calibration": calibration,
         "queries": timings,
         "streaming_e2e_sec": streaming_e2e,
         "live_freshness_sec": live_freshness,
@@ -441,14 +629,25 @@ def compact_line(full: dict) -> str:
         "metric": full["metric"],
         "value": full["value"],
         "unit": full["unit"],
+        "serve_sec": full.get("total_serve_sec"),
         "queries": timings,
         "n_queries": len(timings),
         "streaming_e2e_sec": full.get("streaming_e2e_sec"),
         "live_freshness_sec": full.get("live_freshness_sec"),
         "streaming_freshness_budget_sec": 120,
+        "calibration": {
+            "sf": full.get("calibration"),
+            "10x": scaled.get("calibration") if scaled else None,
+            "100x": scale100.get("calibration") if scale100 else None,
+        },
         "scaled_total_sec": scaled["total_sec"] if scaled else None,
+        "scaled_serve_sec": scaled.get("total_serve_sec") if scaled else None,
         "scaled_superlinear": scaled["superlinear"] if scaled else None,
         "scale100_total_sec": scale100["total_sec"] if scale100 else None,
+        "scale100_serve_sec": scale100.get("total_serve_sec") if scale100 else None,
+        "scale100_slow_retries": sorted(scale100.get("slow_mode_retries") or ())
+        if scale100
+        else None,
         "scale100_top5": _top5(scale100["queries"]) if scale100 else None,
         "ivfpq_lifecycle": scale100.get("ivfpq_lifecycle") if scale100 else None,
         "sf": full.get("sf"),
@@ -469,6 +668,8 @@ def compact_line(full: dict) -> str:
         if c.get("scaled_superlinear")
         else None,
         lambda c: c.pop("ivfpq_lifecycle", None),
+        lambda c: c.pop("calibration", None),
+        lambda c: c.pop("scale100_slow_retries", None),
         lambda c: c.pop("scaled_superlinear", None),
         lambda c: c.pop("queries", None),
     ]

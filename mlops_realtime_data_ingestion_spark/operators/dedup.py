@@ -626,9 +626,16 @@ def simhash_fingerprints(
     Shingles, not unigrams: with a small vocabulary (boilerplate-heavy
     or synthetic corpora) unigram bit-votes converge to the corpus
     frequency profile and everything collides; n-gram votes are
-    order-sensitive and discriminative. 48 bits sidesteps BIGINT sign
-    issues while dividing evenly into both banding schemes (4x12-bit
-    pigeonhole bands; 6x8-bit blocks for combination keys).
+    order-sensitive and discriminative. 48 bits divides evenly into
+    both banding schemes (4x12-bit pigeonhole bands; 6x8-bit blocks
+    for combination keys) and is the default; ``bits=64`` — the
+    width choose_simhash_banding's contract requires at >= 1e9 docs —
+    is fully supported (round 10): bit 63 packs into the long's sign
+    bit as two's complement, identically in the pandas path (numpy
+    int64 wrap), the SQL path (shiftleft(1L, 63)), and the DuckDB
+    oracle (explicit min-long constant), and band extraction masks
+    after the arithmetic shift so the sign never leaks into a key
+    (boundary-pinned in tests/test_round10_plans.py).
 
     Instead of a nested fold with an array accumulator (which DuckDB's
     lambda surface can't mirror), the bit-vote sum is a plain
@@ -739,58 +746,90 @@ def _simhash_band_exprs(
     ]
 
 
+def simhash_collision_estimate(
+    n_docs: int, bits: int, n_blocks: int, max_hamming: int = 3
+) -> float:
+    """EXACT expected random-collision pairs for combination banding:
+    docs^2/2 * sum over the C(b, b-h) subset keys of 2^-width(subset).
+    Round 10 fix: the old estimate applied the WIDEST subset's width
+    to every key, which is optimistic whenever bits % b != 0 (the
+    last block is wider than the rest) — at 1e9 docs / 48 bits it
+    called b=9 'feasible' at ~4.9e9 pairs while the exact sum is
+    ~1.6e10 (the narrow all-small-block subsets dominate collisions).
+    Widths differ only between the last block and the rest, so the
+    sum groups by whether the subset contains the last block instead
+    of enumerating subsets."""
+    from math import comb
+
+    h, b = max_hamming, n_blocks
+    w = bits // b
+    lastw = w + (bits - b * w)
+    k = b - h  # blocks per subset key
+    with_last = comb(b - 1, k - 1) / (1 << min(lastw + w * (k - 1), 63))
+    without_last = comb(b - 1, k) / (1 << min(w * k, 63))
+    return n_docs * n_docs / 2 * (with_last + without_last)
+
+
 def choose_simhash_banding(
     n_docs: int,
     bits: int = 48,
     max_hamming: int = 3,
     simple_max_docs: int = 10_000_000,
     pairs_per_doc: float = 10.0,
+    max_keys_per_doc: int = 64,
 ) -> dict:
     """The banding decision rule (VERDICT r8 task 5): given a corpus
     doc count, return the ``{"n_bands": ..., "n_blocks": ...}`` kwargs
     whose plan survives that scale, so callers no longer need to know
     that >= 1e8 docs requires combination banding.
 
-    Rule (contract = the SCALE.md round-8/9 collision table):
+    Rule (contract = the SCALE.md round-8/9/10 collision table):
 
     - ``n_docs < simple_max_docs`` (1e7, the measured crossover —
       below it simple banding's (h+1)-rows/doc probe side beats
       combination's C(b,h), and the docs^2*(h+1)/2^(bits/(h+1))
       random term is still small): simple pigeonhole bands.
     - else: combination banding with the SMALLEST feasible block
-      count b (fewest probe keys) whose expected random-collision
-      pairs, docs^2/2 * C(b,h) / 2^keybits(b), stay within
+      count b (fewest probe keys) whose EXACT expected
+      random-collision pairs (:func:`simhash_collision_estimate` —
+      per-subset width sum, round-10 fix) stay within
       ``pairs_per_doc`` * docs — i.e. the candidate stream stays
-      LINEAR in the corpus. keybits(b) = the (b-h) widest blocks'
-      total width (matching _simhash_band_exprs), capped at 63.
+      LINEAR in the corpus — AND whose probe amplification
+      C(b, max_hamming) stays within ``max_keys_per_doc`` (round 10:
+      without this cap the rule would accept e.g. b=11 at 48 bits /
+      1e9 docs, whose 165 keys/doc make the posting table 165x the
+      corpus — collision-linear but probe-quadratic in disguise).
+      The widest subset key must also fit a long (<= 63 bits,
+      matching _simhash_band_exprs' guard).
     - if NO feasible b exists at these bits (e.g. 1e9 docs at 48
-      bits), return the argmin-collision b anyway — the best this
-      fingerprint width can do — so the caller gets the survivable-
-      est plan; the fix at that scale is wider fingerprints
-      (bits=64, where b=6 already holds 1e9 docs to ~6e8 random
-      pairs), which this function will select once given them.
+      bits: the best capped plan, b=8, still expects ~2.6e10 random
+      pairs), return the argmin-collision capped b anyway — the best
+      this fingerprint width can do — so the caller gets the
+      survivable-est plan; the fix at that scale is wider
+      fingerprints (bits=64, where b=6 holds 1e9 docs to ~5.0e9
+      random pairs at 20 keys/doc). The 64-bit path is implemented
+      and certified end-to-end (round 10: dedup_simhash64 registry
+      row + boundary tests), and this function selects b=6 for it —
+      pinned in tests/test_round10_plans.py.
     """
-    from itertools import combinations as _comb  # noqa: F401
-
     h = max_hamming
     if n_docs < simple_max_docs:
         return {"n_bands": None, "n_blocks": None}
+
+    from math import comb
 
     def keybits(b: int) -> int:
         w = bits // b
         widths = [w + (bits - b * w if k == b - 1 else 0) for k in range(b)]
         return sum(sorted(widths, reverse=True)[: b - h])
 
-    def nck(n_: int, k_: int) -> int:
-        from math import comb
-
-        return comb(n_, k_)
-
     best, best_pairs = None, None
     for b in range(h + 2, bits + 1):
         if bits // b == 0 or keybits(b) > 63:
             continue
-        est = n_docs * n_docs / 2 * nck(b, h) / (1 << keybits(b))
+        if comb(b, h) > max_keys_per_doc:
+            continue
+        est = simhash_collision_estimate(n_docs, bits, b, h)
         if est <= pairs_per_doc * n_docs:
             return {"n_bands": None, "n_blocks": b}
         if best_pairs is None or est < best_pairs:

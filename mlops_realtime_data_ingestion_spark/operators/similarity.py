@@ -889,6 +889,12 @@ def ivfpq_index_update(
     distribution drift, the standard production cadence."""
     import os
 
+    if dim % m:
+        # Mirror _ivfpq_train's guard (ADVICE r9): a mismatched m here
+        # would silently slice short subvectors and append corrupt PQ
+        # codes to the persisted index.
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+
     coarse = spark.read.parquet(os.path.join(path, "coarse"))
     codebooks = spark.read.parquet(os.path.join(path, "codebooks"))
     subdim = dim // m

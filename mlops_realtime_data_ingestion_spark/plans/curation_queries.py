@@ -630,7 +630,7 @@ IVFPQ_SAMPLED_ORACLE = _ivfpq_oracle(
 )
 
 
-_IVFPQ_UPD_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_UPD_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def sim_search_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,12 +647,11 @@ def sim_search_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame
     same _ivfpq_oracle machinery as the sampled row."""
     from ..operators.similarity import ivfpq_build, ivfpq_index_update, ivfpq_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = _IVFPQ_UPD_INDEX_CACHE.get(sf_dir)
-    if idx is None:
-        import tempfile
+    from .index_cache import build_once
 
-        idx = tempfile.mkdtemp(prefix="ivfpq_upd_idx_")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(idx: str) -> None:
         # train_on=build corpus (not the id<k default init): the build
         # corpus lacks ids 0 and 5, so the rank-based init over the k
         # smallest BUILD ids is the well-defined spelling — and the
@@ -666,7 +665,10 @@ def sim_search_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame
         ivfpq_index_update(
             spark, idx, emb.filter(F.col("vec_id") % 5 == 0), dim=64, m=4
         )
-        _IVFPQ_UPD_INDEX_CACHE[sf_dir] = idx
+
+    idx = build_once(
+        _IVFPQ_UPD_INDEX_CACHE, sf_dir, "embeddings", "ivfpq_upd_idx_", _build
+    )
     return ivfpq_search(
         spark, idx, emb.filter(F.col("vec_id") < 5), dim=64,
         m=4, nprobe=2, k=5, rerank=50, vectors=emb,
@@ -679,12 +681,12 @@ IVFPQ_UPDATE_ORACLE = _ivfpq_oracle(
 )
 
 
-# Build-once IVF-PQ index per (process, sf_dir), same contract as the
+# Build-once IVF-PQ index per (process, sf_dir, data fingerprint — see index_cache.py), same contract as the
 # containment/simhash index caches (training_queries.py): the first
 # call trains and persists the index, every later call measures the
 # serve — the shape a 100 TB pipeline actually runs (index build is a
 # scheduled job; query batches amortize it to zero).
-_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def sim_search_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,14 +705,13 @@ def sim_search_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist rows alone."""
     from ..operators.similarity import ivfpq_build, ivfpq_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = _IVFPQ_INDEX_CACHE.get(sf_dir)
-    if idx is None:
-        import tempfile
+    from .index_cache import build_once
 
-        idx = tempfile.mkdtemp(prefix="ivfpq_idx_")
-        ivfpq_build(emb, idx, dim=64, coarse_k=4, m=4, pq_k=32, iters=2)
-        _IVFPQ_INDEX_CACHE[sf_dir] = idx
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_once(
+        _IVFPQ_INDEX_CACHE, sf_dir, "embeddings", "ivfpq_idx_",
+        lambda p: ivfpq_build(emb, p, dim=64, coarse_k=4, m=4, pq_k=32, iters=2),
+    )
     return ivfpq_search(
         spark, idx, emb.filter(F.col("vec_id") < 5), dim=64,
         m=4, nprobe=2, k=5, rerank=50, vectors=emb,

@@ -1,0 +1,72 @@
+"""Process-lifetime build-once index caches for the *_index_serve /
+*_index_update registry rows.
+
+Contract (shared by the containment, simhash, and IVF-PQ serve rows):
+the registry fn is called repeatedly (driver cert at two SFs, bench
+best-of-N), and the steady-state plan is build-once/serve-per-batch —
+so the index build runs on first touch and every later call measures
+the serve. Two hygiene guarantees (ADVICE r9):
+
+- **Cleanup**: every temp dir this module hands out is removed at
+  interpreter exit (atexit); a long pytest/bench process no longer
+  leaks one mkdtemp per (index family x sf_dir).
+- **Cache busting**: the cache key includes a fingerprint of the
+  source parquet (path + mtime_ns + size), so regenerating the data
+  at the same sf_dir within one process builds a fresh index instead
+  of silently serving a stale one.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from typing import Callable
+
+__all__ = ["build_once", "data_token"]
+
+_LIVE_DIRS: list[str] = []
+
+
+def _cleanup() -> None:
+    for d in _LIVE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def data_token(sf_dir: str, table: str) -> tuple:
+    """Fingerprint of ``{sf_dir}/{table}.parquet`` (works for both a
+    single file and a directory-style parquet: a rewrite bumps the
+    mtime either way)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (os.path.abspath(p), 0, 0)
+
+
+def build_once(
+    cache: dict,
+    sf_dir: str,
+    table: str,
+    prefix: str,
+    builder: Callable[[str], None],
+    subpath: str = "",
+) -> str:
+    """Return the cached index path for (sf_dir, data fingerprint),
+    building it via ``builder(path)`` on first touch. ``subpath``
+    appends a component to the fresh temp dir before the builder runs
+    (the simhash index persists under ``<dir>/fingerprints``)."""
+    key = (sf_dir, data_token(sf_dir, table))
+    idx = cache.get(key)
+    if idx is None:
+        root = tempfile.mkdtemp(prefix=prefix)
+        _LIVE_DIRS.append(root)
+        idx = os.path.join(root, subpath) if subpath else root
+        builder(idx)
+        cache[key] = idx
+    return idx

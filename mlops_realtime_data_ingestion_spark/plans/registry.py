@@ -231,38 +231,58 @@ _R8_CHECKED = frozenset({
     "wf_rolling_time_range", "wf_running_sum",
 })
 
-# Queries whose Spark implementation changed in round 9 in a way that
-# can alter the certified OUTPUT, so their old green rows no longer
-# certify the current plans:
-# - dedup_embedding_cosine: REWRITTEN (hyperplane-LSH-banded
-#   candidates + threshold 0.3/4-table amplification replace the raw
-#   intra-label all-pairs join, VERDICT r8 task 1) — new oracle too.
-# - dedup_survivors_best_quality: ADVICE r8 — it routes through the
-#   round-8-rewritten _prefix_candidates expressions via
-#   ngram_jaccard_pairs exactly like dedup_survivors (which was in
-#   _CHANGED_R8 and re-certified), but was omitted from that tier;
-#   its last green (r5) certifies pre-rewrite expressions.
-# - sim_search_lsh_topk: the corpus-side bucket projection moved to
-#   the Arrow numpy path (bit-identical to the fold, equality-tested,
-#   but a different physical plan than the green r2 row certified).
-# NOT here (reasoned, with tests pinning the no-op): the _tq clamp
-# (ADVICE r8) leaves p unchanged at every registry threshold (0.5 /
-# 0.6 — decimal thresholds never overshoot; boundary fixture at 2/3
-# in tests/test_round9_plans.py), simhash banding auto-select picks
-# the same simple-banding expressions below 1e7 docs (every test
-# scale), and the containment probe-prefilter auto-default resolves
-# OFF at the registry rows' 20% batch ratio — all three leave the
-# certified plans expression-identical (equality tests in
-# tests/test_round9_plans.py).
-_CHANGED_R9 = frozenset({
-    "dedup_embedding_cosine", "dedup_survivors_best_quality",
-    "sim_search_lsh_topk",
+# Queries with a green hash-match row in CORRECTNESS_r09.json (all 50
+# of round 9's driver sample were green, including all 3 of
+# _CHANGED_R9 — the round-9 rewritten-plan tier, now folded in — the
+# 4 brand-new IVF-PQ lifecycle rows, and the 43 stalest rows the
+# _LAST_GREEN rotation surfaced).
+_R9_CHECKED = frozenset({
+    "approx_quantiles_by_type", "approx_quantiles_value",
+    "boilerplate_chunks", "bpe_top_merges", "cdc_snapshot_diff",
+    "curation_funnel", "decontam_ngram_overlap", "decontam_semantic",
+    "dedup_embedding_cosine", "dedup_exact_fingerprint",
+    "dedup_minhash_lsh", "dedup_survivors_best_quality",
+    "doc_chunk_sliding", "drift_psi_events", "embedding_hard_negatives",
+    "embedding_normalize_quantize", "embedding_stats", "export_shards",
+    "hll_distinct_users", "kmeans_embedding_clusters",
+    "multimodal_frame_sample", "pack_sequences_greedy",
+    "sample_per_source_topk", "sample_stratified",
+    "sim_search_cosine_topk", "sim_search_ivf_kmeans",
+    "sim_search_ivfpq_index_update", "sim_search_ivfpq_rerank",
+    "sim_search_ivfpq_sampled", "sim_search_ivfpq_serve",
+    "sim_search_lsh_topk", "split_hash_assign", "streaming_stream_join",
+    "text_fingerprint", "text_heavy_hitters", "text_heavy_hitters_cms",
+    "text_kwic_udtf", "text_lang_id", "text_quality_score",
+    "text_token_count", "text_vocab_oov", "tpch_q11_important_stock",
+    "tpch_q12_late_shipments", "tpch_q13_customer_distribution",
+    "tpch_q20_excess_shipments", "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "ts_profile_topk",
 })
+
+# Queries whose Spark implementation changed in round 10 in a way that
+# can alter the certified OUTPUT, so their old green rows no longer
+# certify the current plans. Round 10 landed no such change — EMPTY,
+# reasoned per change:
+# - choose_simhash_banding rewrite (exact collision sums + probe cap):
+#   auto-select only engages at >= 1e7 docs; every test/bench corpus
+#   is below it (simple banding, unchanged), and both certified
+#   combination rows (dedup_simhash_combi, dedup_simhash64) pin
+#   n_blocks=6 explicitly.
+# - index_cache move (atexit cleanup + fingerprint keys): changes
+#   WHEN an index rebuilds, never what the serve computes — parity
+#   tests unchanged (test_round9_plans.py, test_round10_plans.py).
+# - ivfpq_index_update dim%m guard: pure precondition, raises on
+#   inputs that previously corrupted the index.
+# - bench/session changes: measurement layer only.
+# dedup_simhash64 is NEW (never checked), not changed — it enumerates
+# in the never-driver-green tier automatically.
+_CHANGED_R10 = frozenset()
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (
     (1, _R1_CHECKED), (2, _R2_CHECKED), (3, _R3_CHECKED),
     (4, _R4_CHECKED), (5, _R5_CHECKED), (6, _R6_CHECKED),
-    (7, _R7_CHECKED), (8, _R8_CHECKED),
+    (7, _R7_CHECKED), (8, _R8_CHECKED), (9, _R9_CHECKED),
 )
 
 # name -> most recent round with a green driver row (absent = never).
@@ -278,24 +298,25 @@ _DRIVER_CHECKED = (
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then round-9-changed queries (their
+    re-verified by the driver), then round-10-changed queries (their
     old green rows certify stale code), then never-driver-green
     oracled queries, then never-checked rows-only queries (their
     driver check is weaker), then queries with a green driver row
     ordered by last-green round ASCENDING (VERDICT r8 task 2: the old
     module-insertion order within this tier left dedup_minhash_lsh
     six rounds stale while newer rows were re-checked; staleness-
-    first ordering drains the r2/r3-era backlog — 65 rows, so the
-    50-query sample clears it over two rounds). Within the oracled
-    groups, flat-schema guarantees hold for every oracled query (see
-    tests/test_registry.py) so the driver's pandas canonicalizer can
-    hash each one."""
+    first ordering drains the oldest backlog — after the r9 fold the
+    stalest tier is 20 r3-era rows + 24 r4-era rows, so round 10's
+    50-query sample retires every certification older than r5).
+    Within the oracled groups, flat-schema guarantees hold for every
+    oracled query (see tests/test_registry.py) so the driver's pandas
+    canonicalizer can hash each one."""
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, str]:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return (0, 0, name)
-        if name in _CHANGED_R9:
+        if name in _CHANGED_R10:
             return (1, 0, name)
         if name in _DRIVER_CHECKED:
             return (4, _LAST_GREEN[name], name)

@@ -879,14 +879,14 @@ SPECS["dedup_containment_incremental"] = QuerySpec(
 )
 
 
-# Build-once containment index per (process, sf_dir): the registry fn
+# Build-once containment index per (process, sf_dir, data fingerprint — see index_cache.py): the registry fn
 # is called repeatedly (driver cert at two SFs, bench best-of-2), and
 # the steady-state contract is build-once/serve-per-batch — so the
 # build runs on first touch and every later call measures the serve,
 # which is exactly the plan a 100 TB pipeline runs per ingest
 # (VERDICT r7 task 2: certify the 8.1 s index serve, not the
 # corpus-re-ranking union spelling).
-_CONTAINMENT_INDEX_CACHE: dict[str, str] = {}
+_CONTAINMENT_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def dedup_containment_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,16 +903,15 @@ def dedup_containment_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame
         containment_pairs_incremental,
     )
 
-    docs = _docs(spark, sf_dir)
-    idx = _CONTAINMENT_INDEX_CACHE.get(sf_dir)
-    if idx is None:
-        import tempfile
+    from .index_cache import build_once
 
-        idx = tempfile.mkdtemp(prefix="containment_idx_")
-        containment_index_build(
-            docs.filter(F.col("doc_id") % 5 != 0), idx, "doc_id", "text", n=3
-        )
-        _CONTAINMENT_INDEX_CACHE[sf_dir] = idx
+    docs = _docs(spark, sf_dir)
+    idx = build_once(
+        _CONTAINMENT_INDEX_CACHE, sf_dir, "documents", "containment_idx_",
+        lambda p: containment_index_build(
+            docs.filter(F.col("doc_id") % 5 != 0), p, "doc_id", "text", n=3
+        ),
+    )
     return containment_pairs_incremental(
         idx,
         docs.filter(F.col("doc_id") % 5 == 0),

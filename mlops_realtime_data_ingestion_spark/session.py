@@ -69,10 +69,21 @@ def get_spark(
         # convert in sources.batch.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if extra_conf:
+        # Applied at BUILDER time so static app configs (spark.ui.*)
+        # take effect when this call creates the context. getOrCreate
+        # ignores builder configs when a context already exists —
+        # callers needing a static conf must stop_spark() first
+        # (bench.py's per-scale _fresh_session does).
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if extra_conf:
         for k, v in extra_conf.items():
-            spark.conf.set(k, v)
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a live context: builder path covered it
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -45,17 +45,17 @@ def test_never_driver_checked_enumerate_first():
     before already-green ones, with oracled (strong check) ahead of
     rows-only (weak), and the green tier ordered by last-green round
     ASCENDING (VERDICT r8 task 2). The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R9) are allowed ahead of
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R10) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R9,
+        _CHANGED_R10,
         _DRIVER_CHECKED,
         _LAST_GREEN,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R9
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R10
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
@@ -84,25 +84,28 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round9_sample_contains_the_stalest_rows():
-    """VERDICT r8 task 2 acceptance: the next 50-query driver sample
-    must be the changed/new rows plus the LEAST-recently-green rows —
-    specifically every remaining r2-era row (the stalest in the
-    registry; 65 r2/r3-era rows exist, so the backlog drains over two
-    rounds by arithmetic, r2 first)."""
+def test_round10_sample_contains_the_stalest_rows():
+    """VERDICT r9 task 2 acceptance: after the r9 fold the stalest
+    certifications are 20 r3-era + 24 r4-era rows (44 total), so the
+    round-10 50-query driver sample must contain ALL of them — after
+    round 10 no row's latest green may predate r5."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R9,
+        _CHANGED_R10,
         _LAST_GREEN,
         all_specs,
     )
 
     sample = list(all_specs())[:50]
-    r2_era = {n for n, r in _LAST_GREEN.items() if r == 2}
-    missing = sorted(r2_era - set(sample) - _CHANGED_R9)
-    assert not missing, f"r2-stale rows left out of the sample: {missing}"
-    # and nothing fresher than r3 sneaks in ahead of the backlog
+    r3_r4_era = {n for n, r in _LAST_GREEN.items() if r <= 4}
+    missing = sorted(r3_r4_era - set(sample) - _CHANGED_R10)
+    assert not missing, (
+        f"r3/r4-stale rows left out of the sample: {missing}"
+    )
+    # and nothing fresher than r6 sneaks in ahead of the backlog
+    # (44 stale + 3 r5-era rows fill 47 slots; the remaining 3 go to
+    # the next-stalest tier, r6)
     fresh = [
         n for n in sample
-        if n in _LAST_GREEN and _LAST_GREEN[n] > 3 and n not in _CHANGED_R9
+        if n in _LAST_GREEN and _LAST_GREEN[n] > 6 and n not in _CHANGED_R10
     ]
     assert not fresh, f"fresh rows consuming stale-backlog slots: {fresh}"

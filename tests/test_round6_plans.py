@@ -131,17 +131,32 @@ def test_bench_compact_line_stays_under_driver_cap():
     # realistic: every headline query present at three scales with
     # worst-case float widths
     q = {name: 123.456 for name in HEADLINE}
+    cal = {"agg_sec": 12345.678, "sort_sec": 12345.678}
     full = {
         "metric": "headline_queries_total",
         "value": 9999.999,
         "unit": "sec",
+        "total_serve_sec": 9999.999,
+        "calibration": cal,
         "queries": q,
         "streaming_e2e_sec": 123.456,
         "live_freshness_sec": 123.4,
-        "scaled": {"total_sec": 99999.999, "superlinear": {}, "queries": q},
+        "scaled": {
+            "total_sec": 99999.999,
+            "total_serve_sec": 99999.999,
+            "calibration": cal,
+            "superlinear": {},
+            "queries": q,
+        },
         "scale100": {
             "total_sec": 99999.999,
+            "total_serve_sec": 99999.999,
+            "calibration": cal,
             "queries": q,
+            "slow_mode_retries": {
+                name: {"first_sec": 123.456, "fresh_retry_sec": 12.345}
+                for name in list(q)[:6]
+            },
             "ivfpq_lifecycle": {"build_sec": 12345.678, "serve_sec": 12345.678},
         },
         "sf": 0.1,

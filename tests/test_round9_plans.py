@@ -315,10 +315,12 @@ def test_ivfpq_serve_row_matches_inline_rerank_row(spark, sf_dir):
     inline = sorted(map(tuple, sim_search_ivfpq_rerank(spark, sf_dir).collect()))
     served = sorted(map(tuple, sim_search_ivfpq_serve(spark, sf_dir).collect()))
     assert inline == served
-    # second call serves from the process-level cache (no rebuild)
+    # second call serves from the process-level cache (no rebuild) —
+    # keys are (sf_dir, data-fingerprint) tuples since round 10
+    # (plans/index_cache.py)
     from mlops_realtime_data_ingestion_spark.plans import curation_queries as cq
 
-    assert sf_dir in cq._IVFPQ_INDEX_CACHE
+    assert any(k[0] == sf_dir for k in cq._IVFPQ_INDEX_CACHE)
     again = sorted(map(tuple, sim_search_ivfpq_serve(spark, sf_dir).collect()))
     assert again == served
 
