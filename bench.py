@@ -551,12 +551,22 @@ def main() -> None:
                 h_timings[name] = round(best, 3)
             except Exception:
                 continue
+        # end-of-section re-probe (round 10): the top-of-section probe
+        # measures host speed ENTERING the section; re-running it after
+        # ~45 heavy queries measures how much the session itself
+        # degraded (the bimodal class: dedup_simhash read 9.4 s
+        # mid-section in this round's run vs 3.1 s fresh-session
+        # steady state — drift the entry probe cannot see). A
+        # calibration_end >> calibration means mid-section numbers
+        # carry session-state inflation.
+        h_cal_end = _calibration(spark, s100_dir)
         scale100 = {
             "dir": s100_dir,
             "factor_vs_sf": 100.0,
             "total_sec": round(sum(h_timings.values()), 3),
             "total_serve_sec": _serve_total(h_timings),
             "calibration": h_calibration,
+            "calibration_end": h_cal_end,
             "queries": h_timings,
             "single_shot": single_shot,
             "slow_mode_retries": slow_mode_retries,

@@ -250,3 +250,54 @@ def test_superlinear_rule_two_sided():
     assert not flagged(0.04, 1.9)   # sub-2 s noise: absolute floor
     assert flagged(1.0, 25.0)       # the original rule still fires
     assert not flagged(1.0, 15.0)   # 1.5x-linear: fine
+
+
+# ---------------------------------------------------------------
+# tools/bench_diff.py: calibration-normalized round-over-round diff —
+# a uniform host slowdown must normalize away; per-plan movement must
+# survive normalization; pre-calibration artifacts fall back to raw.
+# ---------------------------------------------------------------
+
+def test_bench_diff_normalizes_host_drift():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_diff import cal_ratio, diff_section
+
+    old_q = {"a": 10.0, "b": 4.0, "c": 0.2}
+    # host uniformly 1.5x slower; query b ADDITIONALLY regressed 3x
+    new_q = {"a": 15.0, "b": 18.0, "c": 0.3}
+    old_cal = {"agg_sec": 1.0, "sort_sec": 2.0}
+    new_cal = {"agg_sec": 1.5, "sort_sec": 3.0}
+    assert cal_ratio(old_cal, new_cal) == pytest.approx(1.5)
+    d = diff_section("x", old_q, new_q, old_cal, new_cal)
+    assert d["normalized"] and d["cal_ratio"] == 1.5
+    # a: raw 1.5x -> normalized 1.0x, not flagged
+    assert "a" not in d["regressed"] and "a" not in d["watch"]
+    # b: raw 4.5x -> normalized 3.0x, flagged as regressed
+    assert d["regressed"] == {"b": 3.0}
+    # c: sub-second both sides -> never classified
+    assert "c" not in d["regressed"] and "c" not in d["watch"]
+    # medians reflect the normalization
+    assert d["median_normalized"] == pytest.approx(1.0, abs=0.01)
+
+    # pre-calibration old artifact: falls back to raw and says so
+    d2 = diff_section("x", old_q, new_q, None, new_cal)
+    assert not d2["normalized"] and d2["cal_ratio"] is None
+    assert d2["regressed"] == {"b": 4.5}
+
+
+def test_bench_diff_runs_on_the_real_artifact(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_diff import diff
+
+    with open("/root/repo/BENCH_DETAIL.json") as f:
+        cur = json.load(f)
+    # self-diff: every ratio exactly 1.0, nothing flagged
+    for section in diff(cur, cur):
+        assert section["regressed"] == {} and section["watch"] == {}
+        if section["n_shared"]:
+            assert section["median_raw"] == pytest.approx(1.0)
