@@ -458,6 +458,8 @@ def main() -> None:
             "total_sec": round(sum(s_timings.values()), 3),
             "total_serve_sec": _serve_total(s_timings),
             "calibration": s_calibration,
+            # see the 100x section's calibration_end comment
+            "calibration_end": _calibration(spark, scaled_dir),
             "queries": s_timings,
             "superlinear": anomalies,
             # Candidate-vs-survivor accounting for every dedup path at
