@@ -221,6 +221,49 @@ def _calibration(spark, data_dir: str) -> dict | None:
         return None
 
 
+def _pick_stages(
+    stages: list, t_start: float, t_end: float, max_stages: int = 5
+) -> list:
+    """Pure half of _stage_evidence (unit-testable — the path fires
+    only on a real slow run, so it must be verified deliberately):
+    filter REST-API stage records to those completing inside
+    [t_start-5, t_end+5] epoch seconds, order by executor run time,
+    and project the attribution fields."""
+    import datetime as _dt
+
+    def _epoch(s: str | None) -> float | None:
+        if not s:
+            return None
+        try:
+            return _dt.datetime.strptime(
+                s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            ).timestamp()
+        except ValueError:
+            return None
+
+    in_window = []
+    for s in stages:
+        done = _epoch(s.get("completionTime"))
+        if done is not None and t_start - 5 <= done <= t_end + 5:
+            in_window.append(s)
+    in_window.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+    return [
+        {
+            "stage": s.get("stageId"),
+            "name": (s.get("name") or "").split("\n")[0][:100],
+            "run_ms": s.get("executorRunTime"),
+            "gc_ms": s.get("jvmGcTime"),
+            "cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
+            "spill_mem_b": s.get("memoryBytesSpilled"),
+            "spill_disk_b": s.get("diskBytesSpilled"),
+            "shuffle_read_b": s.get("shuffleReadBytes"),
+            "shuffle_write_b": s.get("shuffleWriteBytes"),
+            "tasks": s.get("numCompleteTasks"),
+        }
+        for s in in_window[:max_stages]
+    ]
+
+
 def _stage_evidence(t_start: float, t_end: float, max_stages: int = 5) -> list | None:
     """Stage-level attribution for a slow run (VERDICT r9 task 1b):
     top completed stages by executor run time from the live UI REST
@@ -230,7 +273,6 @@ def _stage_evidence(t_start: float, t_end: float, max_stages: int = 5) -> list |
     whether GC or spill drove it. Requires spark.ui.enabled=true on
     the session (the 100x section enables it); None on any failure."""
     try:
-        import datetime as _dt
         import urllib.request
 
         base = "http://localhost:4040/api/v1"
@@ -244,38 +286,7 @@ def _stage_evidence(t_start: float, t_end: float, max_stages: int = 5) -> list |
                 timeout=10,
             ).read()
         )
-
-        def _epoch(s: str | None) -> float | None:
-            if not s:
-                return None
-            try:
-                return _dt.datetime.strptime(
-                    s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
-                ).timestamp()
-            except ValueError:
-                return None
-
-        in_window = []
-        for s in stages:
-            done = _epoch(s.get("completionTime"))
-            if done is not None and t_start - 5 <= done <= t_end + 5:
-                in_window.append(s)
-        in_window.sort(key=lambda s: -(s.get("executorRunTime") or 0))
-        return [
-            {
-                "stage": s.get("stageId"),
-                "name": (s.get("name") or "").split("\n")[0][:100],
-                "run_ms": s.get("executorRunTime"),
-                "gc_ms": s.get("jvmGcTime"),
-                "cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
-                "spill_mem_b": s.get("memoryBytesSpilled"),
-                "spill_disk_b": s.get("diskBytesSpilled"),
-                "shuffle_read_b": s.get("shuffleReadBytes"),
-                "shuffle_write_b": s.get("shuffleWriteBytes"),
-                "tasks": s.get("numCompleteTasks"),
-            }
-            for s in in_window[:max_stages]
-        ]
+        return _pick_stages(stages, t_start, t_end, max_stages)
     except Exception:
         return None
 

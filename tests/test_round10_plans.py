@@ -301,3 +301,54 @@ def test_bench_diff_runs_on_the_real_artifact(tmp_path):
         assert section["regressed"] == {} and section["watch"] == {}
         if section["n_shared"]:
             assert section["median_raw"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------
+# bench._pick_stages: the stage-evidence path fires only on a real
+# >=90 s slow run, so its parsing is verified deliberately against a
+# synthetic REST payload (Spark's v1 API shape, GMT timestamps).
+# ---------------------------------------------------------------
+
+def test_stage_evidence_picks_windowed_stages():
+    from bench import _pick_stages
+
+    def rec(sid, done, run_ms, gc_ms=10, name="Exchange hashpartitioning"):
+        return {
+            "stageId": sid,
+            "completionTime": done,
+            "executorRunTime": run_ms,
+            "jvmGcTime": gc_ms,
+            "executorCpuTime": run_ms * 1_000_000,
+            "memoryBytesSpilled": 0,
+            "diskBytesSpilled": 0,
+            "shuffleReadBytes": 1024,
+            "shuffleWriteBytes": 2048,
+            "numCompleteTasks": 32,
+            "name": name + "\nplan details to truncate",
+        }
+
+    # window [1000, 1100] epoch; stage at 950 is out, 1050 is in,
+    # malformed/missing timestamps are skipped, ordering is by run_ms
+    import datetime as dt
+
+    def gmt(epoch):
+        return (
+            dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.123") + "GMT"
+        )
+
+    stages = [
+        rec(1, gmt(950), 99999),          # before window (even with -5 slack: 950 < 995)
+        rec(2, gmt(1050), 5000),
+        rec(3, gmt(1060), 80000, name="WholeStageCodegen"),
+        rec(4, None, 70000),              # no completion time
+        rec(5, "garbage", 60000),         # malformed
+        rec(6, gmt(1099), 100),
+    ]
+    got = _pick_stages(stages, 1000.0, 1100.0, max_stages=2)
+    assert [g["stage"] for g in got] == [3, 2]  # run-time ordered, capped
+    assert got[0]["name"] == "WholeStageCodegen"  # first line only
+    assert got[0]["cpu_ms"] == 80000 and got[0]["tasks"] == 32
+    # boundary slack: completion 4 s after t_end still counts
+    got2 = _pick_stages([rec(7, gmt(1104), 10)], 1000.0, 1100.0)
+    assert [g["stage"] for g in got2] == [7]
