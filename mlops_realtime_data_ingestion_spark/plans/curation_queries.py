@@ -681,7 +681,8 @@ IVFPQ_UPDATE_ORACLE = _ivfpq_oracle(
 )
 
 
-# Build-once IVF-PQ index per (process, sf_dir, data fingerprint — see index_cache.py), same contract as the
+# Build-once IVF-PQ index per (process, sf_dir, data
+# fingerprint — see index_cache.py), same contract as the
 # containment/simhash index caches (training_queries.py): the first
 # call trains and persists the index, every later call measures the
 # serve — the shape a 100 TB pipeline actually runs (index build is a

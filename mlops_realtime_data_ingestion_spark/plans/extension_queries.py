@@ -285,8 +285,9 @@ DEDUP_SIMHASH_INCR_ORACLE = DEDUP_SIMHASH_ORACLE.rstrip() + """
 """
 
 
-# Build-once simhash fingerprint index per (process, sf_dir, data fingerprint — see index_cache.py) —
-# mirrors the containment index-serve row: the build runs at
+# Build-once simhash fingerprint index per (process, sf_dir, data
+# fingerprint — see index_cache.py) — mirrors the containment
+# index-serve row: the build runs at
 # plan-construction time on first touch (the scheduled-job role) and
 # every timed window measures the SERVE, which is the plan a 100 TB
 # pipeline runs per ingest.

@@ -879,7 +879,8 @@ SPECS["dedup_containment_incremental"] = QuerySpec(
 )
 
 
-# Build-once containment index per (process, sf_dir, data fingerprint — see index_cache.py): the registry fn
+# Build-once containment index per (process, sf_dir, data
+# fingerprint — see index_cache.py): the registry fn
 # is called repeatedly (driver cert at two SFs, bench best-of-2), and
 # the steady-state contract is build-once/serve-per-batch — so the
 # build runs on first touch and every later call measures the serve,
