@@ -41,13 +41,18 @@ IMPROVE_AT = 1 / 1.5
 
 def cal_ratio(old_cal: dict | None, new_cal: dict | None) -> float | None:
     """Geometric mean of the agg & sort probe ratios — one number for
-    'how much slower is the host this run on this section's input'."""
+    'how much slower is the host this run on this section's input'.
+    A probe under 0.5 s on EITHER side is excluded: at small scale the
+    agg probe is fixed-overhead-dominated (measured 0.40-0.73 s across
+    two same-day identical-code runs at sf0.1 — a 1.8x swing that
+    would poison the yardstick), the same floor reasoning as the
+    superlinear detector."""
     if not old_cal or not new_cal:
         return None
     ratios = []
     for k in ("agg_sec", "sort_sec"):
         a, b = old_cal.get(k), new_cal.get(k)
-        if a and b and a > 0:
+        if a and b and min(a, b) >= 0.5:
             ratios.append(b / a)
     if not ratios:
         return None
@@ -83,10 +88,17 @@ def diff_section(
         v = sorted(d.values())
         return round(v[len(v) // 2], 3)
 
+    # Classification needs BOTH a ratio and an absolute normalized
+    # delta >= 2 s: two same-day identical-code runs showed sub-5 s
+    # rows swinging up to ~2x (a8_ordered_gather 1.4 -> 2.8 s at 100x)
+    # — ratio alone at that magnitude is noise, while any real
+    # regression that matters at scale moves whole seconds.
+    r_eff = r if r else 1.0
     big = {
         q: round(norm[q], 2)
         for q in norm
         if max(old_q[q], new_q[q]) >= min_abs_s
+        and abs(new_q[q] - old_q[q] * r_eff) >= 2.0
     }
     return {
         "section": name,
