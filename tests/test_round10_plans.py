@@ -352,3 +352,20 @@ def test_stage_evidence_picks_windowed_stages():
     # boundary slack: completion 4 s after t_end still counts
     got2 = _pick_stages([rec(7, gmt(1104), 10)], 1000.0, 1100.0)
     assert [g["stage"] for g in got2] == [7]
+
+
+# ---------------------------------------------------------------
+# Plan-shape pin for the 64-bit row (the same zero-suspect-broadcast
+# contract as the other simhash rows — a 20-keys/doc band frame
+# statically broadcast is the 100x OOM class) and the shuffle_hash
+# band join.
+# ---------------------------------------------------------------
+
+def test_simhash64_plan_budget(spark, sf_dir):
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+    from tools.broadcast_audit import flagged_broadcasts
+
+    df = all_specs()["dedup_simhash64"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert flagged_broadcasts(plan) == []
+    assert "ShuffledHashJoin" in plan  # the hinted band join held
