@@ -405,3 +405,26 @@ def test_scale100_insurance_rerun_path(spark, sf_dir):
     # fast path: generous cap -> best-of-2 in the same session, no record
     s3, best2, rec2 = _time_scale100_query(spark, spec, sf_dir, cap_s=1e9)
     assert s3 is spark and rec2 is None and best2 > 0
+
+
+def test_simhash64_index_serve_matches_oracle_and_incremental(spark, sf_dir):
+    from mlops_realtime_data_ingestion_spark.plans.extension_queries import (
+        DEDUP_SIMHASH64_INCR_ORACLE,
+        dedup_simhash64_index_serve,
+    )
+    from tests.oracle_harness import compare_spark_duckdb
+
+    served = dedup_simhash64_index_serve(spark, sf_dir)
+    ok, msg = compare_spark_duckdb(served, DEDUP_SIMHASH64_INCR_ORACLE, sf_dir)
+    assert ok, msg
+    # and the index mode equals the DataFrame-mode incremental join
+    docs = _docs(spark, sf_dir)
+    df_mode = sorted(
+        tuple(r)
+        for r in simhash_join(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            "doc_id", "text", max_hamming=3, bits=64, n=2, n_blocks=6,
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in served.collect()) == df_mode
