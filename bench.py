@@ -228,7 +228,12 @@ def _pick_stages(
     only on a real slow run, so it must be verified deliberately):
     filter REST-API stage records to those completing inside
     [t_start-5, t_end+5] epoch seconds, order by executor run time,
-    and project the attribution fields."""
+    and project the attribution fields. Round 11 adds record counts
+    and cpu_ms_per_krow (CPU per thousand rows of the stage's widest
+    stream) so a slow-mode episode is detectable as a CPU-PER-ROW
+    anomaly — the round-10 cdc episode burned ~6x the CPU on the SAME
+    row count, which wall-time alone cannot distinguish from more
+    data (VERDICT r10 task 1a)."""
     import datetime as _dt
 
     def _epoch(s: str | None) -> float | None:
@@ -247,21 +252,73 @@ def _pick_stages(
         if done is not None and t_start - 5 <= done <= t_end + 5:
             in_window.append(s)
     in_window.sort(key=lambda s: -(s.get("executorRunTime") or 0))
-    return [
-        {
-            "stage": s.get("stageId"),
-            "name": (s.get("name") or "").split("\n")[0][:100],
-            "run_ms": s.get("executorRunTime"),
-            "gc_ms": s.get("jvmGcTime"),
-            "cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
-            "spill_mem_b": s.get("memoryBytesSpilled"),
-            "spill_disk_b": s.get("diskBytesSpilled"),
-            "shuffle_read_b": s.get("shuffleReadBytes"),
-            "shuffle_write_b": s.get("shuffleWriteBytes"),
-            "tasks": s.get("numCompleteTasks"),
+    out = []
+    for s in in_window[:max_stages]:
+        cpu_ms = (s.get("executorCpuTime") or 0) // 1_000_000
+        rows = max(
+            s.get("inputRecords") or 0,
+            s.get("outputRecords") or 0,
+            s.get("shuffleReadRecords") or 0,
+            s.get("shuffleWriteRecords") or 0,
+        )
+        out.append(
+            {
+                "stage": s.get("stageId"),
+                "name": (s.get("name") or "").split("\n")[0][:100],
+                "run_ms": s.get("executorRunTime"),
+                "gc_ms": s.get("jvmGcTime"),
+                "cpu_ms": cpu_ms,
+                "spill_mem_b": s.get("memoryBytesSpilled"),
+                "spill_disk_b": s.get("diskBytesSpilled"),
+                "shuffle_read_b": s.get("shuffleReadBytes"),
+                "shuffle_write_b": s.get("shuffleWriteBytes"),
+                "tasks": s.get("numCompleteTasks"),
+                "rows": rows,
+                "cpu_ms_per_krow": round(cpu_ms / (rows / 1000), 3)
+                if rows
+                else None,
+            }
+        )
+    return out
+
+
+def _jvm_health(spark) -> dict | None:
+    """JIT/code-cache state of the live JVM (VERDICT r10 task 1b).
+
+    The round-10 cdc episode's signature — CPU-bound, zero spill, zero
+    GC, survives a fresh SESSION but not a fresh PROCESS — points at
+    JVM runtime state, and the leading mechanism is code-cache
+    saturation: when HotSpot's code cache fills (JDK 17 default 240 MB
+    and a full bench compiles thousands of generated classes), the
+    sweeper churns or the compiler shuts off and hot generated methods
+    run INTERPRETED. This probe makes that observable: per-pool
+    CodeHeap usage, cumulative JIT compile time, and loaded class
+    count, recorded with every calibration probe and at each step of
+    the slow-mode insurance path. None on any failure — diagnostics
+    must never kill the bench."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        pools = {}
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            p = it.next()
+            name = p.getName()
+            # segmented (JDK 9+ default): three "CodeHeap '...'" pools;
+            # non-segmented (small -XX:ReservedCodeCacheSize): one
+            # "CodeCache" pool — match both spellings
+            if "CodeHeap" in name or name.replace(" ", "") == "CodeCache":
+                u = p.getUsage()
+                pools[name] = {
+                    "used_mb": round(u.getUsed() / 1048576, 1),
+                    "max_mb": round(u.getMax() / 1048576, 1),
+                }
+        return {
+            "code_cache": pools,
+            "jit_total_compile_ms": mf.getCompilationMXBean().getTotalCompilationTime(),
+            "classes_loaded": mf.getClassLoadingMXBean().getLoadedClassCount(),
         }
-        for s in in_window[:max_stages]
-    ]
+    except Exception:
+        return None
 
 
 def _stage_evidence(t_start: float, t_end: float, max_stages: int = 5) -> list | None:
@@ -312,7 +369,9 @@ def _warm_session(spark) -> None:
     ).collect()
 
 
-def _fresh_session(name: str, extra_conf: dict[str, str] | None = None):
+def _fresh_session(
+    name: str, extra_conf: dict[str, str] | None = None, hard: bool = False
+):
     """Stop the current session and build a warmed replacement — one
     session PER SCALE SECTION (round 9). Sharing one JVM across the
     sf0.1 + streaming + 10x + 100x phases let state accumulated by
@@ -327,10 +386,26 @@ def _fresh_session(name: str, extra_conf: dict[str, str] | None = None):
     r4-r8 artifacts was this same effect). Per-scale sessions also
     mirror production: a 100x job is its own Spark application, not
     a tenant of the sf0.1 job's JVM. Cache-reuse warm-run semantics
-    are unchanged WITHIN a scale."""
-    from mlops_realtime_data_ingestion_spark.session import get_spark, stop_spark
+    are unchanged WITHIN a scale.
 
-    stop_spark()
+    ``hard=True`` (round 11) additionally tears down the JVM itself:
+    round-10's cdc episode proved a pathology class that LIVES in the
+    JVM (bistable JIT state on the interpreted-HOF hot path — 112 s
+    vs 11 s for identical work, surviving stop_spark() because the
+    py4j gateway reuses the JVM; SCALE.md round 11). The scale
+    sections now get a fresh JVM each, which also completes the
+    production mirror — a separate job is a separate JVM, not just a
+    separate SparkSession."""
+    from mlops_realtime_data_ingestion_spark.session import (
+        get_spark,
+        hard_reset_jvm,
+        stop_spark,
+    )
+
+    if hard:
+        hard_reset_jvm()
+    else:
+        stop_spark()
     spark = get_spark(name, extra_conf=extra_conf)
     _warm_session(spark)
     return spark
@@ -371,16 +446,26 @@ def _time_scale100_query(
     cap_s: float = SCALE100_RERUN_CAP_S,
     fresh_fn=None,
     warm_fn=None,
+    fresh_jvm_fn=None,
 ):
     """One 100x query with the insurance-rerun policy (VERDICT r9
     task 1c), extracted from main() so the rarely-fired slow path is
     integration-testable (tests/test_round10_plans.py drives it with
     cap_s=0). Under the cap: best-of-2 in the same session. At or
-    over it: capture stage evidence of the slow run, rebuild a fresh
-    warmed session, rerun ONCE, record both numbers, take the min —
-    the round-9 artifact shipped dedup_cdc_chunks at 111.8 s
-    single-shot (9x its steady state) because a >=cap first run was
-    accepted unverified; now it cannot ship silently.
+    over it: capture stage + JVM evidence of the slow run, rebuild a
+    fresh warmed SESSION (same JVM), rerun once; if the same-JVM retry
+    is STILL at/over the cap, escalate to a fresh-JVM retry (round 11:
+    the round-10 cdc episode survived the fresh-session rerun because
+    stop_spark() reuses the JVM — JIT/code-cache state persists; a
+    slow same-JVM retry plus a fast fresh-JVM retry localizes the
+    episode to JVM runtime state, which is the attribution VERDICT r10
+    task 1 demands). Records every number + _jvm_health at each step;
+    the recorded best is the min over all runs.
+
+    Any failure inside the retry machinery degrades to the numbers
+    already measured instead of propagating (ADVICE r10 medium: a
+    raise here left main()'s loop holding a STOPPED session, silently
+    truncating the artifact) — the returned session is always live.
 
     Returns (spark, best_sec, retry_record_or_None) — spark may be a
     NEW session after a slow-path rebuild; the caller continues in it.
@@ -397,22 +482,67 @@ def _time_scale100_query(
         df.write.format("noop").mode("overwrite").save()
         return spark, min(best, time.perf_counter() - t0), None
     evidence = _stage_evidence(w0, w1)
+    record = {
+        "first_sec": round(best, 3),
+        "fresh_retry_sec": None,
+        "fresh_jvm_retry_sec": None,
+        "slow_run_stages": evidence,
+        "jvm_health_at_slow": _jvm_health(spark),
+    }
     if fresh_fn is None:
         fresh_fn = lambda: _fresh_session("bench-100x-retry", extra_conf=_UI)  # noqa: E731
     if warm_fn is None:
         warm_fn = _warm_scan
-    spark = fresh_fn()
-    warm_fn(spark, s100_dir)
-    df = spec.fn(spark, s100_dir)
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    retry = time.perf_counter() - t0
-    record = {
-        "first_sec": round(best, 3),
-        "fresh_retry_sec": round(retry, 3),
-        "slow_run_stages": evidence,
-    }
-    return spark, min(best, retry), record
+    if fresh_jvm_fn is None:
+
+        def fresh_jvm_fn():
+            from mlops_realtime_data_ingestion_spark.session import (
+                get_spark,
+                hard_reset_jvm,
+            )
+
+            hard_reset_jvm()
+            sp = get_spark("bench-100x-jvm-retry", extra_conf=_UI)
+            _warm_session(sp)
+            return sp
+
+    try:
+        spark = fresh_fn()
+        warm_fn(spark, s100_dir)
+        df = spec.fn(spark, s100_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        retry = time.perf_counter() - t0
+        record["fresh_retry_sec"] = round(retry, 3)
+        record["jvm_health_after_retry"] = _jvm_health(spark)
+        best = min(best, retry)
+        if retry >= cap_s:
+            # same-JVM retry did not shake the episode -> fresh JVM
+            spark = fresh_jvm_fn()
+            warm_fn(spark, s100_dir)
+            df = spec.fn(spark, s100_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            jvm_retry = time.perf_counter() - t0
+            record["fresh_jvm_retry_sec"] = round(jvm_retry, 3)
+            record["jvm_health_fresh_jvm"] = _jvm_health(spark)
+            best = min(best, jvm_retry)
+    except Exception as e:
+        # keep what was measured; hand back a LIVE session
+        record["retry_error"] = f"{type(e).__name__}: {e}"[:200]
+        from pyspark.sql import SparkSession
+
+        live = SparkSession.getActiveSession()
+        if live is None:
+            try:
+                spark = fresh_fn()
+            except Exception:
+                from mlops_realtime_data_ingestion_spark.session import get_spark
+
+                spark = get_spark("bench-100x-recover", extra_conf=_UI)
+        else:
+            spark = live
+    return spark, best, record
 
 
 def main() -> None:
@@ -426,6 +556,7 @@ def main() -> None:
     specs = all_specs()
     _warm_session(spark)
     calibration = _calibration(spark, sf_dir)
+    jvm_health_start = _jvm_health(spark)
 
     # Best-of-3 per query (round 9; was best-of-2): single-shot
     # numbers at sf0.1 swing 2-5x on first-touch effects (page cache,
@@ -454,12 +585,22 @@ def main() -> None:
     # feature upsert). BASELINE.md budget: a minute bucket finalizes
     # <= ~2 min after its start; the whole multi-day backlog draining
     # in seconds means per-micro-batch latency is far inside that.
+    # Best-of-2 since round 11 (VERDICT r10 task 2): this was the last
+    # single-shot headline number — it swung 21.1 -> 57.3 s r9 -> r10
+    # on byte-identical streaming code, unfalsifiable without a second
+    # run. Both raw runs are recorded so the swing itself stays
+    # visible in the artifact.
     streaming_e2e = None
+    streaming_e2e_runs: list[float] = []
     stream_spec = specs.get("streaming_pipeline_e2e")
     if stream_spec is not None:
-        t0 = time.perf_counter()
-        stream_spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        streaming_e2e = round(time.perf_counter() - t0, 3)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            stream_spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            streaming_e2e_runs.append(round(time.perf_counter() - t0, 3))
+        streaming_e2e = min(streaming_e2e_runs)
 
     # Live-trigger freshness: both pipeline queries running
     # continuously against the rate source; report the max delay
@@ -482,7 +623,7 @@ def main() -> None:
     scaled_dir = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/root/repo/.data/sf1")
     scaled_factor = 10.0
     if os.path.isdir(scaled_dir):
-        spark = _fresh_session("bench-10x")
+        spark = _fresh_session("bench-10x", hard=True)
         s_calibration = _calibration(spark, scaled_dir)
         # best-of-2 like the primary set: a single-shot numerator over
         # a best-of-2 denominator makes the super-linear flag flap on
@@ -528,6 +669,7 @@ def main() -> None:
             "calibration": s_calibration,
             # see the 100x section's calibration_end comment
             "calibration_end": _calibration(spark, scaled_dir),
+            "jvm_health_end": _jvm_health(spark),
             "queries": s_timings,
             "superlinear": anomalies,
             # Candidate-vs-survivor accounting for every dedup path at
@@ -564,9 +706,10 @@ def main() -> None:
     scale100 = None
     s100_dir = os.environ.get("SPARK_GRAFT_SCALED100_DIR", "/root/repo/.data/sf10")
     if os.path.isdir(s100_dir):
-        spark = _fresh_session("bench-100x", extra_conf=_UI)
+        spark = _fresh_session("bench-100x", extra_conf=_UI, hard=True)
         _warm_scan(spark, s100_dir)
         h_calibration = _calibration(spark, s100_dir)
+        jvm_health_100x_start = _jvm_health(spark)
         h_timings: dict[str, float] = {}
         single_shot: list[str] = []
         slow_mode_retries: dict[str, dict] = {}
@@ -603,6 +746,12 @@ def main() -> None:
             "total_serve_sec": _serve_total(h_timings),
             "calibration": h_calibration,
             "calibration_end": h_cal_end,
+            # code-cache/JIT state entering and leaving the section:
+            # the episode class under investigation is JVM-level
+            # (SCALE.md round 11), so every 100x artifact now carries
+            # the JVM evidence needed to adjudicate a recurrence.
+            "jvm_health": jvm_health_100x_start,
+            "jvm_health_end": _jvm_health(spark),
             "queries": h_timings,
             "single_shot": single_shot,
             "slow_mode_retries": slow_mode_retries,
@@ -638,8 +787,10 @@ def main() -> None:
         "total_serve_sec": _serve_total(timings),
         "build_inclusive": sorted(BUILD_INCLUSIVE),
         "calibration": calibration,
+        "jvm_health": jvm_health_start,
         "queries": timings,
         "streaming_e2e_sec": streaming_e2e,
+        "streaming_e2e_runs": streaming_e2e_runs,
         "live_freshness_sec": live_freshness,
         "streaming_freshness_budget_sec": 120,
         "scaled": scaled,
@@ -679,6 +830,7 @@ def compact_line(full: dict) -> str:
         "queries": timings,
         "n_queries": len(timings),
         "streaming_e2e_sec": full.get("streaming_e2e_sec"),
+        "streaming_e2e_runs": full.get("streaming_e2e_runs"),
         "live_freshness_sec": full.get("live_freshness_sec"),
         "streaming_freshness_budget_sec": 120,
         "calibration": {
@@ -717,6 +869,7 @@ def compact_line(full: dict) -> str:
         lambda c: c.pop("calibration", None),
         lambda c: c.pop("scale100_slow_retries", None),
         lambda c: c.pop("scaled_superlinear", None),
+        lambda c: c.pop("streaming_e2e_runs", None),
         lambda c: c.pop("queries", None),
     ]
     for trim in trims:

@@ -954,6 +954,22 @@ def cdc_chunk_dedup(
         f"else filter(sequence(1, size(h) - 1), "
         f"i -> element_at(h, i) % {divisor} = 0) end"
     )
+    # The three rolling folds are computed in a projection ABOVE the
+    # explode, each as its own top-level expression, rather than
+    # nested inside the zip_with lambda (the pre-round-11 spelling).
+    # Semantics are identical — same folds over the same slices, chunk
+    # order preserved by explode either way — but the expression shape
+    # matters operationally: higher-order functions are CodegenFallback
+    # in Spark, so the old spelling made the generator expression ONE
+    # interpreted tree (zip_with binding -> struct -> three aggregate
+    # folds, five HOF levels deep) evaluated per input row, while this
+    # spelling leaves the generator tiny (zip_with -> struct of two
+    # ints) and evaluates three INDEPENDENT small fold trees per chunk
+    # row — separate JIT call sites, separate profile, and candidates
+    # for Spark's per-expression codegen splitting. Motivated by the
+    # round-10 episodic 6x CPU slow mode on this exact projection
+    # (98.6% CPU, zero spill, zero GC — SCALE.md round 11); total fold
+    # work is unchanged (sum of chunk lengths = n_tokens per array).
     fold1 = f"aggregate(slice(h, st, en - st + 1), 0L, (acc, c) -> (acc * 31 + c) % {H.P})"
     fold2 = f"aggregate(slice(h2, st, en - st + 1), 0L, (acc2, c2) -> (acc2 * 37 + c2) % {H.P2})"
     fold3 = f"aggregate(slice(h3, st, en - st + 1), 0L, (acc3, c3) -> (acc3 * 41 + c3) % {H.P3})"
@@ -967,19 +983,29 @@ def cdc_chunk_dedup(
         .select(
             "id",
             F.size("h").alias("n_tokens"),
+            "h",
+            "h2",
+            "h3",
             F.expr(
                 "explode(zip_with(st_arr, en_arr, (st, en) -> "
-                f"struct(({fold1}) * {H.WIDE_SHIFT} + ({fold2}) AS fp, "
-                f"({fold3}) AS fp3, "
-                "en - st + 1 AS clen)))"
-            ).alias("ch"),
+                "struct(st AS st, en AS en)))"
+            ).alias("se"),
         )
         .select(
             "id",
             "n_tokens",
-            F.col("ch.fp").alias("fp"),
-            F.col("ch.fp3").alias("fp3"),
-            F.col("ch.clen").alias("clen"),
+            F.col("se.st").alias("st"),
+            F.col("se.en").alias("en"),
+            "h",
+            "h2",
+            "h3",
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.expr(f"({fold1}) * {H.WIDE_SHIFT} + ({fold2})").alias("fp"),
+            F.expr(fold3).alias("fp3"),
+            (F.col("en") - F.col("st") + 1).alias("clen"),
         )
     )
     if count_mode == "window":

@@ -38,13 +38,25 @@ atexit.register(_cleanup)
 
 
 def data_token(sf_dir: str, table: str) -> tuple:
-    """Fingerprint of ``{sf_dir}/{table}.parquet`` (works for both a
-    single file and a directory-style parquet: a rewrite bumps the
-    mtime either way)."""
+    """Fingerprint of ``{sf_dir}/{table}.parquet``. For a single file,
+    (mtime_ns, size) of the file itself. For a directory-style parquet
+    the directory's own stat is NOT enough — an in-place rewrite that
+    keeps the same part-file names leaves the dir's mtime_ns and size
+    unchanged (ADVICE r10) — so fold in max(mtime_ns) and sum(size)
+    over the directory entries (one scandir pass, top level only:
+    parquet writers replace part files at the top level, and the
+    _SUCCESS/_committed markers they rewrite live there too)."""
     p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(p)
-        return (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+        mtime, size = st.st_mtime_ns, st.st_size
+        if os.path.isdir(p):
+            with os.scandir(p) as it:
+                for e in it:
+                    est = e.stat()
+                    mtime = max(mtime, est.st_mtime_ns)
+                    size += est.st_size
+        return (os.path.abspath(p), mtime, size)
     except OSError:
         return (os.path.abspath(p), 0, 0)
 

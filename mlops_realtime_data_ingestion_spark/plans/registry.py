@@ -260,29 +260,52 @@ _R9_CHECKED = frozenset({
     "tpch_q9_product_profit", "ts_profile_topk",
 })
 
-# Queries whose Spark implementation changed in round 10 in a way that
-# can alter the certified OUTPUT, so their old green rows no longer
-# certify the current plans. Round 10 landed no such change — EMPTY,
-# reasoned per change:
-# - choose_simhash_banding rewrite (exact collision sums + probe cap):
-#   auto-select only engages at >= 1e7 docs; every test/bench corpus
-#   is below it (simple banding, unchanged), and both certified
-#   combination rows (dedup_simhash_combi, dedup_simhash64) pin
-#   n_blocks=6 explicitly.
-# - index_cache move (atexit cleanup + fingerprint keys): changes
-#   WHEN an index rebuilds, never what the serve computes — parity
-#   tests unchanged (test_round9_plans.py, test_round10_plans.py).
-# - ivfpq_index_update dim%m guard: pure precondition, raises on
-#   inputs that previously corrupted the index.
-# - bench/session changes: measurement layer only.
-# dedup_simhash64 is NEW (never checked), not changed — it enumerates
-# in the never-driver-green tier automatically.
-_CHANGED_R10 = frozenset()
+# (Round 10's changed tier was empty — the banding-math rewrite,
+# index-cache move, and ivfpq guard could not alter certified
+# outputs; see the r10 fold below.)
+
+# Queries with a green hash-match row in CORRECTNESS_r10.json (all 50
+# of round 10's driver sample were green, including both brand-new
+# 64-bit simhash rows and the 44 stalest r3/r4-era certifications the
+# rotation surfaced — the staleness drain: after this fold nothing
+# predates r6).
+_R10_CHECKED = frozenset({
+    "ab_test_ztest", "bpe_encode_documents", "ccnet_ppl_buckets",
+    "clustering_eval_purity", "corr_matrix_lineitem",
+    "dataset_card_report", "dedup_semdedup", "dedup_simhash64",
+    "dedup_simhash64_index_serve", "dsir_select_en",
+    "embedding_jl_projection", "embedding_pq_codes",
+    "entity_resolution_part_names", "eval_calibration_ece",
+    "feature_mutual_info", "funnel_view_click_purchase",
+    "graph_pagerank_topk", "hll_merge_identity", "hll_user_overlap",
+    "hll_users_by_type", "join_bloom_prefilter",
+    "k_anonymity_customers", "multimodal_decode", "multimodal_resize",
+    "mv_join_incremental", "quality_classifier_hashed",
+    "retention_cohorts", "retrieval_eval_ann",
+    "rollup_incremental_merge", "sample_domain_mixture",
+    "sample_temperature_mixture", "sample_weighted_docs",
+    "sim_search_ivfpq", "sim_search_mmr_topk", "skew_report_lineitem",
+    "streaming_breach_alarm", "streaming_pipeline_e2e",
+    "table_stats_orders", "table_stats_orders_sketch", "text_bm25_topk",
+    "text_perplexity_filter", "text_pii_redact", "text_tfidf_topk",
+    "token_pmi_topk", "tpch_q11_true", "tpch_q20_true", "tpch_q2_true",
+    "tpch_q9_true", "ts_anomaly_zscore", "vocab_zipf_slope",
+})
+
+# Queries whose Spark implementation changed in round 11 in a way the
+# driver should re-certify. The cdc chunking projection was
+# restructured (folds moved out of the zip_with lambda into a
+# post-explode projection — SCALE.md round 11): output is identical
+# by construction and re-verified against the DuckDB oracle at
+# sf0.01 + sf0.1 this round, but the plan is new, so its rows get
+# priority re-certification.
+_CHANGED_R11 = frozenset({"dedup_cdc_chunks", "dedup_cdc_chunks_join"})
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (
     (1, _R1_CHECKED), (2, _R2_CHECKED), (3, _R3_CHECKED),
     (4, _R4_CHECKED), (5, _R5_CHECKED), (6, _R6_CHECKED),
     (7, _R7_CHECKED), (8, _R8_CHECKED), (9, _R9_CHECKED),
+    (10, _R10_CHECKED),
 )
 
 # name -> most recent round with a green driver row (absent = never).
@@ -298,7 +321,7 @@ _DRIVER_CHECKED = (
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then round-10-changed queries (their
+    re-verified by the driver), then round-11-changed queries (their
     old green rows certify stale code), then never-driver-green
     oracled queries, then never-checked rows-only queries (their
     driver check is weaker), then queries with a green driver row
@@ -316,7 +339,7 @@ def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return (0, 0, name)
-        if name in _CHANGED_R10:
+        if name in _CHANGED_R11:
             return (1, 0, name)
         if name in _DRIVER_CHECKED:
             return (4, _LAST_GREEN[name], name)

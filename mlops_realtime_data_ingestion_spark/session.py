@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "hard_reset_jvm"]
 
 
 def get_spark(
@@ -62,6 +62,24 @@ def get_spark(
         # knob is per-executor and sized with the partition-bytes
         # budget instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JDK 17 default ReservedCodeCacheSize is 240 MB. A long bench
+        # process compiles thousands of whole-stage-codegen classes;
+        # when the code cache saturates, HotSpot's sweeper churns and
+        # can disable the JIT entirely ("CodeCache is full") — hot
+        # paths then run INTERPRETED: a multiplicative CPU-only
+        # slowdown with zero spill and zero GC, exactly the round-10
+        # dedup_cdc_chunks episode signature (SCALE.md round 11). 512m
+        # is headroom, not a fix — the fresh-JVM insurance rerun in
+        # bench.py is the decisive arm. Applies only when this process
+        # LAUNCHES the JVM (pyspark passes builder confs to
+        # spark-submit at gateway launch); a no-op on getOrCreate
+        # against a live context, like driver memory above.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The driver's testdata stores events.ts as TIMESTAMP(NANOS),
@@ -79,11 +97,25 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if extra_conf:
+        import warnings
+
         for k, v in extra_conf.items():
             try:
                 spark.conf.set(k, v)
-            except Exception:
-                pass  # static conf on a live context: builder path covered it
+            except Exception as e:
+                # Only the static-conf-on-a-live-context failure is
+                # expected (the builder path covered those keys when
+                # this call created the context). Anything else —
+                # typo'd key, invalid value — must not be swallowed
+                # silently: the caller believes the setting applied
+                # (ADVICE r10).
+                if "Cannot modify the value" in str(e):
+                    continue
+                warnings.warn(
+                    f"spark conf {k!r}={v!r} not applied: {e}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
@@ -92,3 +124,43 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def hard_reset_jvm() -> None:
+    """Stop the session AND tear down the py4j gateway so the next
+    ``get_spark()`` launches a brand-new JVM.
+
+    ``stop_spark()`` alone (bench.py's per-scale ``_fresh_session``)
+    resets Spark state but REUSES the JVM — JIT profile pollution,
+    code-cache occupancy, and loaded generated classes all survive it.
+    That is why the round-10 ``dedup_cdc_chunks`` slow episode (98.6%
+    CPU, zero spill, zero GC) survived the fresh-SESSION insurance
+    rerun while a fresh bare PROCESS measured 4-6x faster on the same
+    input: the pathology lived in the JVM, not in Spark state. This is
+    the escalation arm: a same-JVM retry that stays slow, followed by
+    a fresh-JVM retry that is fast, localizes the episode to JVM
+    runtime state (SCALE.md round 11).
+
+    The gateway child process is terminated explicitly — py4j's
+    ``shutdown()`` closes sockets but the JVM would otherwise linger
+    until the Python process exits, holding its 8g heap.
+    """
+    from pyspark import SparkContext
+
+    stop_spark()
+    gw = SparkContext._gateway
+    if gw is None:
+        return
+    proc = getattr(gw, "proc", None)
+    try:
+        gw.shutdown()
+    except Exception:
+        pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    if proc is not None:
+        try:
+            proc.terminate()
+            proc.wait(10)
+        except Exception:
+            pass

@@ -45,17 +45,17 @@ def test_never_driver_checked_enumerate_first():
     before already-green ones, with oracled (strong check) ahead of
     rows-only (weak), and the green tier ordered by last-green round
     ASCENDING (VERDICT r8 task 2). The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R10) are allowed ahead of
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R11) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R10,
+        _CHANGED_R11,
         _DRIVER_CHECKED,
         _LAST_GREEN,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R10
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R11
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
@@ -84,28 +84,31 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round10_sample_contains_the_stalest_rows():
-    """VERDICT r9 task 2 acceptance: after the r9 fold the stalest
-    certifications are 20 r3-era + 24 r4-era rows (44 total), so the
-    round-10 50-query driver sample must contain ALL of them — after
-    round 10 no row's latest green may predate r5."""
+def test_round11_sample_contains_the_stalest_rows():
+    """VERDICT r10 task 5 acceptance: after the r10 fold the staleness
+    histogram is r6x5 / r7x41 / r8x50 / r9x50 / r10x50, so the
+    round-11 50-query driver sample must contain every row whose last
+    green is r7 or older (46 rows) plus the 2 round-11-changed cdc
+    rows — after round 11 no certification may predate r8."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R10,
+        _CHANGED_R11,
         _LAST_GREEN,
         all_specs,
     )
 
     sample = list(all_specs())[:50]
-    r3_r4_era = {n for n, r in _LAST_GREEN.items() if r <= 4}
-    missing = sorted(r3_r4_era - set(sample) - _CHANGED_R10)
+    r6_r7_era = {n for n, r in _LAST_GREEN.items() if r <= 7}
+    missing = sorted(r6_r7_era - set(sample) - _CHANGED_R11)
     assert not missing, (
-        f"r3/r4-stale rows left out of the sample: {missing}"
+        f"r6/r7-stale rows left out of the sample: {missing}"
     )
-    # and nothing fresher than r6 sneaks in ahead of the backlog
-    # (44 stale + 3 r5-era rows fill 47 slots; the remaining 3 go to
-    # the next-stalest tier, r6)
+    # the changed-tier cdc rows take priority slots at the front
+    assert set(_CHANGED_R11) <= set(sample)
+    # and nothing fresher than r8 sneaks in ahead of the backlog
+    # (2 changed + 46 stale fill 48 slots; the remaining 2 go to the
+    # next-stalest tier, r8)
     fresh = [
         n for n in sample
-        if n in _LAST_GREEN and _LAST_GREEN[n] > 6 and n not in _CHANGED_R10
+        if n in _LAST_GREEN and _LAST_GREEN[n] > 8 and n not in _CHANGED_R11
     ]
     assert not fresh, f"fresh rows consuming stale-backlog slots: {fresh}"

@@ -383,28 +383,128 @@ def test_scale100_insurance_rerun_path(spark, sf_dir):
     from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
 
     spec = all_specs()["p1_dedup_keep_first"]
-    fresh_calls = []
+    fresh_calls, jvm_calls = [], []
 
     def fake_fresh():
         fresh_calls.append(1)
         return spark  # same session stands in for the rebuilt one
 
+    def fake_fresh_jvm():
+        jvm_calls.append(1)
+        return spark
+
     warmed = []
     s2, best, rec = _time_scale100_query(
         spark, spec, sf_dir, cap_s=0.0,
         fresh_fn=fake_fresh, warm_fn=lambda sp, d: warmed.append(d),
+        fresh_jvm_fn=fake_fresh_jvm,
     )
-    assert s2 is spark and fresh_calls == [1] and warmed == [sf_dir]
+    # cap_s=0: the same-JVM retry is >= cap too, so the round-11
+    # escalation fires the fresh-JVM arm as well (both warm the dir)
+    assert s2 is spark and fresh_calls == [1] and jvm_calls == [1]
+    assert warmed == [sf_dir, sf_dir]
     assert rec is not None
     assert rec["first_sec"] > 0 and rec["fresh_retry_sec"] > 0
+    assert rec["fresh_jvm_retry_sec"] > 0
     assert best == pytest.approx(
-        min(rec["first_sec"], rec["fresh_retry_sec"]), abs=0.01
+        min(
+            rec["first_sec"],
+            rec["fresh_retry_sec"],
+            rec["fresh_jvm_retry_sec"],
+        ),
+        abs=0.01,
     )
     assert "slow_run_stages" in rec  # None here (UI off) — key present
+    # JVM evidence recorded at the slow run (live session -> real dict)
+    assert rec["jvm_health_at_slow"] is not None
+    assert "code_cache" in rec["jvm_health_at_slow"]
 
     # fast path: generous cap -> best-of-2 in the same session, no record
     s3, best2, rec2 = _time_scale100_query(spark, spec, sf_dir, cap_s=1e9)
     assert s3 is spark and rec2 is None and best2 > 0
+
+
+def test_scale100_retry_failure_returns_live_session(spark, sf_dir):
+    """ADVICE r10 (medium): a raise inside the retry machinery used to
+    propagate before main()'s `spark` was rebound, leaving the loop
+    with a stopped session and a silently truncated artifact. Now the
+    first_sec is kept, the error is recorded, and the returned session
+    is live."""
+    from bench import _time_scale100_query
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+
+    spec = all_specs()["p1_dedup_keep_first"]
+
+    def exploding_fresh():
+        raise RuntimeError("boom during rebuild")
+
+    s2, best, rec = _time_scale100_query(
+        spark, spec, sf_dir, cap_s=0.0,
+        fresh_fn=exploding_fresh, warm_fn=lambda sp, d: None,
+        fresh_jvm_fn=lambda: spark,
+    )
+    # the active session is handed back, the slow number survives
+    assert s2 is spark
+    assert best == pytest.approx(rec["first_sec"], abs=0.01)
+    assert rec["fresh_retry_sec"] is None
+    assert "boom during rebuild" in rec["retry_error"]
+    # and the session is actually usable
+    assert s2.range(3).count() == 3
+
+
+def test_jvm_health_probe(spark):
+    """The JIT/code-cache probe (VERDICT r10 task 1b): real pools with
+    sane bounds on a live session, None on a dead one."""
+    from bench import _jvm_health
+
+    h = _jvm_health(spark)
+    assert h is not None
+    assert h["jit_total_compile_ms"] > 0
+    assert h["classes_loaded"] > 1000
+    pools = h["code_cache"]
+    assert pools, "segmented code heap pools expected on JDK 17"
+    for name, p in pools.items():
+        assert 0 < p["used_mb"] <= p["max_mb"], (name, p)
+
+    class _Dead:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("stopped")
+
+    assert _jvm_health(_Dead()) is None
+
+
+def test_pick_stages_cpu_per_row():
+    """Round-11 stage-evidence fields: record counts and CPU-per-krow
+    so an episode shows up as a per-row CPU anomaly."""
+    import datetime as dt
+
+    from bench import _pick_stages
+
+    def gmt(epoch):
+        return (
+            dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.123") + "GMT"
+        )
+
+    rec = {
+        "stageId": 9,
+        "completionTime": gmt(1050),
+        "executorRunTime": 4000,
+        "jvmGcTime": 5,
+        "executorCpuTime": 4_000 * 1_000_000,
+        "inputRecords": 1_000_000,
+        "shuffleWriteRecords": 250_000,
+        "name": "WholeStageCodegen (3)\ndetails",
+        "numCompleteTasks": 32,
+    }
+    got = _pick_stages([rec], 1000.0, 1100.0)
+    assert got[0]["rows"] == 1_000_000  # max of the record streams
+    assert got[0]["cpu_ms_per_krow"] == pytest.approx(4.0)
+    # zero-row stage: ratio is None, not a ZeroDivisionError
+    rec2 = dict(rec, stageId=10, inputRecords=0, shuffleWriteRecords=0)
+    got2 = _pick_stages([rec2], 1000.0, 1100.0)
+    assert got2[0]["rows"] == 0 and got2[0]["cpu_ms_per_krow"] is None
 
 
 def test_simhash64_index_serve_matches_oracle_and_incremental(spark, sf_dir):

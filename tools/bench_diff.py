@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import math
+import statistics
 import sys
 
 # Build-inclusive rows are excluded from serve-total comparisons but
@@ -85,8 +86,10 @@ def diff_section(
     def med(d: dict) -> float | None:
         if not d:
             return None
-        v = sorted(d.values())
-        return round(v[len(v) // 2], 3)
+        # statistics.median averages the two middle values for even n;
+        # the old upper-middle pick biased even-sized sections upward
+        # (a 2-element {1.0x, 3.0x} section reported 3.0) — ADVICE r10.
+        return round(statistics.median(d.values()), 3)
 
     # Classification needs BOTH a ratio and an absolute normalized
     # delta >= 2 s: two same-day identical-code runs showed sub-5 s
