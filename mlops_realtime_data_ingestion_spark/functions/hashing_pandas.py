@@ -255,3 +255,109 @@ def hyperplane_keys_series(
             bucket = bucket | ((acc >= 0.0).astype(np.int32) << j)
         out[:, t] = bucket
     return pd.Series(list(out))
+
+
+# ---------- batch-vectorized content-defined chunking ----------
+
+def _pow_table(base: int, mod: int, n: int) -> np.ndarray:
+    """base^k mod `mod` for k in [0, n) — extends the module tables
+    when a batch carries a document longer than _MAX_POW tokens."""
+    out = np.empty(n, dtype=np.int64)
+    out[0] = 1
+    for i in range(1, n):
+        out[i] = (out[i - 1] * base) % mod
+    return out
+
+
+def cdc_chunk_rows(
+    ids: pd.Series, texts: pd.Series, divisor: int
+) -> pd.DataFrame:
+    """Per-CHUNK rows (id, n_tokens, fp, fp3, clen) for a batch of
+    documents — the Arrow fast path of operators.curation
+    .cdc_chunk_dedup's chunking projection, bit-identical to the SQL
+    spelling (same cut rule: a boundary falls after 1-based token i,
+    i < n_tokens, when h[i] % divisor == 0; same three folds; same
+    fp = fold31 * 2^30 + fold37 packing; asserted equal in
+    tests/test_round11_plans.py).
+
+    Vectorized across the WHOLE batch, not per doc: all token hashes
+    concatenate into one array; chunk starts are one boolean mask
+    (doc starts union post-boundary positions); each fold is one
+    pow-weighted elementwise product + one np.add.reduceat over the
+    chunk starts. Per-term products are < 2^30 * 2^30 impossible —
+    terms are (h * pow) % mod < 2^30 each, so a reduceat sum over a
+    chunk of L tokens is < L * 2^30, exact in int64 for L < 2^33.
+    Docs with zero tokens are dropped (the SQL path's size >= 1
+    filter); empty batches return an empty frame with the right
+    dtypes."""
+    h_all: list[np.ndarray] = []
+    h2_all: list[np.ndarray] = []
+    h3_all: list[np.ndarray] = []
+    keep_ids: list = []
+    sizes: list[int] = []
+    for doc_id, text in zip(ids, texts):
+        if text is None:
+            continue
+        h = token_hashes(text)
+        if len(h) == 0:
+            continue
+        h_all.append(h)
+        h2_all.append(token_hashes2(text))
+        h3_all.append(token_hashes3(text))
+        keep_ids.append(doc_id)
+        sizes.append(len(h))
+    if not sizes:
+        return pd.DataFrame(
+            {
+                "id": pd.Series([], dtype=ids.dtype),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "fp": pd.Series([], dtype=np.int64),
+                "fp3": pd.Series([], dtype=np.int64),
+                "clen": pd.Series([], dtype=np.int64),
+            }
+        )
+    hc = np.concatenate(h_all)
+    h2c = np.concatenate(h2_all)
+    h3c = np.concatenate(h3_all)
+    n = len(hc)
+    sz = np.asarray(sizes, dtype=np.int64)
+    doc_starts = np.zeros(len(sz), dtype=np.int64)
+    np.cumsum(sz[:-1], out=doc_starts[1:])
+    doc_last = doc_starts + sz - 1
+    # chunk-start mask: every doc start, plus the position AFTER any
+    # non-final token whose hash is divisible by `divisor`
+    is_start = np.zeros(n, dtype=bool)
+    is_start[doc_starts] = True
+    cut_after = (hc % divisor == 0)
+    cut_after[doc_last] = False  # a cut after the last token is a no-op
+    is_start[np.flatnonzero(cut_after) + 1] = True
+    starts = np.flatnonzero(is_start)
+    ends = np.empty(len(starts), dtype=np.int64)
+    ends[:-1] = starts[1:] - 1
+    ends[-1] = n - 1
+    # exponent of each position inside its chunk: en(chunk) - pos
+    pos = np.arange(n, dtype=np.int64)
+    en_of_pos = np.repeat(ends, ends - starts + 1)
+    e = en_of_pos - pos
+    max_e = int(e.max()) + 1
+    if max_e <= _MAX_POW:
+        p31, p37, p41 = _POW31, _POW37, _POW41
+    else:
+        p31 = _pow_table(31, H.P, max_e)
+        p37 = _pow_table(37, H.P2, max_e)
+        p41 = _pow_table(41, H.P3, max_e)
+    f1 = np.add.reduceat((hc * p31[e]) % H.P, starts) % H.P
+    f2 = np.add.reduceat((h2c * p37[e]) % H.P2, starts) % H.P2
+    f3 = np.add.reduceat((h3c * p41[e]) % H.P3, starts) % H.P3
+    chunks_per_doc = np.add.reduceat(is_start.astype(np.int64), doc_starts)
+    return pd.DataFrame(
+        {
+            "id": pd.Series(keep_ids, dtype=ids.dtype).repeat(
+                chunks_per_doc
+            ).reset_index(drop=True),
+            "n_tokens": np.repeat(sz, chunks_per_doc),
+            "fp": f1 * H.WIDE_SHIFT + f2,
+            "fp3": f3,
+            "clen": ends - starts + 1,
+        }
+    )

@@ -897,12 +897,41 @@ def strip_duplicate_spans(
     )
 
 
+def _cdc_chunks_arrow(
+    df: DataFrame, id_col: str, text_col: str, divisor: int
+) -> DataFrame:
+    """Arrow spelling of the chunking projection: one mapInPandas over
+    (id, text) emitting per-chunk rows, the whole batch vectorized in
+    numpy (functions/hashing_pandas.cdc_chunk_rows — bit-identical to
+    the SQL folds, asserted in tests/test_round11_plans.py). No
+    shuffle: mapInPandas is partition-local, exactly like the codegen
+    projection it replaces. Motivation (SCALE.md round 11): the SQL
+    spelling's higher-order functions evaluate as interpreted
+    Catalyst eval whose throughput is hostage to per-JVM JIT profile
+    state — the round-10 bistable 10x CPU episode; the Arrow path's
+    hot loop is numpy, immune by construction."""
+    from ..functions import hashing_pandas as HP
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, n_tokens long, fp long, fp3 long, clen long"
+    src = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield HP.cdc_chunk_rows(pdf["id"], pdf["t"], divisor)
+
+    return src.mapInPandas(gen, schema)
+
+
 def cdc_chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     divisor: int = 16,
     count_mode: str = "window",
+    impl: str = "expr",
 ) -> DataFrame:
     """Content-defined chunking dedup (the FastCDC/LBFS family applied
     to token streams): chunk boundaries are set by CONTENT — a cut
@@ -928,6 +957,16 @@ def cdc_chunk_dedup(
     rows ~ corpus_tokens / divisor; nothing is quadratic and nothing
     collects.
 
+    ``impl`` picks the chunking-projection spelling, results
+    bit-identical (parity-pinned in tests/test_round11_plans.py):
+    ``"expr"`` = whole-stage-codegen projection whose folds evaluate
+    as interpreted higher-order functions (cross-engine-verifiable
+    spelling, but its throughput is hostage to per-JVM JIT profile
+    state — the round-10 bistable 10x CPU episode, SCALE.md round
+    11); ``"pandas"`` = Arrow mapInPandas with the whole batch
+    vectorized in numpy (hot loop immune to JVM JIT state, same
+    partition-local no-shuffle shape).
+
     ``count_mode`` picks the occurrence-counting spelling, results
     identical by construction (see duplicate_passage_spans for the
     full trade): ``"window"`` (default) = one (fp, fp3) shuffle but
@@ -940,6 +979,11 @@ def cdc_chunk_dedup(
     """
     if count_mode not in ("window", "join"):
         raise ValueError(f"count_mode must be 'window' or 'join': {count_mode}")
+    if impl not in ("expr", "pandas"):
+        raise ValueError(f"impl must be 'expr' or 'pandas': {impl}")
+    if impl == "pandas":
+        chunks = _cdc_chunks_arrow(df, id_col, text_col, divisor)
+        return _cdc_count_and_rollup(chunks, id_col, count_mode)
     src = df.filter(F.col(text_col).isNotNull())
     base = src.select(
         F.col(id_col).alias("id"),
@@ -1008,6 +1052,16 @@ def cdc_chunk_dedup(
             (F.col("en") - F.col("st") + 1).alias("clen"),
         )
     )
+    return _cdc_count_and_rollup(chunks, id_col, count_mode)
+
+
+def _cdc_count_and_rollup(
+    chunks: DataFrame, id_col: str, count_mode: str
+) -> DataFrame:
+    """Shared tail of cdc_chunk_dedup: corpus-wide (fp, fp3)
+    occurrence counting (window or join spelling — see the docstring
+    trade) plus the per-doc rollup. ``chunks`` carries
+    (id, n_tokens, fp, fp3, clen) from either chunking impl."""
     if count_mode == "window":
         cnt = chunks.withColumn(
             "c", F.count("*").over(Window.partitionBy("fp", "fp3"))

@@ -319,8 +319,15 @@ FROM toks t LEFT JOIN docspans ds ON t.doc_id = ds.id
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup: token-hash boundary rule
     (cut after token i when hash % 16 == 0), 90-bit chunk
-    fingerprints, corpus-wide duplicate-chunk accounting per doc."""
-    return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16)
+    fingerprints, corpus-wide duplicate-chunk accounting per doc.
+
+    Round 11: chunking runs the Arrow impl (batch-vectorized numpy,
+    bit-identical to the SQL folds — parity pinned in
+    tests/test_round11_plans.py, measured 2.2-2.6 s vs 10.8-11.7 s
+    for the HOF spelling at 100x) — and, decisively, its hot loop is
+    immune to the per-JVM JIT bistability that shipped this row at
+    133.5 s in the round-10 artifact (SCALE.md round 11)."""
+    return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16, impl="pandas")
 
 
 def dedup_cdc_chunks_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,8 +336,11 @@ def dedup_cdc_chunks_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fingerprint; AQE can skew-split the join) instead of
     the single-partition-per-fingerprint window. Same oracle — the
     two spellings are equal by construction and this row lets the
-    driver hash-certify the join plan itself."""
-    return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=16, count_mode="join")
+    driver hash-certify the join plan itself. Arrow chunking like
+    dedup_cdc_chunks (round 11)."""
+    return cdc_chunk_dedup(
+        _docs(spark, sf_dir), divisor=16, count_mode="join", impl="pandas"
+    )
 
 
 def passage_dedup_spans_join(spark: SparkSession, sf_dir: str) -> DataFrame:
