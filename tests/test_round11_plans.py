@@ -142,6 +142,30 @@ def test_cdc_rejects_unknown_impl(spark, sf_dir):
         cdc_chunk_dedup(docs, impl="nope")
 
 
+def test_registry_cdc_rows_run_arrow_impl(spark, sf_dir):
+    """The certified rows must keep the Arrow chunking (the 133.5 s
+    round-10 episode class is impossible for numpy; a silent revert
+    to the expr spelling would reopen it)."""
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    # the join count-mode runs the chunking twice by documented design
+    # (groupBy + join-back reads the chunk stream on both sides), so
+    # its plan carries the Arrow node twice
+    for name, n_nodes in (
+        ("dedup_cdc_chunks", 1),
+        ("dedup_cdc_chunks_join", 2),
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("MapInPandas") == n_nodes, name
+
+
 def test_cdc_arrow_plan_shape(spark, sf_dir):
     """The Arrow path must stay partition-local: exactly one
     MapInPandas, no extra shuffle before the fp count (the window
