@@ -95,7 +95,7 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - evidence collector
             print(f"prefix {name} failed: {type(ex).__name__}", flush=True)
     print(
-        json.dumps(
+        "\n" + json.dumps(
             {
                 "step": "prefix",
                 "sec": round(time.perf_counter() - t0, 1),
@@ -109,7 +109,7 @@ def main() -> None:
         _time_noop(probe, spark, args.probe_dir) for _ in range(args.runs)
     ]
     print(
-        json.dumps(
+        "\n" + json.dumps(
             {
                 "step": "probe_same_session",
                 "secs": in_session,
@@ -127,7 +127,7 @@ def main() -> None:
         _time_noop(probe, spark, args.probe_dir) for _ in range(2)
     ]
     print(
-        json.dumps(
+        "\n" + json.dumps(
             {"step": "probe_fresh_session_same_jvm", "secs": fresh_sess}
         ),
         flush=True,
@@ -138,7 +138,7 @@ def main() -> None:
     _warm_session(spark)
     fresh_jvm = [_time_noop(probe, spark, args.probe_dir) for _ in range(2)]
     print(
-        json.dumps(
+        "\n" + json.dumps(
             {
                 "step": "probe_fresh_jvm",
                 "secs": fresh_jvm,
