@@ -142,6 +142,61 @@ HEADLINE = [
 # cold reads.
 SCALE100_RERUN_CAP_S = 90.0
 
+# Per-row episode trigger (VERDICT r11 task 2). The fixed 90 s cap was
+# right when episodes ran 133 s; with steady states at 2-35 s it left
+# a 30-89 s window where an episode shipped evidence-only (r11 run 3:
+# dedup_ngram_jaccard 45.5 s vs its 19-20 s steady state). The
+# insurance path now fires when a row's FIRST run exceeds
+# max(floor, factor x that row's own prior-round recorded best),
+# clamped at the 90 s backstop — so a 3x-inflated first run triggers
+# the stage-capture + escalating fresh-session/fresh-JVM retries even
+# well under 90 s, while rows with no prior (first round, new query)
+# keep the backstop behavior unchanged.
+EPISODE_MEDIAN_FACTOR = 3.0
+EPISODE_FLOOR_S = 15.0
+
+
+def episode_cap_s(
+    prior_sec: float | None,
+    factor: float = EPISODE_MEDIAN_FACTOR,
+    floor_s: float = EPISODE_FLOOR_S,
+    backstop_s: float = SCALE100_RERUN_CAP_S,
+) -> float:
+    """Slow-run trigger threshold for one 100x row.
+
+    max(floor, factor x prior) bounded above by the backstop; no prior
+    (or a nonsense prior) -> backstop. The floor keeps sub-5 s rows
+    from tripping on ordinary scheduling jitter; the backstop bound
+    means a row whose prior best was ITSELF an episode (3 x 45 s >
+    90 s) still gets the old protection rather than none."""
+    if prior_sec is None or not (prior_sec > 0):
+        return backstop_s
+    return min(backstop_s, max(floor_s, factor * prior_sec))
+
+
+def _prior_scale100_queries() -> dict[str, float]:
+    """Last committed round's per-row 100x bests, read from
+    BENCH_DETAIL.json BEFORE this run overwrites it. Empty dict when
+    the file is absent, unparseable, or measured at a different scale
+    factor — every failure degrades to the 90 s backstop, never to a
+    crash or a wrong trigger."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(path) as f:
+            detail = json.load(f)
+        s100 = detail.get("scale100") or {}
+        if s100.get("factor_vs_sf") != 100.0:
+            return {}
+        return {
+            k: float(v)
+            for k, v in (s100.get("queries") or {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+    except Exception:
+        return {}
+
 # Headline rows whose RECORDED number includes quantizer TRAINING on
 # every run — the oracle-checkable inline-retrain ANN spellings. Their
 # steady-state serving cost is measured separately (the
@@ -308,9 +363,12 @@ def _jvm_health(spark) -> dict | None:
             # "CodeCache" pool — match both spellings
             if "CodeHeap" in name or name.replace(" ", "") == "CodeCache":
                 u = p.getUsage()
+                mx = u.getMax()
                 pools[name] = {
                     "used_mb": round(u.getUsed() / 1048576, 1),
-                    "max_mb": round(u.getMax() / 1048576, 1),
+                    # getMax() returns -1 for an undefined pool max;
+                    # record None rather than -0.0 (ADVICE r11)
+                    "max_mb": round(mx / 1048576, 1) if mx >= 0 else None,
                 }
         return {
             "code_cache": pools,
@@ -484,6 +542,7 @@ def _time_scale100_query(
     evidence = _stage_evidence(w0, w1)
     record = {
         "first_sec": round(best, 3),
+        "cap_s": round(cap_s, 3),
         "fresh_retry_sec": None,
         "fresh_jvm_retry_sec": None,
         "slow_run_stages": evidence,
@@ -713,17 +772,22 @@ def main() -> None:
         h_timings: dict[str, float] = {}
         single_shot: list[str] = []
         slow_mode_retries: dict[str, dict] = {}
+        prior_100x = _prior_scale100_queries()
         for name in HEADLINE:
             spec = specs.get(name)
             if spec is None:
                 continue
+            # per-row trigger (VERDICT r11 task 2): 3x the row's own
+            # prior-round recorded best (floor 15 s), 90 s backstop
+            # for rows without a prior
+            cap = episode_cap_s(prior_100x.get(name))
             try:
                 spark, best, retry_rec = _time_scale100_query(
-                    spark, spec, s100_dir
+                    spark, spec, s100_dir, cap_s=cap
                 )
                 if retry_rec is not None:
                     slow_mode_retries[name] = retry_rec
-                    if best >= SCALE100_RERUN_CAP_S:
+                    if best >= cap:
                         # genuinely expensive: neither session saw a
                         # warm same-session repeat
                         single_shot.append(name)
@@ -755,6 +819,14 @@ def main() -> None:
             "queries": h_timings,
             "single_shot": single_shot,
             "slow_mode_retries": slow_mode_retries,
+            # trigger config + how many rows had a prior to scale to,
+            # so the artifact documents which caps were in force
+            "episode_trigger": {
+                "median_factor": EPISODE_MEDIAN_FACTOR,
+                "floor_s": EPISODE_FLOOR_S,
+                "backstop_s": SCALE100_RERUN_CAP_S,
+                "rows_with_prior": len(prior_100x),
+            },
             "dedup_lsh_accounting": _lsh_accounting(spark, {"scale100": s100_dir}),
             "dedup_semdedup_scaled": _semdedup_scaled(spark, s100_dir, k=64),
             # build-once/serve-many split; the sim_search_ivfpq row in

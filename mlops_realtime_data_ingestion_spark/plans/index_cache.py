@@ -43,9 +43,12 @@ def data_token(sf_dir: str, table: str) -> tuple:
     the directory's own stat is NOT enough — an in-place rewrite that
     keeps the same part-file names leaves the dir's mtime_ns and size
     unchanged (ADVICE r10) — so fold in max(mtime_ns) and sum(size)
-    over the directory entries (one scandir pass, top level only:
-    parquet writers replace part files at the top level, and the
-    _SUCCESS/_committed markers they rewrite live there too)."""
+    over the directory entries. One level of recursion into
+    subdirectories covers partitionBy layouts, whose part files live
+    inside ``key=value/`` subdirs — an in-place part-file overwrite
+    there changes neither the subdir's mtime nor its size (ADVICE
+    r11). Deeper nesting (multi-column partitionBy) is out of scope
+    for these fixture tables and documented as unsupported."""
     p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(p)
@@ -56,6 +59,12 @@ def data_token(sf_dir: str, table: str) -> tuple:
                     est = e.stat()
                     mtime = max(mtime, est.st_mtime_ns)
                     size += est.st_size
+                    if e.is_dir():
+                        with os.scandir(e.path) as it2:
+                            for e2 in it2:
+                                est2 = e2.stat()
+                                mtime = max(mtime, est2.st_mtime_ns)
+                                size += est2.st_size
         return (os.path.abspath(p), mtime, size)
     except OSError:
         return (os.path.abspath(p), 0, 0)

@@ -148,6 +148,17 @@ def hard_reset_jvm() -> None:
     from pyspark import SparkContext
 
     stop_spark()
+    # stop_spark() only stops the ACTIVE session; a SparkContext can be
+    # alive without one (partially-built session, direct SparkContext
+    # use). Left running, _active_spark_context would reference the
+    # dead JVM after the gateway teardown below and the next
+    # get_spark().getOrCreate() would wrap a dead context (ADVICE r11).
+    try:
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            sc.stop()
+    except Exception:
+        pass
     gw = SparkContext._gateway
     if gw is None:
         return

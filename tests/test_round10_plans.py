@@ -464,7 +464,10 @@ def test_jvm_health_probe(spark):
     pools = h["code_cache"]
     assert pools, "segmented code heap pools expected on JDK 17"
     for name, p in pools.items():
-        assert 0 < p["used_mb"] <= p["max_mb"], (name, p)
+        # max_mb is None when the JVM reports an undefined pool max
+        # (MemoryUsage.getMax() == -1, ADVICE r11)
+        assert p["used_mb"] > 0, (name, p)
+        assert p["max_mb"] is None or p["used_mb"] <= p["max_mb"], (name, p)
 
     class _Dead:
         @property
