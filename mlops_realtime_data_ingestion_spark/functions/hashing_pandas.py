@@ -257,7 +257,7 @@ def hyperplane_keys_series(
     return pd.Series(list(out))
 
 
-# ---------- batch-vectorized content-defined chunking ----------
+# ---------- whole-batch-vectorized chunking/shingling ----------
 
 def _pow_table(base: int, mod: int, n: int) -> np.ndarray:
     """base^k mod `mod` for k in [0, n) — extends the module tables
@@ -267,6 +267,103 @@ def _pow_table(base: int, mod: int, n: int) -> np.ndarray:
     for i in range(1, n):
         out[i] = (out[i - 1] * base) % mod
     return out
+
+
+def shingle_position_rows(
+    ids: pd.Series, texts: pd.Series, n: int, wide: bool = False
+) -> pd.DataFrame:
+    """Per-POSITION shingle rows (id, n_tokens, p, fp[, fp3]) for a
+    batch of documents — the Arrow fast path of operators.curation
+    ._shingle_positions, bit-identical to both existing spellings
+    (same 1-based position p, same n-gram chain folds, same
+    fp = fold31 * 2^30 + fold37 packing for ``wide``; asserted equal
+    in tests/test_round12_plans.py).
+
+    Vectorized across the WHOLE batch like cdc_chunk_rows, not per
+    doc: all token hashes concatenate into one array; the valid
+    n-gram start positions of every document become one index vector;
+    each chain fold is n-1 elementwise multiply-adds over that vector
+    (identical operation sequence per element as shingle_hashes, so
+    identical int64 values — acc < p < 2^30, acc*31 + h < 2^36, exact).
+    No per-doc Python in the fold or the explode: the frame comes out
+    already position-exploded, so the Spark plan skips the
+    posexplode + arrays_zip the per-doc path needs.
+
+    Docs with fewer than n tokens emit no rows (the posexplode of an
+    empty shingle array); empty batches return an empty frame with
+    the right dtypes. p and n_tokens are int32 to match the
+    posexplode/size spelling's column types exactly."""
+    h_all: list[np.ndarray] = []
+    h2_all: list[np.ndarray] = []
+    h3_all: list[np.ndarray] = []
+    keep_ids: list = []
+    sizes: list[int] = []
+    for doc_id, text in zip(ids, texts):
+        if text is None:
+            continue
+        h = token_hashes(text)
+        if len(h) < n:
+            continue
+        h_all.append(h)
+        if wide:
+            h2_all.append(token_hashes2(text))
+            h3_all.append(token_hashes3(text))
+        keep_ids.append(doc_id)
+        sizes.append(len(h))
+    cols = ["id", "n_tokens", "p", "fp"] + (["fp3"] if wide else [])
+    if not sizes:
+        empty = {
+            "id": pd.Series([], dtype=ids.dtype),
+            "n_tokens": pd.Series([], dtype=np.int32),
+            "p": pd.Series([], dtype=np.int32),
+            "fp": pd.Series([], dtype=np.int64),
+        }
+        if wide:
+            empty["fp3"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(empty)
+    hc = np.concatenate(h_all)
+    sz = np.asarray(sizes, dtype=np.int64)
+    doc_starts = np.zeros(len(sz), dtype=np.int64)
+    np.cumsum(sz[:-1], out=doc_starts[1:])
+    m = sz - n + 1  # valid n-gram starts per doc (all >= 1 here)
+    tot = int(m.sum())
+    # 0-based position of each output row inside its document
+    first_row = np.zeros(len(m), dtype=np.int64)
+    np.cumsum(m[:-1], out=first_row[1:])
+    p0 = np.arange(tot, dtype=np.int64) - np.repeat(first_row, m)
+    starts = np.repeat(doc_starts, m) + p0
+
+    # Fold over the FULL concatenated array with contiguous slices,
+    # then select the in-doc starts with ONE gather per fold. The
+    # slice spelling keeps every pass sequential-memory (a gather per
+    # fold step — hc[starts + j] — measured 1.45x SLOWER on the
+    # chains row at 100x). Positions whose n-gram crosses a document
+    # boundary compute a meaningless fold, but `starts` never selects
+    # them, and each selected fold sees exactly its own document's n
+    # hashes — the identical multiply-add sequence as shingle_hashes,
+    # so identical int64 values.
+    def chain_fold(arr: np.ndarray, base: int, mod: int) -> np.ndarray:
+        L = len(arr) - n + 1
+        acc = arr[:L].copy()
+        for j in range(1, n):
+            acc = (acc * base + arr[j : L + j]) % mod
+        return acc[starts]
+
+    out = {
+        "id": pd.Series(keep_ids, dtype=ids.dtype)
+        .repeat(m)
+        .reset_index(drop=True),
+        "n_tokens": np.repeat(sz, m).astype(np.int32),
+        "p": (p0 + 1).astype(np.int32),
+    }
+    acc = chain_fold(hc, 31, H.P)
+    if wide:
+        acc2 = chain_fold(np.concatenate(h2_all), 37, H.P2)
+        out["fp"] = acc * H.WIDE_SHIFT + acc2
+        out["fp3"] = chain_fold(np.concatenate(h3_all), 41, H.P3)
+    else:
+        out["fp"] = acc
+    return pd.DataFrame(out)[cols]
 
 
 def cdc_chunk_rows(

@@ -114,8 +114,10 @@ SELECT id AS doc_id, n_tokens, weight, rank FROM (
 
 def passage_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-passage accounting: merged spans of token
-    5-grams whose fingerprint occurs >= 2 times corpus-wide."""
-    return duplicate_passage_spans(_docs(spark, sf_dir), n=5)
+    5-grams whose fingerprint occurs >= 2 times corpus-wide. Runs the
+    whole-batch Arrow shingle path (round 12 — parity pinned in
+    tests/test_round12_plans.py)."""
+    return duplicate_passage_spans(_docs(spark, sf_dir), n=5, impl="arrow")
 
 
 PASSAGE_SPANS_ORACLE = f"""
@@ -162,7 +164,11 @@ def substring_dedup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-and-chain (the distributed suffix-array-family spelling):
     8-gram seeds occurring 2..64 times corpus-wide, chained along
     (d1, d2, offset) diagonals into maximal runs, projected onto both
-    documents and island-merged."""
+    documents and island-merged. Stays on the per-doc pandas shingle
+    path: the round-12 whole-batch Arrow A/B at 100x measured a wash
+    here (best-of-3 6.72 vs 6.93 s, inside run noise) and a 1.8x LOSS
+    on the sibling span-rows spelling, so only the passage rows
+    switched (SCALE.md round 12)."""
     return duplicate_substring_chains(_docs(spark, sf_dir), n=8, max_occ=64)
 
 
@@ -272,7 +278,11 @@ FROM spans WHERE id % 5 = 0 GROUP BY id, nt
 def substring_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup output: one row per merged
     maximal duplicated region with its token bounds — the frame a
-    removal / audit stage consumes directly."""
+    removal / audit stage consumes directly. Stays on the per-doc
+    pandas shingle path: the round-12 Arrow A/B at 100x measured a
+    consistent 1.8x loss on this row (best-of-3 12.97 vs 7.37 s,
+    reproduced in two sessions with both run orders — SCALE.md round
+    12)."""
     return duplicate_substring_span_rows(_docs(spark, sf_dir), n=8, max_occ=64)
 
 
@@ -345,8 +355,11 @@ def dedup_cdc_chunks_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def passage_dedup_spans_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe spelling of passage_dedup_spans (groupBy + join-back
-    occurrence counting); same oracle as the window spelling."""
-    return duplicate_passage_spans(_docs(spark, sf_dir), n=5, count_mode="join")
+    occurrence counting); same oracle as the window spelling. Runs
+    the whole-batch Arrow shingle path (round 12)."""
+    return duplicate_passage_spans(
+        _docs(spark, sf_dir), n=5, count_mode="join", impl="arrow"
+    )
 
 
 CDC_CHUNKS_ORACLE = f"""

@@ -292,20 +292,62 @@ _R10_CHECKED = frozenset({
     "tpch_q9_true", "ts_anomaly_zscore", "vocab_zipf_slope",
 })
 
-# Queries whose Spark implementation changed in round 11 in a way the
-# driver should re-certify. The cdc chunking projection was
-# restructured (folds moved out of the zip_with lambda into a
-# post-explode projection — SCALE.md round 11): output is identical
-# by construction and re-verified against the DuckDB oracle at
-# sf0.01 + sf0.1 this round, but the plan is new, so its rows get
-# priority re-certification.
-_CHANGED_R11 = frozenset({"dedup_cdc_chunks", "dedup_cdc_chunks_join"})
+# Queries with a green hash-match row in CORRECTNESS_r11.json (all 50
+# of round 11's driver sample were green, including both _CHANGED_R11
+# Arrow-cdc rows — now folded in — and the 46 stalest r6/r7-era rows
+# plus 2 r8-era rows the rotation surfaced; after this fold nothing
+# predates r8).
+_R11_CHECKED = frozenset({
+    "a6_minute_bucket", "a7_minmax_span", "a8_ordered_gather",
+    "agg_cube", "agg_distinct", "dedup_cdc_chunks",
+    "dedup_cdc_chunks_join", "dedup_incremental_lsh", "dedup_simhash",
+    "forecast_backtest_rmse_wql", "forecast_seasonal_naive",
+    "fuzzy_join_part_names", "interval_overlap_orders",
+    "monitoring_consecutive_breach", "passage_dedup_spans",
+    "passage_dedup_spans_join", "passages_sliding_window",
+    "s1_http_poll_ingest", "split_ngram_novelty",
+    "streaming_record_highs", "substring_dedup_chains",
+    "substring_dedup_incremental", "substring_span_rows",
+    "substring_strip_text", "text_repetition_metrics",
+    "threshold_update_rule", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates", "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "ts_anomaly_mad", "ts_cusum_alerts",
+    "ts_ewma_smooth", "ts_gapfill_interpolate",
+    "ts_seasonal_decompose", "ts_trend_per_user",
+    "w1_train_test_split", "w2_expanding_validation_windows",
+    "w4_forecast_index", "wf_cumulative_distinct_users",
+    "wf_rank_lag_lead",
+})
+
+# Queries whose Spark implementation changed in round 12 in a way the
+# driver should re-certify: the shingle-position frame these rows
+# consume was switched from the per-doc pandas path to the
+# whole-batch Arrow/numpy path (functions/hashing_pandas
+# .shingle_position_rows — VERDICT r11 task 3, the cdc template).
+# Output is bit-identical by construction (parity pinned in
+# tests/test_round12_plans.py) and re-verified against the DuckDB
+# oracles at sf0.01 + sf0.1 this round, but the plan is new, so the
+# rows get priority re-certification. Only the two passage rows
+# switched: the 100x A/B measured arrow wins there (best-of-3 4.33
+# vs 5.01 s window, 6.01 vs 8.04 s join) but a wash on
+# substring_dedup_chains and a reproducible 1.8x LOSS on
+# substring_span_rows, which both stay on the per-doc pandas path
+# (SCALE.md round 12). 2 changed + 46 r8-era stale rows leave 2
+# sample slots for the stalest r9 rows.
+_CHANGED_R12 = frozenset({
+    "passage_dedup_spans", "passage_dedup_spans_join",
+})
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (
     (1, _R1_CHECKED), (2, _R2_CHECKED), (3, _R3_CHECKED),
     (4, _R4_CHECKED), (5, _R5_CHECKED), (6, _R6_CHECKED),
     (7, _R7_CHECKED), (8, _R8_CHECKED), (9, _R9_CHECKED),
-    (10, _R10_CHECKED),
+    (10, _R10_CHECKED), (11, _R11_CHECKED),
 )
 
 # name -> most recent round with a green driver row (absent = never).
@@ -321,16 +363,16 @@ _DRIVER_CHECKED = (
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then round-11-changed queries (their
+    re-verified by the driver), then round-12-changed queries (their
     old green rows certify stale code), then never-driver-green
     oracled queries, then never-checked rows-only queries (their
     driver check is weaker), then queries with a green driver row
     ordered by last-green round ASCENDING (VERDICT r8 task 2: the old
     module-insertion order within this tier left dedup_minhash_lsh
     six rounds stale while newer rows were re-checked; staleness-
-    first ordering drains the oldest backlog — after the r9 fold the
-    stalest tier is 20 r3-era rows + 24 r4-era rows, so round 10's
-    50-query sample retires every certification older than r5).
+    first ordering drains the oldest backlog — after the r11 fold the
+    stalest tier is 46 r8-era rows, so round 12's 50-query sample of
+    4 changed + 46 stale retires every certification older than r9).
     Within the oracled groups, flat-schema guarantees hold for every
     oracled query (see tests/test_registry.py) so the driver's pandas
     canonicalizer can hash each one."""
@@ -339,7 +381,7 @@ def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return (0, 0, name)
-        if name in _CHANGED_R11:
+        if name in _CHANGED_R12:
             return (1, 0, name)
         if name in _DRIVER_CHECKED:
             return (4, _LAST_GREEN[name], name)

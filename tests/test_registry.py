@@ -45,17 +45,17 @@ def test_never_driver_checked_enumerate_first():
     before already-green ones, with oracled (strong check) ahead of
     rows-only (weak), and the green tier ordered by last-green round
     ASCENDING (VERDICT r8 task 2). The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R11) are allowed ahead of
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R12) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R11,
+        _CHANGED_R12,
         _DRIVER_CHECKED,
         _LAST_GREEN,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R11
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R12
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
@@ -84,31 +84,31 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round11_sample_contains_the_stalest_rows():
-    """VERDICT r10 task 5 acceptance: after the r10 fold the staleness
-    histogram is r6x5 / r7x41 / r8x50 / r9x50 / r10x50, so the
-    round-11 50-query driver sample must contain every row whose last
-    green is r7 or older (46 rows) plus the 2 round-11-changed cdc
-    rows — after round 11 no certification may predate r8."""
+def test_round12_sample_contains_the_stalest_rows():
+    """VERDICT r11 task 4 acceptance: after the r11 fold the staleness
+    histogram is r8x46 / r9x50 / r10x50 / r11x50, so the round-12
+    50-query driver sample must contain every row whose last green is
+    r8 or older (46 rows) plus the 2 round-12-changed Arrow-shingle
+    passage rows — after round 12 no certification may predate r9."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R11,
+        _CHANGED_R12,
         _LAST_GREEN,
         all_specs,
     )
 
     sample = list(all_specs())[:50]
-    r6_r7_era = {n for n, r in _LAST_GREEN.items() if r <= 7}
-    missing = sorted(r6_r7_era - set(sample) - _CHANGED_R11)
+    r8_era = {n for n, r in _LAST_GREEN.items() if r <= 8}
+    missing = sorted(r8_era - set(sample) - _CHANGED_R12)
     assert not missing, (
-        f"r6/r7-stale rows left out of the sample: {missing}"
+        f"r8-stale rows left out of the sample: {missing}"
     )
-    # the changed-tier cdc rows take priority slots at the front
-    assert set(_CHANGED_R11) <= set(sample)
-    # and nothing fresher than r8 sneaks in ahead of the backlog
+    # the changed-tier Arrow-shingle rows take priority slots up front
+    assert set(_CHANGED_R12) <= set(sample)
+    # and nothing fresher than r9 sneaks in ahead of the backlog
     # (2 changed + 46 stale fill 48 slots; the remaining 2 go to the
-    # next-stalest tier, r8)
+    # next-stalest tier, r9)
     fresh = [
         n for n in sample
-        if n in _LAST_GREEN and _LAST_GREEN[n] > 8 and n not in _CHANGED_R11
+        if n in _LAST_GREEN and _LAST_GREEN[n] > 9 and n not in _CHANGED_R12
     ]
     assert not fresh, f"fresh rows consuming stale-backlog slots: {fresh}"

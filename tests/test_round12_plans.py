@@ -107,3 +107,159 @@ def test_prior_scale100_loader(tmp_path, monkeypatch):
     # corrupt file -> empty, never a crash
     detail.write_text("{not json")
     assert bench._prior_scale100_queries() == {}
+
+
+# ---------------------------------------------------------------
+# VERDICT r11 task 3: shingle_position_rows (whole-batch Arrow
+# shingling, the cdc_chunk_rows template) must be bit-identical to a
+# straight-line per-doc reference of the chain folds, and the Spark
+# impl='arrow' path identical to impl='pandas' on real data.
+# ---------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+from mlops_realtime_data_ingestion_spark.functions import hashing as H
+from mlops_realtime_data_ingestion_spark.functions import (
+    hashing_pandas as HP,
+)
+from mlops_realtime_data_ingestion_spark.operators.curation import (
+    _shingle_positions,
+    duplicate_passage_spans,
+    duplicate_substring_chains,
+    duplicate_substring_span_rows,
+)
+from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+_DOCS = [
+    (1, "the cat sat on the mat the cat sat again and again"),
+    (2, "single"),
+    (3, "a b c d e f g h i j k l m n o p"),
+    (4, None),          # dropped (null text)
+    (5, ""),            # dropped (zero tokens)
+    (6, "   spaces   collapse   here   "),
+    (7, "x " * 300),    # repeated token, one long doc
+    (8, "u v w"),       # shorter than n for n >= 4 -> no rows
+]
+
+
+def _ref_shingles(doc_id, text, n, wide):
+    """Straight-line reference: per-doc chain folds, 1-based p."""
+    toks = text.lower().strip().split()
+    h = [HP.str_hash(t) for t in toks]
+    h2 = [HP.str_hash2(t) for t in toks]
+    h3 = [HP.str_hash3(t) for t in toks]
+
+    def fold(arr, base, mod):
+        acc = 0
+        for c in arr:
+            acc = (acc * base + c) % mod
+        return acc
+
+    out = []
+    for p in range(len(h) - n + 1):
+        f1 = fold(h[p : p + n], 31, H.P)
+        if wide:
+            f2 = fold(h2[p : p + n], 37, H.P2)
+            f3 = fold(h3[p : p + n], 41, H.P3)
+            out.append((doc_id, len(h), p + 1, f1 * H.WIDE_SHIFT + f2, f3))
+        else:
+            out.append((doc_id, len(h), p + 1, f1))
+    return out
+
+
+@pytest.mark.parametrize("n", [2, 5, 8])
+@pytest.mark.parametrize("wide", [False, True])
+def test_shingle_position_rows_matches_reference(n, wide):
+    got = HP.shingle_position_rows(
+        pd.Series([d[0] for d in _DOCS]),
+        pd.Series([d[1] for d in _DOCS]),
+        n,
+        wide,
+    )
+    ref = [
+        row
+        for doc_id, text in _DOCS
+        if text is not None
+        for row in _ref_shingles(doc_id, text, n, wide)
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+    assert len(ref) > 0
+
+
+def test_shingle_position_rows_empty_batch_dtypes():
+    for wide, cols in (
+        (False, ["id", "n_tokens", "p", "fp"]),
+        (True, ["id", "n_tokens", "p", "fp", "fp3"]),
+    ):
+        got = HP.shingle_position_rows(
+            pd.Series([], dtype="int64"), pd.Series([], dtype=object), 5, wide
+        )
+        assert len(got) == 0
+        assert list(got.columns) == cols
+        assert got["fp"].dtype == np.int64
+        assert got["p"].dtype == np.int32
+        assert got["n_tokens"].dtype == np.int32
+    # a batch whose every doc is null/short must ALSO hit the typed
+    # empty path (None text, zero tokens, len < n)
+    got = HP.shingle_position_rows(
+        pd.Series([1, 2, 3]), pd.Series([None, "", "a b"]), 5, True
+    )
+    assert len(got) == 0 and got["fp"].dtype == np.int64
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_shingle_impls_agree_on_documents(spark, sf_dir, wide):
+    docs = load_table(spark, sf_dir, "documents")
+    a = _shingle_positions(docs, "doc_id", "text", 5, "arrow", wide=wide)
+    p = _shingle_positions(docs, "doc_id", "text", 5, "pandas", wide=wide)
+    # nullability differs (mapInPandas fields are nullable; posexplode
+    # output is not) — names and types must match exactly
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in p.schema.fields
+    ]
+    ra = sorted(tuple(r) for r in a.collect())
+    rp = sorted(tuple(r) for r in p.collect())
+    assert ra == rp and len(ra) > 0
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        duplicate_passage_spans,
+        duplicate_substring_chains,
+        duplicate_substring_span_rows,
+    ],
+)
+def test_shingle_operators_agree_across_impls(spark, sf_dir, op):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(tuple(r) for r in op(docs, impl="arrow").collect())
+    p = sorted(tuple(r) for r in op(docs, impl="pandas").collect())
+    assert a == p and len(a) > 0
+
+
+def test_registry_shingle_rows_run_measured_impl(spark, sf_dir):
+    """The registry rows must keep the impl the 100x A/B selected
+    (SCALE.md round 12): the two passage rows run the whole-batch
+    Arrow shingling (it won, best-of-3 4.33 vs 5.01 s window / 6.01
+    vs 8.04 s join; MapInPandas in the plan — the join count-mode
+    carries it twice by documented design), while the substring
+    chains/span rows stay per-doc pandas (arrow was a wash on chains
+    and a reproducible 1.8x loss on span rows; no MapInPandas)."""
+    from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    for name, n_nodes in (
+        ("passage_dedup_spans", 1),
+        ("passage_dedup_spans_join", 2),
+        ("substring_dedup_chains", 0),
+        ("substring_span_rows", 0),
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("MapInPandas") == n_nodes, name
