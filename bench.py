@@ -962,7 +962,18 @@ def _ivfpq_lifecycle(spark, data_dir: str) -> dict | None:
     zero. This reports both: build_sec (train + persist the index)
     and serve_sec (ADC search against the persisted index, corpus
     vectors never re-read). None on failure — best-effort like the
-    accounting sections."""
+    accounting sections.
+
+    Best-of-2 over the WHOLE lifecycle with every run recorded
+    (round 12, VERDICT r11 task 1): the r10->r11 movement (build
+    29.6->51.6 s, serve 1.99->3.37 s at 100x) was adjudicated with
+    tools/ivfpq_lifecycle_probe.py — a prior same-JVM lifecycle run
+    gives NO speedup (arm B: sf0.1 warmup then 100x builds 37.4,
+    44.5 s vs arm A fresh 39.8, 48.8, 36.2 s), refuting the
+    fresh-JVM-cold-start hypothesis; the build simply swings
+    36-49 s run-to-run (SCALE.md round 12). A single-shot build was
+    the only headline-adjacent number still drawn once; two draws
+    with the band recorded make the artifact self-diagnosing."""
     import shutil
     import tempfile
 
@@ -977,23 +988,32 @@ def _ivfpq_lifecycle(spark, data_dir: str) -> dict | None:
 
         emb = load_table(spark, data_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
-        idx = tempfile.mkdtemp(prefix="ivfpq_bench_")
-        try:
-            t0 = time.perf_counter()
-            ivfpq_build(emb, idx, dim=64, coarse_k=4, m=4, pq_k=4, iters=2)
-            build = time.perf_counter() - t0
-            # best-of-2 serve (first touch pays parquet-footer reads)
-            serve = None
-            for _ in range(2):
+        build_runs: list[float] = []
+        serve_runs: list[float] = []
+        for _ in range(2):
+            idx = tempfile.mkdtemp(prefix="ivfpq_bench_")
+            try:
                 t0 = time.perf_counter()
-                ivfpq_search(
-                    spark, idx, queries, dim=64, m=4, nprobe=2, k=5
-                ).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                serve = dt if serve is None else min(serve, dt)
-            return {"build_sec": round(build, 3), "serve_sec": round(serve, 3)}
-        finally:
-            shutil.rmtree(idx, ignore_errors=True)
+                ivfpq_build(emb, idx, dim=64, coarse_k=4, m=4, pq_k=4, iters=2)
+                build_runs.append(round(time.perf_counter() - t0, 3))
+                # best-of-2 serve (first touch pays parquet-footer reads)
+                serve = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    ivfpq_search(
+                        spark, idx, queries, dim=64, m=4, nprobe=2, k=5
+                    ).write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    serve = dt if serve is None else min(serve, dt)
+                serve_runs.append(round(serve, 3))
+            finally:
+                shutil.rmtree(idx, ignore_errors=True)
+        return {
+            "build_sec": min(build_runs),
+            "serve_sec": min(serve_runs),
+            "build_runs": build_runs,
+            "serve_runs": serve_runs,
+        }
     except Exception:
         return None
 
