@@ -1156,6 +1156,7 @@ def semdedup_prune(
     tau: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup: semantic dedup via cluster-then-prune.
 
@@ -1174,7 +1175,9 @@ def semdedup_prune(
     """
     from .similarity import cosine, kmeans_iterate
 
-    assign = kmeans_iterate(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assign = kmeans_iterate(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     pts = emb.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pv"))
     a = assign.select(F.col(id_col).alias("id1"), "cluster").join(
         pts.withColumnRenamed("pid", "id1").withColumnRenamed("pv", "e1"), "id1"

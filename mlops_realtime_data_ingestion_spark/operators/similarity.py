@@ -280,6 +280,66 @@ def sq_dist(a: str, b: str):
     )
 
 
+def _flat_sq_dist(a: str, b: str, dim: int):
+    """:func:`sq_dist` for a statically known dimension, spelled as a
+    flat left-associated arithmetic expression over ``element_at`` —
+    whole-stage-codegen-eligible, unlike the interpreted higher-order
+    fold (~2.8x faster on the kmeans assign pass at the 100x bench
+    shape — OPTIMIZATION_r12.md). Bit-identical to the fold: the fold
+    computes ((0.0 + t0) + t1) + ... and IEEE 0.0 + t0 == t0 exactly
+    for the non-negative squares t0, so both spellings add the same
+    terms in the same order. Requires every array to hold exactly
+    ``dim`` elements (the ivfpq/pq callers validate dim % m)."""
+    acc = None
+    for i in range(dim):
+        x = F.element_at(F.col(a), i + 1).cast("double")
+        y = F.element_at(F.col(b), i + 1).cast("double")
+        t = (x - y) * (x - y)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _argmin_assign(
+    points: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    dim: int | None,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id, cluster, d[, p]): each point's nearest centroid with the
+    (d asc, cluster asc) tie-break — the kmeans assign step.
+
+    Spelled as ``groupBy(id).agg(min(struct(d, cluster[, p])))``
+    instead of the old row_number window: the struct comparator is
+    lexicographic, so min(struct) picks exactly the window's
+    (d asc, cluster asc) first row (``cluster`` is unique within a
+    group, so the comparison never reaches ``p``), and the aggregate
+    is PARTIAL — the k candidate rows per point collapse map-side, the
+    exchange carries one narrow row per point instead of k
+    vector-carrying rows, and the two sorts + WindowGroupLimit
+    disappear (guide §2.3/§2.4; plan diff in plans/r12). ``dim``
+    selects the codegen flat distance; None keeps the interpreted
+    fold (callers that cannot guarantee array lengths)."""
+    d = (
+        _flat_sq_dist("p", "centroid", dim)
+        if dim is not None
+        else sq_dist("p", "centroid")
+    )
+    fields = [F.col("d").alias("d"), F.col("cluster").alias("cluster")] + (
+        [F.col("p").alias("p")] if carry_vec else []
+    )
+    best = (
+        points.crossJoin(F.broadcast(cents))
+        .withColumn("d", d)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(*fields)).alias("__b"))
+    )
+    cols = [id_col, F.col("__b.cluster").alias("cluster"), F.col("__b.d").alias("d")]
+    if carry_vec:
+        cols.append(F.col("__b.p").alias("p"))
+    return best.select(*cols)
+
+
 def kmeans_iterate(
     corpus: DataFrame,
     k: int = 4,
@@ -288,6 +348,7 @@ def kmeans_iterate(
     vec_col: str = "embedding",
     return_centroids: bool = False,
     train_on: DataFrame | None = None,
+    dim: int | None = None,
 ):
     """Deterministic Lloyd's k-means over an embedding column,
     DataFrame-native and bit-reproducible:
@@ -311,6 +372,11 @@ def kmeans_iterate(
     Returns (id, cluster, dist) with dist rounded to 6 dp; with
     ``return_centroids`` also the trained (cluster, centroid) frame
     (the codebook IVF-PQ needs for ADC lookup tables).
+
+    ``dim``: the (known, guaranteed) vector length — selects the
+    codegen flat-expression distance (:func:`_flat_sq_dist`,
+    bit-identical to the fold) for the corpus x k assign passes, the
+    build's dominant term. None keeps the interpreted fold.
 
     ``train_on``: run the Lloyd ITERATIONS over this frame instead of
     the corpus (the final assignment always covers the full corpus) —
@@ -346,15 +412,11 @@ def kmeans_iterate(
     train_points = train.select(id_col, F.col(vec_col).alias("p"))
     cents = init
     for _ in range(iters):
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("d").asc(), F.col("cluster").asc()
-        )
-        assigned = (
-            train_points.crossJoin(F.broadcast(cents))
-            .withColumn("d", sq_dist("p", "centroid"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cluster", "p", "d")
+        # argmin via partial-aggregable min(struct) — bit-identical to
+        # the old row_number-window spelling (see _argmin_assign), but
+        # no sort and a k-fold narrower exchange
+        assigned = _argmin_assign(
+            train_points, cents, id_col, dim, carry_vec=True
         )
         per_dim = (
             assigned.select("cluster", F.posexplode("p").alias("dim", "x"))
@@ -372,13 +434,7 @@ def kmeans_iterate(
                 F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
             ).alias("centroid")
         )
-    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cluster").asc())
-    final = (
-        points.crossJoin(F.broadcast(cents))
-        .withColumn("d", sq_dist("p", "centroid"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    final = _argmin_assign(points, cents, id_col, dim)
     assign = final.select(
         id_col,
         F.col("cluster"),
@@ -474,7 +530,7 @@ def pq_encode(
         sub = corpus.select(
             id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("embedding")
         )
-        res = kmeans_iterate(sub, k=k, iters=iters, id_col=id_col).select(
+        res = kmeans_iterate(sub, k=k, iters=iters, id_col=id_col, dim=subdim).select(
             id_col,
             F.col("cluster").alias(f"code{s}"),
             F.col("dist").alias(f"__d{s}"),
@@ -612,7 +668,7 @@ def _ivfpq_train(
         )
     assign, coarse_cents = kmeans_iterate(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
-        return_centroids=True, train_on=train,
+        return_centroids=True, train_on=train, dim=dim,
     )
     code_rows = None   # (vec_id, s, code)
     codebooks = None   # (s, code, centroid)
@@ -630,7 +686,7 @@ def _ivfpq_train(
         )
         codes_s, cents_s = kmeans_iterate(
             sub, k=pq_k, iters=iters, id_col=id_col, vec_col=vec_col,
-            return_centroids=True, train_on=sub_train,
+            return_centroids=True, train_on=sub_train, dim=subdim,
         )
         cr = codes_s.select(
             id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
@@ -900,13 +956,8 @@ def ivfpq_index_update(
     subdim = dim // m
 
     pts = batch.select(id_col, F.col(vec_col).alias("p"))
-    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cluster").asc())
-    assign_new = (
-        pts.crossJoin(F.broadcast(coarse))
-        .withColumn("d", sq_dist("p", "centroid"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("cluster").alias("cell"))
+    assign_new = _argmin_assign(pts, coarse, id_col, dim).select(
+        id_col, F.col("cluster").alias("cell")
     )
 
     code_new = None
@@ -917,15 +968,8 @@ def ivfpq_index_update(
         cb = codebooks.filter(F.col("s") == s).select(
             F.col("code").alias("cluster"), "centroid"
         )
-        ws = Window.partitionBy(id_col).orderBy(
-            F.col("d").asc(), F.col("cluster").asc()
-        )
-        enc = (
-            sub.crossJoin(F.broadcast(cb))
-            .withColumn("d", sq_dist("p", "centroid"))
-            .withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(id_col, F.lit(s).alias("s"), F.col("cluster").alias("code"))
+        enc = _argmin_assign(sub, cb, id_col, subdim).select(
+            id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
         )
         code_new = enc if code_new is None else code_new.unionByName(enc)
 

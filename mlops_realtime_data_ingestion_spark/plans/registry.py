@@ -337,10 +337,34 @@ _R11_CHECKED = frozenset({
 # vs 5.01 s window, 6.01 vs 8.04 s join) but a wash on
 # substring_dedup_chains and a reproducible 1.8x LOSS on
 # substring_span_rows, which both stay on the per-doc pandas path
-# (SCALE.md round 12). 2 changed + 46 r8-era stale rows leave 2
-# sample slots for the stalest r9 rows.
+# (SCALE.md round 12).
+#
+# The optimization round adds the kmeans-assign rewrite rows: the
+# row_number-window argmin inside kmeans_iterate / ivfpq_index_update
+# became a partial-aggregable min(struct(d, cluster)) and the
+# interpreted sq_dist HOF fold gained a codegen flat-expression
+# spelling for statically-known dims (operators/similarity.py
+# _argmin_assign / _flat_sq_dist). Bit-identical by construction
+# (IEEE 0.0+t0==t0 + lexicographic struct-min == window first row;
+# parity pinned at three levels in tests/test_round12_plans.py) and
+# re-verified vs the DuckDB oracles at sf0.01 + sf0.1 this round,
+# but the plans are new -> priority re-certification. With the fused
+# backtest row, 13 changed + the 37 stalest r8-era rows fill the
+# 50-query sample (the 9 spillover r8 rows lead the r13 sample).
 _CHANGED_R12 = frozenset({
     "passage_dedup_spans", "passage_dedup_spans_join",
+    # kmeans assign rewrite (round-12 optimization)
+    "sim_search_ivfpq", "sim_search_ivfpq_rerank",
+    "sim_search_ivfpq_sampled", "sim_search_ivfpq_index_update",
+    "sim_search_ivfpq_serve", "dedup_semdedup", "sim_search_ivf_kmeans",
+    "kmeans_embedding_clusters", "clustering_eval_purity",
+    "embedding_pq_codes",
+    # single-pass fused backtest (round-12 optimization): 4 scans /
+    # 8 exchanges / 9 windows -> 1 scan / 2 exchanges / 2 windows
+    # (plans/r12/forecast_backtest_rmse_wql_{before,after}.txt);
+    # bit-identical tail, oracle-verified at 3 SFs, parity-pinned in
+    # tests/test_round12_plans.py
+    "forecast_backtest_rmse_wql",
 })
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (
@@ -371,8 +395,9 @@ def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     module-insertion order within this tier left dedup_minhash_lsh
     six rounds stale while newer rows were re-checked; staleness-
     first ordering drains the oldest backlog — after the r11 fold the
-    stalest tier is 46 r8-era rows, so round 12's 50-query sample of
-    4 changed + 46 stale retires every certification older than r9).
+    stalest tier is 46 r8-era rows; round 12's 50-query sample is
+    13 changed + the 37 stalest of them, leaving 9 r8-era rows to
+    lead the r13 sample).
     Within the oracled groups, flat-schema guarantees hold for every
     oracled query (see tests/test_registry.py) so the driver's pandas
     canonicalizer can hash each one."""

@@ -575,32 +575,80 @@ def forecast_backtest_rmse_wql(spark: SparkSession, sf_dir: str) -> DataFrame:
     A10-A12 metrics (rmse + wQL at 0.1/0.5/0.9) in one row — the
     reference's train/evaluate loop (pipeline.py:391-404,
     evaluate.py:73-91) as a single relational plan. Every reduction is
-    decimal-exact; per-row math mirrors the oracle symbol-for-symbol."""
-    from ..operators.forecast import Z90, seasonal_naive_forecast
+    decimal-exact; per-row math mirrors the oracle symbol-for-symbol.
+
+    Round 12 (guide §2.4): the tail_split -> seasonal_naive_forecast
+    -> truth-join composition re-derived the same ranked frame four
+    times — four parquet scans, four user_id exchanges, nine Window
+    nodes (plans/r12/forecast_backtest_rmse_wql_before.txt). This
+    spelling computes the ranked frame ONCE and collapses every
+    per-series lookup into one groupBy(user_id) that reuses the
+    window's partitioning (no second exchange):
+
+    - train membership is rn <= n-3 (the tail split on a prefix), so
+      the seasonal differences of the TRAIN series equal the global
+      lag-5 differences restricted to train rows (the lag source of a
+      train row is always a train row) — the sd sums become
+      conditional aggregates;
+    - the forecast sources sit at fixed offsets from n
+      (src_rn = (n-3) - 5 + ((h-1) mod 5) + 1 = n-7, n-6, n-5 for
+      h = 1..3) and the truth rows at n-2, n-1, n, so both "joins"
+      are max(when(rn == n-k, value)) conditional aggregates — valid
+      because events.value is never NULL (all SFs verified), so a
+      NULL pick means exactly "no such row" = the inner join dropping
+      the pair;
+    - the pred∞sd LEFT join is the cd > 0 guard (a series with no
+      non-null train difference has no sd row -> NULL band).
+
+    The j2/agg tail below is byte-identical to the old spelling, and
+    the sums it regroups are decimal-exact, so the single output row
+    is bit-identical (oracle-verified at sf0.001/0.01/0.1)."""
+    from ..operators.forecast import Z90
 
     ev = _events(spark, sf_dir)
-    split = tail_split(
-        ev.select("user_id", "ts", "event_id", "value"),
-        [F.col("ts"), F.col("event_id")],
-        test_length=3,
-        series_cols=["user_id"],
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "ts", "event_id", "value").select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        (F.col("value") - F.lag("value", 5).over(w)).alias("d"),
+        "value",
     )
-    train = split.filter(F.col("split") == "train").drop("split")
-    fc = seasonal_naive_forecast(
-        train,
-        order=[F.col("ts"), F.col("event_id")],
-        horizon=3,
-        season=5,
-        value_col="value",
-        series_cols=["user_id"],
+    in_train = F.col("rn") <= F.col("n") - 3
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    pick = lambda off: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.col("n") - off, F.col("value"))
     )
-    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    truth = (
-        split.filter(F.col("split") == "test")
-        .withColumn("h", F.row_number().over(wt).cast("long"))
-        .select("user_id", "h", F.col("value").alias("target"))
+    per = ranked.groupBy("user_id").agg(
+        F.sum(F.when(in_train, dec(F.col("d")))).alias("sd1"),
+        F.sum(F.when(in_train, dec(F.col("d") * F.col("d")))).alias("sd2"),
+        F.count(F.when(in_train, F.col("d"))).alias("cd"),
+        pick(7).alias("p50_1"), pick(6).alias("p50_2"), pick(5).alias("p50_3"),
+        pick(2).alias("t_1"), pick(1).alias("t_2"), pick(0).alias("t_3"),
     )
-    j = fc.join(truth, ["user_id", "h"])
+    m1 = F.col("sd1").cast("double") / F.col("cd")
+    # the cd > 0 guard is load-bearing: greatest(0.0, NULL) is 0.0 in
+    # Spark, which would turn "no sd row" into sd = 0.0
+    sdv = F.when(
+        F.col("cd") > 0,
+        F.sqrt(F.greatest(F.lit(0.0),
+                          F.col("sd2").cast("double") / F.col("cd") - m1 * m1)),
+    )
+    hs = F.array(*[
+        F.struct(F.col(f"p50_{h}").alias("p50"), F.col(f"t_{h}").alias("target"))
+        for h in (1, 2, 3)
+    ])
+    rows = (
+        per.select("user_id", sdv.alias("sdv"), F.explode(hs).alias("x"))
+        .select("sdv", "x.p50", "x.target")
+        .filter(F.col("p50").isNotNull() & F.col("target").isNotNull())
+    )
+    j = rows.select(
+        "target",
+        F.round(F.col("p50") - F.lit(Z90) * F.col("sdv"), 6).alias("p10"),
+        F.round(F.col("p50"), 6).alias("p50"),
+        F.round(F.col("p50") + F.lit(Z90) * F.col("sdv"), 6).alias("p90"),
+    )
     # All quantile-loss arithmetic in EXACT decimals (the
     # metrics_rmse_wql construction): p10/p50/p90 are 6dp-rounded
     # doubles, so casting them to DECIMAL(18,6) is far from any

@@ -84,31 +84,41 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round12_sample_contains_the_stalest_rows():
-    """VERDICT r11 task 4 acceptance: after the r11 fold the staleness
-    histogram is r8x46 / r9x50 / r10x50 / r11x50, so the round-12
-    50-query driver sample must contain every row whose last green is
-    r8 or older (46 rows) plus the 2 round-12-changed Arrow-shingle
-    passage rows — after round 12 no certification may predate r9."""
+def test_round12_sample_prioritizes_changed_then_stalest():
+    """VERDICT r11 task 4 + optimization-round re-certification: every
+    round-12-changed row (kmeans assign rewrite, fused backtest, the
+    Arrow passage rows) MUST take a priority slot in the 50-query
+    driver sample — their old green rows certify code that no longer
+    runs. The remaining slots drain the stale backlog in (last-green
+    round, name) order: with 13 changed rows, 37 of the 46 r8-era rows
+    fit this round and no row left outside the sample may be staler
+    than any non-changed green row inside it."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
         _CHANGED_R12,
         _LAST_GREEN,
         all_specs,
     )
 
-    sample = list(all_specs())[:50]
-    r8_era = {n for n, r in _LAST_GREEN.items() if r <= 8}
-    missing = sorted(r8_era - set(sample) - _CHANGED_R12)
-    assert not missing, (
-        f"r8-stale rows left out of the sample: {missing}"
-    )
-    # the changed-tier Arrow-shingle rows take priority slots up front
+    names = list(all_specs())
+    sample = names[:50]
+    # changed rows always re-certify this round
     assert set(_CHANGED_R12) <= set(sample)
-    # and nothing fresher than r9 sneaks in ahead of the backlog
-    # (2 changed + 46 stale fill 48 slots; the remaining 2 go to the
-    # next-stalest tier, r9)
-    fresh = [
-        n for n in sample
-        if n in _LAST_GREEN and _LAST_GREEN[n] > 9 and n not in _CHANGED_R12
+    # the rest of the sample is the stalest prefix of the green
+    # backlog: nothing inside (non-changed) is fresher than anything
+    # left outside
+    in_rank = [
+        (_LAST_GREEN[n], n) for n in sample
+        if n not in _CHANGED_R12 and n in _LAST_GREEN
     ]
-    assert not fresh, f"fresh rows consuming stale-backlog slots: {fresh}"
+    out_rank = [
+        (_LAST_GREEN[n], n) for n in names[50:] if n in _LAST_GREEN
+    ]
+    assert in_rank and out_rank
+    assert max(in_rank) < min(out_rank), (
+        f"backlog ordering broken: {max(in_rank)} sampled after "
+        f"{min(out_rank)} was left out"
+    )
+    # every backlog slot this round goes to the r8-era tier (13
+    # changed + 37 of the 46 r8-era rows; the 9 spillover r8 rows
+    # lead the r13 sample)
+    assert max(r for r, _ in in_rank) <= 8

@@ -279,3 +279,197 @@ def test_ivfpq_lifecycle_records_both_runs(spark, sf_dir):
     assert rec["build_sec"] == min(rec["build_runs"])
     assert rec["serve_sec"] == min(rec["serve_runs"])
     assert all(v > 0 for v in rec["build_runs"] + rec["serve_runs"])
+
+
+# ---------------------------------------------------------------
+# Round-12 kmeans assign rewrite (guide §2.3/§2.4/§4.1): the
+# row_number-window argmin became groupBy(id).agg(min(struct(...)))
+# and the interpreted sq_dist HOF fold gained a codegen flat-
+# expression spelling for statically-known dims. Both must be
+# BIT-identical to the old spelling — these pins are the proof the
+# registry rows' results cannot have moved.
+# ---------------------------------------------------------------
+
+
+def test_flat_sq_dist_bit_identical_to_fold(spark):
+    """IEEE argument: the fold computes ((0.0+t0)+t1)+...; 0.0+t0==t0
+    exactly, so the flat left-associated sum adds the same terms in
+    the same order. Checked on raw doubles, no rounding."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        _flat_sq_dist,
+        sq_dist,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (i, [rng.uniform(-9, 9) for _ in range(16)],
+         [rng.uniform(-9, 9) for _ in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        "id",
+        sq_dist("a", "b").alias("fold"),
+        _flat_sq_dist("a", "b", 16).alias("flat"),
+    ).collect()
+    assert len(got) == 200
+    for r in got:
+        # exact equality of raw doubles, not approx
+        assert r["fold"] == r["flat"], r["id"]
+
+
+def test_argmin_assign_matches_window_spelling(spark, sf_dir):
+    """min(struct(d, cluster)) vs the removed row_number()-window
+    argmin: lexicographic struct comparison picks exactly the
+    (d asc, cluster asc) first row. Pinned against a local rebuild of
+    the old spelling on the real embeddings table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        _argmin_assign,
+        sq_dist,
+    )
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.col("embedding").alias("p"))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    old = (
+        pts.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq_dist("p", "centroid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "d")
+    )
+    new = _argmin_assign(pts, cents, "vec_id", dim=None)
+    ro = sorted(tuple(r) for r in old.collect())
+    rn = sorted(tuple(r) for r in new.collect())
+    assert ro == rn and len(ro) > 0
+
+
+def test_kmeans_dim_spelling_bit_identical(spark, sf_dir):
+    """kmeans_iterate(dim=64) (codegen flat distance) vs dim=None
+    (interpreted fold): same assignment, same rounded distances, and
+    same trained centroids to the raw double."""
+    from mlops_realtime_data_ingestion_spark.operators.similarity import (
+        kmeans_iterate,
+    )
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, ca = kmeans_iterate(emb, k=4, iters=2, return_centroids=True, dim=64)
+    b, cb = kmeans_iterate(emb, k=4, iters=2, return_centroids=True, dim=None)
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+    assert sorted((r["cluster"], tuple(r["centroid"])) for r in ca.collect()) == sorted(
+        (r["cluster"], tuple(r["centroid"])) for r in cb.collect()
+    )
+
+
+def test_fused_backtest_matches_composed_spelling(spark, sf_dir):
+    """Round-12 fused forecast_backtest_rmse_wql (1 scan / 1 user_id
+    exchange) vs the removed tail_split -> seasonal_naive_forecast ->
+    truth-join composition (4 scans / 4 user_id exchanges), rebuilt
+    here verbatim: the single output row must match to the raw double
+    — the decimal-exact sums make the regrouping lossless and the
+    per-row double math is expression-identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mlops_realtime_data_ingestion_spark.operators.forecast import (
+        seasonal_naive_forecast,
+    )
+    from mlops_realtime_data_ingestion_spark.operators.timeseries import tail_split
+    from mlops_realtime_data_ingestion_spark.plans.timeseries_queries import (
+        _events,
+        forecast_backtest_rmse_wql,
+    )
+
+    ev = _events(spark, sf_dir)
+    split = tail_split(
+        ev.select("user_id", "ts", "event_id", "value"),
+        [F.col("ts"), F.col("event_id")],
+        test_length=3,
+        series_cols=["user_id"],
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    fc = seasonal_naive_forecast(
+        train,
+        order=[F.col("ts"), F.col("event_id")],
+        horizon=3,
+        season=5,
+        value_col="value",
+        series_cols=["user_id"],
+    )
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    truth = (
+        split.filter(F.col("split") == "test")
+        .withColumn("h", F.row_number().over(wt).cast("long"))
+        .select("user_id", "h", F.col("value").alias("target"))
+    )
+    j = fc.join(truth, ["user_id", "h"])
+    j2 = j.select(
+        F.col("target").cast("decimal(18,6)").alias("t"),
+        F.col("p10").cast("decimal(18,6)").alias("q10"),
+        F.col("p50").cast("decimal(18,6)").alias("q50"),
+        F.col("p90").cast("decimal(18,6)").alias("q90"),
+    ).select(
+        "t",
+        (F.col("t") - F.col("q10")).cast("decimal(28,6)").alias("d10"),
+        (F.col("t") - F.col("q50")).cast("decimal(28,6)").alias("d50"),
+        (F.col("t") - F.col("q90")).cast("decimal(28,6)").alias("d90"),
+    )
+    agg = j2.agg(
+        F.count("*").alias("nr"),
+        F.sum((F.col("d50") * F.col("d50")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sse"),
+        F.sum(F.abs("t")).cast("double").alias("sabs"),
+        F.sum(
+            F.when(F.col("d10") > 0, F.col("d10"))
+            .otherwise(F.lit(-9) * F.col("d10"))
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("s10x10"),
+        F.sum(F.abs("d50").cast("decimal(28,6)")).cast("double").alias("s50x2"),
+        F.sum(
+            F.when(F.col("d90") > 0, F.lit(9) * F.col("d90"))
+            .otherwise(-F.col("d90"))
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("s90x10"),
+    )
+    old = agg.select(
+        F.sqrt(F.col("sse") / F.col("nr")).alias("rmse"),
+        (F.col("s10x10") / (5 * F.col("sabs"))).alias("wql_0_1"),
+        (F.col("s50x2") / F.col("sabs")).alias("wql_0_5"),
+        (F.col("s90x10") / (5 * F.col("sabs"))).alias("wql_0_9"),
+        (
+            (
+                F.col("s10x10") / (5 * F.col("sabs"))
+                + F.col("s50x2") / F.col("sabs")
+                + F.col("s90x10") / (5 * F.col("sabs"))
+            )
+            / 3
+        ).alias("wql_mean"),
+    )
+    ro = old.collect()
+    rn = forecast_backtest_rmse_wql(spark, sf_dir).collect()
+    assert len(ro) == len(rn) == 1
+    assert tuple(ro[0]) == tuple(rn[0])
