@@ -284,8 +284,16 @@ def _flat_sq_dist(a: str, b: str, dim: int):
     """:func:`sq_dist` for a statically known dimension, spelled as a
     flat left-associated arithmetic expression over ``element_at`` —
     whole-stage-codegen-eligible, unlike the interpreted higher-order
-    fold (~2.8x faster on the kmeans assign pass at the 100x bench
-    shape — OPTIMIZATION_r12.md). Bit-identical to the fold: the fold
+    fold. The flat spelling trades a per-plan constant (analysis +
+    codegen of a dim-term expression tree, repeated per Lloyd
+    iteration) for per-row speed, so it only wins where dim is small
+    and the row count is large: measured A/B (OPTIMIZATION_r12.md),
+    the PQ subspace shape (dim=16, k=32) is 5.83 -> 4.88 s at the
+    100x corpus, while the full-dim coarse shape (dim=64) LOSES at
+    both bench scales (2.01 -> 8.25 s at sf0.1, 8.11 -> 14.83 s at
+    100x). Callers therefore pass dim only for subspace-sized
+    vectors and None for full-dim ones. Bit-identical to the fold
+    either way: the fold
     computes ((0.0 + t0) + t1) + ... and IEEE 0.0 + t0 == t0 exactly
     for the non-negative squares t0, so both spellings add the same
     terms in the same order. Requires every array to hold exactly
@@ -375,8 +383,11 @@ def kmeans_iterate(
 
     ``dim``: the (known, guaranteed) vector length — selects the
     codegen flat-expression distance (:func:`_flat_sq_dist`,
-    bit-identical to the fold) for the corpus x k assign passes, the
-    build's dominant term. None keeps the interpreted fold.
+    bit-identical to the fold) for the corpus x k assign passes.
+    Pass it only for SUBSPACE-sized vectors (the PQ shape, where the
+    measured A/B wins at scale); for full-dim vectors the flat
+    expression's per-iteration analysis/codegen constant loses at
+    every bench scale, so pass None (see _flat_sq_dist).
 
     ``train_on``: run the Lloyd ITERATIONS over this frame instead of
     the corpus (the final assignment always covers the full corpus) —
@@ -666,9 +677,12 @@ def _ivfpq_train(
             if train_sample is not None and train_sample > 1
             else None
         )
+    # dim=None: the coarse quantizer runs on full-dim vectors, where
+    # the flat distance's per-iteration codegen constant loses at both
+    # bench scales (measured A/B in _flat_sq_dist / OPTIMIZATION_r12.md)
     assign, coarse_cents = kmeans_iterate(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
-        return_centroids=True, train_on=train, dim=dim,
+        return_centroids=True, train_on=train, dim=None,
     )
     code_rows = None   # (vec_id, s, code)
     codebooks = None   # (s, code, centroid)
@@ -956,7 +970,8 @@ def ivfpq_index_update(
     subdim = dim // m
 
     pts = batch.select(id_col, F.col(vec_col).alias("p"))
-    assign_new = _argmin_assign(pts, coarse, id_col, dim).select(
+    # full-dim coarse assign: fold distance (see _flat_sq_dist)
+    assign_new = _argmin_assign(pts, coarse, id_col, None).select(
         id_col, F.col("cluster").alias("cell")
     )
 

@@ -472,9 +472,7 @@ FROM customer GROUP BY 1, 2
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-prune over the embeddings table (k=4
     deterministic k-means, tau=0.35 intra-cluster cosine)."""
-    return semdedup_prune(
-        load_table(spark, sf_dir, "embeddings"), k=4, iters=2, tau=0.35, dim=64
-    )
+    return semdedup_prune(load_table(spark, sf_dir, "embeddings"), k=4, iters=2, tau=0.35)
 
 
 SEMDEDUP_ORACLE = (

@@ -448,7 +448,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk, kmeans_iterate
 
     emb = _emb(spark, sf_dir)
-    clusters = kmeans_iterate(emb, k=4, iters=2, dim=64).select("vec_id", "cluster")
+    clusters = kmeans_iterate(emb, k=4, iters=2).select("vec_id", "cluster")
     corpus = emb.join(clusters, "vec_id")
     return ivf_topk(
         corpus,
@@ -905,7 +905,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the identical iterations in SQL."""
     from ..operators.similarity import kmeans_iterate
 
-    return kmeans_iterate(_emb(spark, sf_dir), k=4, iters=2, dim=64)
+    return kmeans_iterate(_emb(spark, sf_dir), k=4, iters=2)
 
 
 def _duck_sq_dist(p: str, c: str) -> str:
@@ -1202,7 +1202,7 @@ def clustering_eval_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_iterate
 
     emb = _emb(spark, sf_dir)
-    assign = kmeans_iterate(emb, k=4, iters=2, dim=64).select("vec_id", "cluster")
+    assign = kmeans_iterate(emb, k=4, iters=2).select("vec_id", "cluster")
     per = (
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
