@@ -215,10 +215,14 @@ def _prefix_candidates(
     tok = shingled.select("id", *keys, F.explode("sh").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
     ordered = (
-        # merge hint: the post-explode size estimate would statically
-        # broadcast the vocabulary whatever its true size (the
-        # containment OOM class, SCALE.md round 7)
-        tok.join(dfreq.hint("merge"), "t")
+        # shuffle_hash hint (round 13, was merge): the post-explode
+        # size estimate would statically broadcast the vocabulary
+        # whatever its true size (the containment OOM class, SCALE.md
+        # round 7) — a hinted shuffle join still prevents that, and
+        # hash-building the slim (t, df) side streams the exploded
+        # token frame with no t-sort (the verify-join spill class,
+        # guide §3.1/§5)
+        tok.join(dfreq.hint("shuffle_hash"), "t")
         .groupBy("id", *keys)
         .agg(
             F.expr(
@@ -259,7 +263,10 @@ def _prefix_candidates(
         F.col("sz") - F.col("pa") - 1, F.col("sz2") - F.col("pb") - 1
     )
     return (
-        ptok.join(rtok, keys + ["t"])
+        # shuffle_hash (round 13): the inverted-index self-join builds
+        # one side's prefix tokens per partition instead of sorting
+        # both 10^7-row posting frames by (keys, t)
+        ptok.hint("shuffle_hash").join(rtok, keys + ["t"])
         .filter(
             (F.col("id") < F.col("id2"))
             & F.expr(f"{q}L * sz2 >= {p}L * sz")
@@ -278,13 +285,20 @@ def _prefix_pairs(
     cache_prefix: bool = True,
 ) -> DataFrame:
     """Candidate pairs via prefix filtering, re-joined to their
-    shingle arrays for verification."""
+    shingle arrays for verification.
+
+    shuffle_hash on the shingle sides (round 13, guide §3.1/§5): the
+    planner's sort-merge choice sorted the array-carrying side(s) —
+    the verify-join sort-spill class (3.8 GB disk at 100x, r10-r12
+    episode captures). Hash-building the per-partition shingle rows
+    and streaming the candidates removes both sorts; build memory is
+    the corpus-shingle bytes per partition (AQE-sized)."""
     cand = _prefix_candidates(src, keys, threshold, cache_prefix)
     lhs = src.select(F.col("id").alias("a"), "sh")
     rhs = src.select(F.col("id").alias("b"), F.col("sh").alias("sh2"))
     return (
-        cand.join(lhs, "a")
-        .join(rhs, "b")
+        cand.join(lhs.hint("shuffle_hash"), "a")
+        .join(rhs.hint("shuffle_hash"), "b")
         .select(F.col("a").alias("id"), F.col("b").alias("id2"), "sh", "sh2")
     )
 
@@ -1445,8 +1459,13 @@ def _ranked_tokens(
     )
     freq = tok.groupBy("t").agg(F.count("*").alias("df_t"))
     w = Window.partitionBy("id").orderBy(F.col("df_t").asc(), F.col("t").asc())
+    # shuffle_hash (round 13, was merge — same static-broadcast
+    # protection, see _containment_verify): hash-building the slim
+    # (t, df_t) vocabulary side streams the 50M-row token frame with
+    # no t-sort; the window's own (id, df_t, t) sort is the one sort
+    # this ranking fundamentally needs
     ranked = (
-        tok.join(freq.hint("merge"), "t")
+        tok.join(freq.hint("shuffle_hash"), "t")
         .withColumn("rk", F.row_number().over(w))
     )
     return freq, ranked
@@ -1505,7 +1524,11 @@ def _containment_candidates(
         )
     )
     return (
-        probes.join(index.hint("merge"), "t")
+        # shuffle_hash (round 13, was merge): builds the probe-side
+        # prefix rows per partition and streams the corpus postings
+        # with no t-sorts on either 10^7-row frame; same broadcast
+        # protection as merge (see _containment_verify)
+        probes.hint("shuffle_hash").join(index, "t")
         .filter(
             (F.col("a") != F.col("b"))
             & (F.col("szb") >= req)
@@ -1532,16 +1555,27 @@ def _containment_verify(
     cand: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact verification: array_intersect on the two distinct shingle
-    arrays per candidate pair."""
+    arrays per candidate pair.
+
+    shuffle_hash (round 13, guide §3.1/§5 — was merge): the
+    sort-merge spelling SORTED the array-carrying shingle side (and,
+    on the second join, the array-carrying intermediate) — the 3.8 GB
+    sort-spill class the 100x episode captures attributed to this
+    join (r10-r12). A shuffled hash join builds the per-partition
+    hash table from the hinted side and STREAMS the other side with
+    no sort at all, so the wide rows are never buffered; per-task
+    build memory is bounded by the corpus-shingle bytes per partition
+    (AQE-sized), and the hint still pins the planner away from the
+    static-broadcast OOM class exactly like merge did."""
     return (
         cand.join(
             shingled.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
-            .hint("merge"),
+            .hint("shuffle_hash"),
             "a",
         )
         .join(
             shingled.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
-            .hint("merge"),
+            .hint("shuffle_hash"),
             "b",
         )
         .withColumn("overlap", F.size(F.array_intersect("sha", "shb")).cast("long"))

@@ -287,12 +287,19 @@ def _flat_sq_dist(a: str, b: str, dim: int):
     fold. The flat spelling trades a per-plan constant (analysis +
     codegen of a dim-term expression tree, repeated per Lloyd
     iteration) for per-row speed, so it only wins where dim is small
-    and the row count is large: measured A/B (OPTIMIZATION_r12.md),
-    the PQ subspace shape (dim=16, k=32) is 5.83 -> 4.88 s at the
-    100x corpus, while the full-dim coarse shape (dim=64) LOSES at
-    both bench scales (2.01 -> 8.25 s at sf0.1, 8.11 -> 14.83 s at
-    100x). Callers therefore pass dim only for subspace-sized
-    vectors and None for full-dim ones. Bit-identical to the fold
+    and the row count is large: the full-dim coarse shape (dim=64)
+    LOSES at both bench scales (r12 A/B: 2.01 -> 8.25 s at sf0.1,
+    8.11 -> 14.83 s at 100x), so callers pass dim only for
+    subspace-sized vectors and None for full-dim ones. Round 13
+    (VERDICT r12 item 2): with the m subspace trainings FUSED into
+    one Lloyd chain (_pq_train_all), the constant is paid once per
+    iteration instead of m times, and the measured A/B shows flat
+    wins-or-ties at BOTH scales for the dim=16 subspace shape
+    (fold vs flat, best-of-3: sim_search_ivfpq 2.93 vs 2.99 s sf0.1 /
+    12.38 vs 10.79 s 100x; sampled 3.20 vs 2.77 / 16.07 vs 12.41;
+    pq_codes 1.12 vs 1.08 / 3.86 vs 3.38) — the r12 sf-scale
+    regression was the m-fold repetition, dissolved structurally, so
+    no scale-dependent gate is needed. Bit-identical to the fold
     either way: the fold
     computes ((0.0 + t0) + t1) + ... and IEEE 0.0 + t0 == t0 exactly
     for the non-negative squares t0, so both spellings add the same
@@ -508,6 +515,169 @@ def ivf_topk(
     )
 
 
+def _sub_points(
+    df: DataFrame, id_col: str, vec_col: str, m: int, subdim: int
+) -> DataFrame:
+    """(id, s, p): every vector posexploded into its m PQ subvectors —
+    the frame the fused subspace trainer iterates over."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * subdim + 1, subdim)
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "p"),
+    )
+
+
+def _pq_train_all(
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    pq_k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_on: DataFrame | None = None,
+    with_dists: bool = False,
+):
+    """All ``m`` PQ subspace codebooks trained in ONE Lloyd pass per
+    iteration over the posexploded (s, subvector) frame, and every
+    corpus vector encoded in ONE aggregation (round 13, guide §2.2):
+    the m per-subspace kmeans runs are independent, so keying every
+    stage by ``s`` replaces m sequential (assign -> mean -> collect)
+    stage chains per iteration — m broadcasts, m argmin aggregations,
+    m per-dim shuffles — with one chain over an m-fold-taller frame.
+    Stage COUNT per iteration drops m-fold (the IVF-PQ build's
+    latency ceiling: many small stages, not bytes) and the
+    ``_flat_sq_dist`` expression tree is analyzed/codegen'd once per
+    iteration instead of m times (the sf-scale plan constant measured
+    in OPTIMIZATION_r12.md).
+
+    Bit-identical to the m sequential ``kmeans_iterate`` runs by
+    construction — per (s, cluster, dim) the integer-scaled mean sums
+    exactly the same rows (int64 sum: order-free), the per-(id, s)
+    argmin sees the same candidates with the same (d, cluster)
+    tie-break, and the init centroids are the same k smallest ids'
+    subvectors — pinned in tests/test_round13_plans.py and verified
+    against the unchanged per-subspace DuckDB oracle CTEs.
+
+    Returns ``(codes_wide, codebooks)``: codes_wide is one row per
+    corpus vector, ``(id, codes array<int>)`` with ``codes[s+1]`` the
+    subspace-s code (plus ``__d{s}`` rounded per-subspace quantization
+    distances when ``with_dists``); codebooks is (s, code, centroid).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    points = _sub_points(corpus, id_col, vec_col, m, subdim)
+    if train_on is None:
+        tpoints = points
+        cents = _sub_points(
+            corpus.filter(F.col(id_col) < pq_k), id_col, vec_col, m, subdim
+        ).select(
+            "s",
+            F.col(id_col).cast("int").alias("cluster"),
+            F.col("p").alias("centroid"),
+        )
+    else:
+        tpoints = _sub_points(train_on, id_col, vec_col, m, subdim)
+        wi = Window.orderBy(F.col(id_col).asc())
+        seeds = (
+            train_on.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(pq_k)
+            .select(
+                (F.row_number().over(wi) - 1).cast("int").alias("cluster"),
+                F.col(vec_col).alias("v"),
+            )
+        )
+        cents = seeds.select(
+            "cluster",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("v", s * subdim + 1, subdim)
+                        for s in range(m)
+                    ]
+                )
+            ).alias("s", "centroid"),
+        ).select("s", "cluster", "centroid")
+    for _ in range(iters):
+        assigned = (
+            tpoints.join(F.broadcast(cents), "s")
+            .withColumn("d", _flat_sq_dist("p", "centroid", subdim))
+            .groupBy(id_col, "s")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("d").alias("d"),
+                        F.col("cluster").alias("cluster"),
+                        F.col("p").alias("p"),
+                    )
+                ).alias("__b")
+            )
+            .select(
+                "s",
+                F.col("__b.cluster").alias("cluster"),
+                F.col("__b.p").alias("p"),
+            )
+        )
+        per_dim = (
+            assigned.select("s", "cluster", F.posexplode("p").alias("dim", "x"))
+            .groupBy("s", "cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x").cast("double") * 1e9).cast("long"))
+                    .cast("double")
+                    / (F.count("x") * F.lit(1_000_000_000)).cast("double")
+                ).alias("m")
+            )
+        )
+        cents = per_dim.groupBy("s", "cluster").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda r: r["m"],
+            ).alias("centroid")
+        )
+    # final encode: per-id argmin for ALL m subspaces in one partial
+    # aggregation — min(when(s == i, ...)) ignores the other
+    # subspaces' rows, so column i is exactly subspace i's argmin
+    enc = (
+        points.join(F.broadcast(cents), "s")
+        .withColumn("d", _flat_sq_dist("p", "centroid", subdim))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("s") == s,
+                        F.struct(
+                            F.col("d").alias("d"),
+                            F.col("cluster").alias("cluster"),
+                        ),
+                    )
+                ).alias(f"__m{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    codes_wide = enc.select(
+        id_col,
+        F.array(*[F.col(f"__m{s}.cluster") for s in range(m)]).alias("codes"),
+        *(
+            [F.round(F.col(f"__m{s}.d"), 6).alias(f"__d{s}") for s in range(m)]
+            if with_dists
+            else []
+        ),
+    )
+    codebooks = cents.select("s", F.col("cluster").alias("code"), "centroid")
+    return codes_wide, codebooks
+
+
 def pq_encode(
     corpus: DataFrame,
     dim: int,
@@ -519,41 +689,31 @@ def pq_encode(
 ) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI'11): split each
     vector into ``m`` subvectors, train an independent deterministic
-    k-means codebook per subspace (:func:`kmeans_iterate` — lowest-id
-    init, integer-scaled exact means), and encode every vector as m
-    small code ids. With m=4,k=4 a 64-dim float vector compresses to
-    4 codes (vs 64 floats) — the storage layout an IVF-PQ index
-    ingests at 100 TB; ``recon_err`` (sum of per-subspace quantization
-    distances, fixed addition order) is the compression-quality knob.
+    k-means codebook per subspace (lowest-id init, integer-scaled
+    exact means), and encode every vector as m small code ids. With
+    m=4,k=4 a 64-dim float vector compresses to 4 codes (vs 64
+    floats) — the storage layout an IVF-PQ index ingests at 100 TB;
+    ``recon_err`` (sum of per-subspace quantization distances, fixed
+    addition order) is the compression-quality knob.
 
-    Every stage inherits kmeans_iterate's bit-reproducibility, so the
-    whole encoding is DuckDB-oracle-checkable.
-
-    Scale: m independent kmeans runs over |V|-row subvector frames
-    (broadcast centroids, one (cluster, dim) shuffle per iteration);
-    the code join keys on the vector id.
+    Every stage inherits the kmeans construction's
+    bit-reproducibility, so the whole encoding is
+    DuckDB-oracle-checkable. Round 13: the m trainings run FUSED in
+    one Lloyd chain per iteration (:func:`_pq_train_all`, guide §2.2)
+    — bit-identical to the m sequential runs (parity-pinned), m-fold
+    fewer stages, and the m-way code join on the vector id collapses
+    into the encoder's single aggregation.
     """
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    subdim = dim // m
-    out = None
-    for s in range(m):
-        sub = corpus.select(
-            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("embedding")
-        )
-        res = kmeans_iterate(sub, k=k, iters=iters, id_col=id_col, dim=subdim).select(
-            id_col,
-            F.col("cluster").alias(f"code{s}"),
-            F.col("dist").alias(f"__d{s}"),
-        )
-        out = res if out is None else out.join(res, id_col)
+    codes_wide, _ = _pq_train_all(
+        corpus, dim, m, k, iters, id_col, vec_col, with_dists=True
+    )
     err = None
     for s in range(m):
         d = F.col(f"__d{s}")
         err = d if err is None else err + d
-    return out.select(
+    return codes_wide.select(
         id_col,
-        *[F.col(f"code{s}") for s in range(m)],
+        *[F.element_at("codes", s + 1).alias(f"code{s}") for s in range(m)],
         F.round(err, 6).alias("recon_err"),
     )
 
@@ -607,12 +767,12 @@ def ivfpq_topk(
     ``train_sample=s`` trains the quantizers on the 1/s id-slice only
     (see :func:`_ivfpq_train`) — the knob that keeps the build's Lloyd
     iterations sample-sized at 1e9 vectors."""
-    assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
+    assign, coarse_cents, codes, codebooks = _ivfpq_train(
         corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col,
         train_sample=train_sample,
     )
     shortlist = _ivfpq_query(
-        assign, coarse_cents, code_rows, codebooks, queries,
+        assign, coarse_cents, codes, codebooks, queries,
         dim, m, nprobe, rerank if rerank else k, id_col, vec_col,
     )
     if rerank is None:
@@ -662,7 +822,6 @@ def _ivfpq_train(
     indexed since."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    subdim = dim // m
     if train_on is not None:
         train = train_on
     else:
@@ -684,36 +843,19 @@ def _ivfpq_train(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
         return_centroids=True, train_on=train, dim=None,
     )
-    code_rows = None   # (vec_id, s, code)
-    codebooks = None   # (s, code, centroid)
-    for s in range(m):
-        sub = corpus.select(
-            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col)
-        )
-        sub_train = (
-            train.select(
-                id_col,
-                F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col),
-            )
-            if train is not None
-            else None
-        )
-        codes_s, cents_s = kmeans_iterate(
-            sub, k=pq_k, iters=iters, id_col=id_col, vec_col=vec_col,
-            return_centroids=True, train_on=sub_train, dim=subdim,
-        )
-        cr = codes_s.select(
-            id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
-        )
-        cb = cents_s.select(
-            F.lit(s).alias("s"), F.col("cluster").alias("code"), "centroid"
-        )
-        code_rows = cr if code_rows is None else code_rows.unionByName(cr)
-        codebooks = cb if codebooks is None else codebooks.unionByName(cb)
+    # round 13: the m independent subspace trainings run FUSED in one
+    # Lloyd chain per iteration over the (s, subvector) frame
+    # (_pq_train_all, guide §2.2) — bit-identical (parity-pinned),
+    # m-fold fewer stages/broadcasts per build, and the codes come
+    # back WIDE (one (id, codes array) row per vector) so the query
+    # stage joins one narrow row per candidate instead of m
+    codes_wide, codebooks = _pq_train_all(
+        corpus, dim, m, pq_k, iters, id_col, vec_col, train_on=train
+    )
     return (
         assign.select(id_col, F.col("cluster").alias("cell")),
         coarse_cents,
-        code_rows,
+        codes_wide,
         codebooks,
     )
 
@@ -721,7 +863,7 @@ def _ivfpq_train(
 def _ivfpq_query(
     assign: DataFrame,
     coarse_cents: DataFrame,
-    code_rows: DataFrame,
+    codes: DataFrame,
     codebooks: DataFrame,
     queries: DataFrame,
     dim: int,
@@ -731,10 +873,21 @@ def _ivfpq_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Query stage: probe cells, build the (query, subspace, code)
-    ADC lookup table from the codebooks, sum per-candidate entries."""
-    subdim = dim // m
+    """Query stage: probe cells, build the per-query ADC lookup MAP
+    from the codebooks, and read each candidate's m distances with
+    map lookups on its wide code row (round 13, guide §3.1 — the old
+    long-form spelling joined candidates x m code rows against a
+    broadcast LUT frame and re-aggregated per candidate: two
+    candidate-proportional exchanges plus an m-fold row expansion,
+    all replaced by element_at on a broadcast map). The decimal sum
+    adds the same m 6dp-rounded entries as the old
+    sum(cast(decimal(18,6))), exactly (decimal addition is exact), so
+    adc_dist is bit-identical.
+
+    ``codes`` is the wide (id, codes array<int>) frame from
+    :func:`_pq_train_all` / the persisted index."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    subdim = dim // m
 
     wc = Window.partitionBy("query_id").orderBy(
         F.col("cd").asc(), F.col("cluster").asc()
@@ -774,18 +927,45 @@ def _ivfpq_query(
         )
     )
 
-    cand = (
-        assign.join(F.broadcast(probed), "cell")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    # per-query lookup MAP keyed by (s, code): queries x m x pq_k
+    # entries total — broadcast-tiny, and element_at reads it inside
+    # the same codegen stage as the cell join, so no candidate-sized
+    # exchange ever carries the map
+    lut_map = lut_rows.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.struct(
+                        F.col("s").alias("s"), F.col("code").alias("code")
+                    ).alias("key"),
+                    F.col("d").alias("value"),
+                )
+            )
+        ).alias("__lut")
     )
+    # (id, cell) |><| (id, codes): 1:1 on the id — both sides are
+    # corpus-narrow (inline: both already hash-partitioned by id from
+    # their argmin aggregations; serve: two slim parquet scans)
+    base = assign.join(codes, id_col)
+    term = None
+    for s in range(m):
+        t = F.element_at(
+            F.col("__lut"),
+            F.struct(
+                F.lit(s).alias("s"),
+                F.element_at("codes", s + 1).alias("code"),
+            ),
+        ).cast("decimal(18,6)")
+        term = t if term is None else term + t
     adc = (
-        cand.join(
-            code_rows.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        base.join(F.broadcast(probed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(lut_map), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            term.cast("double").alias("adc_dist"),
         )
-        .join(F.broadcast(lut_rows), ["query_id", "s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -877,12 +1057,12 @@ def ivfpq_build(
     assignment and code rows bucket-ready (keyed by cell / id)."""
     import os
 
-    assign, coarse_cents, code_rows, codebooks = _ivfpq_train(
+    assign, coarse_cents, codes, codebooks = _ivfpq_train(
         corpus, dim, coarse_k, m, pq_k, iters, id_col, vec_col,
         train_sample=train_sample, train_on=train_on,
     )
     assign.write.mode("overwrite").parquet(os.path.join(path, "assign"))
-    code_rows.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
     coarse_cents.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
     codebooks.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
 
@@ -941,7 +1121,7 @@ def ivfpq_index_update(
     build/update/serve lifecycle (mirror of substring_index_update /
     simhash_index_build(mode="append")): the batch is assigned to its
     nearest frozen coarse cell and PQ-encoded against the frozen
-    codebooks, and the (cell, id) / (id, s, code) rows are appended
+    codebooks, and the (id, cell) / (id, codes) rows are appended
     to ``path/{assign,codes}``. The centroid/codebook artifacts are
     untouched, so updating never re-trains and never touches prior
     rows — per-ingest cost is |batch| x (coarse_k + m x pq_k)
@@ -975,18 +1155,36 @@ def ivfpq_index_update(
         id_col, F.col("cluster").alias("cell")
     )
 
-    code_new = None
-    for s in range(m):
-        sub = batch.select(
-            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("p")
+    # all m subspace encodings in ONE argmin aggregation over the
+    # (s, subvector) frame against the broadcast frozen codebooks
+    # (round 13 — same fusion as _pq_train_all's encoder, same
+    # per-subspace argmin + lower-code tie-break as before, appended
+    # WIDE to match the build's codes layout)
+    cb = codebooks.select("s", F.col("code").alias("cluster"), "centroid")
+    code_new = (
+        _sub_points(batch, id_col, vec_col, m, subdim)
+        .join(F.broadcast(cb), "s")
+        .withColumn("d", _flat_sq_dist("p", "centroid", subdim))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("s") == s,
+                        F.struct(
+                            F.col("d").alias("d"),
+                            F.col("cluster").alias("cluster"),
+                        ),
+                    )
+                ).alias(f"__m{s}")
+                for s in range(m)
+            ]
         )
-        cb = codebooks.filter(F.col("s") == s).select(
-            F.col("code").alias("cluster"), "centroid"
+        .select(
+            id_col,
+            F.array(*[F.col(f"__m{s}.cluster") for s in range(m)]).alias("codes"),
         )
-        enc = _argmin_assign(sub, cb, id_col, subdim).select(
-            id_col, F.lit(s).alias("s"), F.col("cluster").alias("code")
-        )
-        code_new = enc if code_new is None else code_new.unionByName(enc)
+    )
 
     assign_new.write.mode("append").parquet(os.path.join(path, "assign"))
     code_new.write.mode("append").parquet(os.path.join(path, "codes"))

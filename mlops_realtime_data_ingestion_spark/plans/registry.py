@@ -351,27 +351,71 @@ _R11_CHECKED = frozenset({
 # but the plans are new -> priority re-certification. With the fused
 # backtest row, 13 changed + the 37 stalest r8-era rows fill the
 # 50-query sample (the 9 spillover r8 rows lead the r13 sample).
-_CHANGED_R12 = frozenset({
-    "passage_dedup_spans", "passage_dedup_spans_join",
-    # kmeans assign rewrite (round-12 optimization)
+# Queries with a green hash-match row in CORRECTNESS_r12.json (all 50
+# of round 12's driver sample were green, including all 13 of
+# _CHANGED_R12 — the round-12 argmin/fused-backtest/Arrow-shingling
+# tier, now folded in — and the 37 stalest r8-era rows the rotation
+# surfaced; after this fold the stalest tier is the 9 remaining
+# r8-era rows, which lead the r13 sample).
+_R12_CHECKED = frozenset({
+    "agg_grouping_sets", "agg_percentiles", "agg_pivot", "agg_rollup",
+    "agg_unpivot", "asof_join_cogrouped_purchase",
+    "asof_join_last_purchase", "clustering_eval_purity",
+    "dedup_cc_star", "dedup_connected_components", "dedup_containment",
+    "dedup_containment_incremental", "dedup_containment_index_serve",
+    "dedup_ngram_jaccard", "dedup_semdedup", "dedup_simhash_combi",
+    "dedup_simhash_incremental", "dedup_simhash_index_serve",
+    "dedup_survivors", "dq_orders_report", "embedding_pq_codes",
+    "f1_epoch_roundtrip", "f4_base64_json", "f5_json_encode_size",
+    "f6_json_extract", "f7_f8_scalar_math", "flagship_tx_window_1min",
+    "forecast_backtest_rmse_wql", "j2_positional_zip",
+    "join_3way_brand_nation", "join_anti_no_big_orders",
+    "join_left_order_counts", "join_orders_customer_segment",
+    "join_salted_skew", "join_semi_big_spenders",
+    "kmeans_embedding_clusters", "metrics_rmse_wql", "o2_topk_orders",
+    "p1_dedup_keep_first", "passage_dedup_spans",
+    "passage_dedup_spans_join", "range_join_attribution",
+    "s10_latest_per_key", "scd2_price_history", "sim_search_ivf_kmeans",
+    "sim_search_ivfpq", "sim_search_ivfpq_index_update",
+    "sim_search_ivfpq_rerank", "sim_search_ivfpq_sampled",
+    "sim_search_ivfpq_serve",
+})
+
+# Queries whose Spark implementation changed in round 13 (optimization
+# round 2) in a way the driver should re-certify:
+#
+# - the IVF-PQ family: the m per-subspace kmeans trainings now run
+#   FUSED in one Lloyd chain per iteration over the posexploded
+#   (s, subvector) frame (operators/similarity.py _pq_train_all,
+#   guide §2.2 — m-fold fewer stages/broadcasts per build), the PQ
+#   codes are stored WIDE (one (id, codes array) row per vector), and
+#   the query-time ADC reads a per-query broadcast lookup MAP with
+#   element_at instead of joining candidates x m code rows against a
+#   LUT frame and re-aggregating (guide §3.1). Bit-identical by
+#   construction (same argmin candidates/tie-breaks, same integer-
+#   scaled means, same decimal sum of the same 6dp entries) — parity
+#   pinned in tests/test_round13_plans.py, oracle-verified at
+#   sf0.001/0.01/0.1 this round; plans/r13 has the before/after plans
+#   (sim_search_ivfpq Exchange 192 -> 86, embedding_pq_codes 80 -> 20).
+#
+# - the containment/ngram verify joins: shuffle_hash instead of
+#   sort-merge (merge hints / planner default) so the array-carrying
+#   shingle side streams without the sort whose buffers were the
+#   measured 3.8 GB 100x spill class (guide §3.1/§5). Join semantics
+#   unchanged — candidates and verification math untouched.
+_CHANGED_R13 = frozenset({
     "sim_search_ivfpq", "sim_search_ivfpq_rerank",
     "sim_search_ivfpq_sampled", "sim_search_ivfpq_index_update",
-    "sim_search_ivfpq_serve", "dedup_semdedup", "sim_search_ivf_kmeans",
-    "kmeans_embedding_clusters", "clustering_eval_purity",
-    "embedding_pq_codes",
-    # single-pass fused backtest (round-12 optimization): 4 scans /
-    # 8 exchanges / 9 windows -> 1 scan / 2 exchanges / 2 windows
-    # (plans/r12/forecast_backtest_rmse_wql_{before,after}.txt);
-    # bit-identical tail, oracle-verified at 3 SFs, parity-pinned in
-    # tests/test_round12_plans.py
-    "forecast_backtest_rmse_wql",
+    "sim_search_ivfpq_serve", "embedding_pq_codes",
+    "dedup_containment", "dedup_containment_incremental",
+    "dedup_containment_index_serve", "dedup_ngram_jaccard",
 })
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (
     (1, _R1_CHECKED), (2, _R2_CHECKED), (3, _R3_CHECKED),
     (4, _R4_CHECKED), (5, _R5_CHECKED), (6, _R6_CHECKED),
     (7, _R7_CHECKED), (8, _R8_CHECKED), (9, _R9_CHECKED),
-    (10, _R10_CHECKED), (11, _R11_CHECKED),
+    (10, _R10_CHECKED), (11, _R11_CHECKED), (12, _R12_CHECKED),
 )
 
 # name -> most recent round with a green driver row (absent = never).
@@ -387,17 +431,17 @@ _DRIVER_CHECKED = (
 
 def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Enumerate red-last-round queries first (their fix must be
-    re-verified by the driver), then round-12-changed queries (their
+    re-verified by the driver), then round-13-changed queries (their
     old green rows certify stale code), then never-driver-green
     oracled queries, then never-checked rows-only queries (their
     driver check is weaker), then queries with a green driver row
     ordered by last-green round ASCENDING (VERDICT r8 task 2: the old
     module-insertion order within this tier left dedup_minhash_lsh
     six rounds stale while newer rows were re-checked; staleness-
-    first ordering drains the oldest backlog — after the r11 fold the
-    stalest tier is 46 r8-era rows; round 12's 50-query sample is
-    13 changed + the 37 stalest of them, leaving 9 r8-era rows to
-    lead the r13 sample).
+    first ordering drains the oldest backlog — after the r12 fold the
+    stalest tier is 9 r8-era rows; round 13's 50-query sample is the
+    10 changed rows + those 9 + the stalest r9-era rows, so after r13
+    nothing green should predate r9).
     Within the oracled groups, flat-schema guarantees hold for every
     oracled query (see tests/test_registry.py) so the driver's pandas
     canonicalizer can hash each one."""
@@ -406,7 +450,7 @@ def _priority_order(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         name, spec = item
         if name in _LAST_RED or name in _ORACLE_NEEDS_FIRST_CHECK:
             return (0, 0, name)
-        if name in _CHANGED_R12:
+        if name in _CHANGED_R13:
             return (1, 0, name)
         if name in _DRIVER_CHECKED:
             return (4, _LAST_GREEN[name], name)

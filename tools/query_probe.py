@@ -34,7 +34,7 @@ def main() -> int:
     ap.add_argument("--stages", action="store_true")
     args = ap.parse_args()
 
-    from bench import _jvm_health, _stage_evidence, _warm_scan, _warm_session
+    from bench import _stage_evidence, _warm_scan, _warm_session
     from mlops_realtime_data_ingestion_spark.plans.registry import all_specs
     from mlops_realtime_data_ingestion_spark.session import get_spark
 
