@@ -591,9 +591,14 @@ def minhash_lsh_pairs(
     candidates = candidates.distinct()
     lhs_sh = base.select(F.col("id"), F.col("sh"))
     rhs_sh = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    # shuffle_hash on the shingle sides (round 13): the planner's
+    # sort-merge choice sorted the array-carrying signature frame per
+    # verification join — the same sort-spill class as the containment
+    # verify joins (guide §3.1/§5); hash-build the per-partition
+    # shingle rows, stream the narrow candidate pairs, no sorts
     return (
-        candidates.join(lhs_sh, "id")
-        .join(rhs_sh, "id2")
+        candidates.join(lhs_sh.hint("shuffle_hash"), "id")
+        .join(rhs_sh.hint("shuffle_hash"), "id2")
         .withColumn("jaccard", _jaccard("sh", "sh2"))
         .filter(F.col("jaccard") >= threshold)
         .select(
@@ -1166,15 +1171,17 @@ def minhash_lsh_join(
     Returns (batch_doc_id, corpus_doc_id, jaccard).
     """
     ver, b_mem, c_mem = _lsh_join_frames(corpus, batch, id_col, text_col, n, threshold)
-    # merge hint on the CORPUS member map only: it is corpus-
-    # proportional, and the static planner would broadcast it on its
-    # bogus post-UDF size estimate (round-7 broadcast audit); the
-    # batch side is bounded by construction and may broadcast freely
+    # shuffle_hash hint on the CORPUS member map only (round 13, was
+    # merge — same protection): it is corpus-proportional, and the
+    # static planner would broadcast it on its bogus post-UDF size
+    # estimate (round-7 broadcast audit); hash-building it per
+    # partition skips the sort-merge sorts. The batch side is bounded
+    # by construction and may broadcast freely
     return (
         ver.join(b_mem.select(F.col("ghash").alias("bgh"), F.col("gsz").alias("bgs"),
                               F.col("id").alias("bid")), ["bgh", "bgs"])
         .join(c_mem.select(F.col("ghash").alias("cgh"), F.col("gsz").alias("cgs"),
-                           F.col("id").alias("cid")).hint("merge"), ["cgh", "cgs"])
+                           F.col("id").alias("cid")).hint("shuffle_hash"), ["cgh", "cgs"])
         .select(
             F.col("bid").alias("batch_doc_id"),
             F.col("cid").alias("corpus_doc_id"),
@@ -1213,13 +1220,15 @@ def _lsh_join_frames(
         F.col("ghash").alias("bgh"), F.col("gsz").alias("bgs"),
         F.posexplode("bands").alias("band_id", "band_key"),
     )
-    # merge hints on the CORPUS-side frames (band index, rep shingle
-    # arrays): both are corpus-proportional, and the static planner
-    # sizes them at the pre-explode/post-UDF estimate and would
-    # broadcast them whole (round-7 broadcast audit) — the batch side
-    # is bounded by construction and stays broadcastable
+    # shuffle_hash hints on the CORPUS-side frames (round 13, was
+    # merge — band index, rep shingle arrays): both are corpus-
+    # proportional, and the static planner sizes them at the
+    # pre-explode/post-UDF estimate and would broadcast them whole
+    # (round-7 broadcast audit); hashed shuffle joins keep that
+    # protection without sorting either side — the batch side is
+    # bounded by construction and stays broadcastable
     cand = (
-        b_banded.join(c_banded.hint("merge"), ["band_id", "band_key"])
+        b_banded.join(c_banded.hint("shuffle_hash"), ["band_id", "band_key"])
         .select("bgh", "bgs", "cgh", "cgs")
         .distinct()
     )
@@ -1231,7 +1240,7 @@ def _lsh_join_frames(
     )
     ver = (
         cand.join(b_sh, ["bgh", "bgs"])
-        .join(c_sh.hint("merge"), ["cgh", "cgs"])
+        .join(c_sh.hint("shuffle_hash"), ["cgh", "cgs"])
         .withColumn("jaccard", _jaccard("bsh", "csh"))
         .filter(F.col("jaccard") >= threshold)
         .select("bgh", "bgs", "cgh", "cgs", "jaccard")
@@ -1260,7 +1269,7 @@ def minhash_lsh_join_accounting(
             verp.join(b_mem.select(F.col("ghash").alias("bgh"), F.col("gsz").alias("bgs"),
                                    F.col("id").alias("bid")), ["bgh", "bgs"])
             .join(c_mem.select(F.col("ghash").alias("cgh"), F.col("gsz").alias("cgs"),
-                               F.col("id").alias("cid")).hint("merge"), ["cgh", "cgs"])
+                               F.col("id").alias("cid")).hint("shuffle_hash"), ["cgh", "cgs"])
             .count()
         )
     finally:
@@ -1281,7 +1290,7 @@ def minhash_lsh_join_accounting(
         F.posexplode("bands").alias("band_id", "band_key"),
     )
     candidates = (
-        b_banded.join(c_banded.hint("merge"), ["band_id", "band_key"])
+        b_banded.join(c_banded.hint("shuffle_hash"), ["band_id", "band_key"])
         .select("bgh", "bgs", "cgh", "cgs")
         .distinct()
         .count()

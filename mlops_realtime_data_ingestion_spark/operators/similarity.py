@@ -1309,14 +1309,16 @@ def embedding_lsh_pairs(
     )
     lhs_v = base.select(F.col("id").alias("id"), F.col("v").alias("v1"))
     rhs_v = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
-    # merge hints on BOTH vector-side verification joins: the frames
-    # are corpus-proportional (full-width embedding arrays), and the
+    # shuffle_hash hints on BOTH vector-side verification joins
+    # (round 13, was merge — same protection): the frames are
+    # corpus-proportional (full-width embedding arrays), and the
     # static planner broadcasts them off the pre-UDF scan estimate
     # (round-7 broadcast-audit OOM class; observed BuildRight on both
-    # at sf0.01 without the hints)
+    # at sf0.01 without the hints); the hashed shuffle join streams
+    # the candidates with no sort of the array-carrying side
     return (
-        cand.join(lhs_v.hint("merge"), "id")
-        .join(rhs_v.hint("merge"), "id2")
+        cand.join(lhs_v.hint("shuffle_hash"), "id")
+        .join(rhs_v.hint("shuffle_hash"), "id2")
         .withColumn("sim", F.round(cosine("v1", "v2"), 6))
         .filter(F.col("sim") >= threshold)
         .select(
@@ -1364,8 +1366,8 @@ def embedding_lsh_accounting(
         lhs_v = base.select(F.col("id").alias("id"), F.col("v").alias("v1"))
         rhs_v = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
         survivors = (
-            cand.join(lhs_v.hint("merge"), "id")
-            .join(rhs_v.hint("merge"), "id2")
+            cand.join(lhs_v.hint("shuffle_hash"), "id")
+            .join(rhs_v.hint("shuffle_hash"), "id2")
             .withColumn("sim", F.round(cosine("v1", "v2"), 6))
             .filter(F.col("sim") >= threshold)
             .count()

@@ -403,12 +403,22 @@ _R12_CHECKED = frozenset({
 #   shingle side streams without the sort whose buffers were the
 #   measured 3.8 GB 100x spill class (guide §3.1/§5). Join semantics
 #   unchanged — candidates and verification math untouched.
+#
+# - the minhash-LSH / embedding-LSH verify and member-expansion
+#   joins: same shuffle_hash treatment (wash-to-small-win at 100x,
+#   same spill-class immunity) — and on dedup_minhash_lsh the sf0.1
+#   plan previously STATICALLY BROADCAST the post-UDF signature frame
+#   (the round-7 broadcast-audit OOM class with no hint in place);
+#   the hint closes that scale hazard (plans/r13 before: 0 SMJ/0 SHJ,
+#   broadcast verify; after: 4 ShuffledHashJoin).
 _CHANGED_R13 = frozenset({
     "sim_search_ivfpq", "sim_search_ivfpq_rerank",
     "sim_search_ivfpq_sampled", "sim_search_ivfpq_index_update",
     "sim_search_ivfpq_serve", "embedding_pq_codes",
     "dedup_containment", "dedup_containment_incremental",
     "dedup_containment_index_serve", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_incremental_lsh",
+    "dedup_embedding_cosine",
 })
 
 _ROUNDS: tuple[tuple[int, frozenset], ...] = (

@@ -45,17 +45,17 @@ def test_never_driver_checked_enumerate_first():
     before already-green ones, with oracled (strong check) ahead of
     rows-only (weak), and the green tier ordered by last-green round
     ASCENDING (VERDICT r8 task 2). The recheck tiers (_LAST_RED,
-    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R12) are allowed ahead of
+    _ORACLE_NEEDS_FIRST_CHECK, _CHANGED_R13) are allowed ahead of
     everything — their old green rows no longer certify the code."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R12,
+        _CHANGED_R13,
         _DRIVER_CHECKED,
         _LAST_GREEN,
         _LAST_RED,
         _ORACLE_NEEDS_FIRST_CHECK,
     )
 
-    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R12
+    recheck = _LAST_RED | _ORACLE_NEEDS_FIRST_CHECK | _CHANGED_R13
     names = list(_SPECS)
     seen_checked = False
     seen_rows_only = False
@@ -84,17 +84,18 @@ def test_never_driver_checked_enumerate_first():
             )
 
 
-def test_round12_sample_prioritizes_changed_then_stalest():
+def test_round13_sample_prioritizes_changed_then_stalest():
     """VERDICT r11 task 4 + optimization-round re-certification: every
-    round-12-changed row (kmeans assign rewrite, fused backtest, the
-    Arrow passage rows) MUST take a priority slot in the 50-query
-    driver sample — their old green rows certify code that no longer
-    runs. The remaining slots drain the stale backlog in (last-green
-    round, name) order: with 13 changed rows, 37 of the 46 r8-era rows
-    fit this round and no row left outside the sample may be staler
-    than any non-changed green row inside it."""
+    round-13-changed row (fused PQ trainer / map-side ADC, the
+    shuffle_hash verify joins) MUST take a priority slot in the
+    50-query driver sample — their old green rows certify code that
+    no longer runs. The remaining slots drain the stale backlog in
+    (last-green round, name) order: with 13 changed rows, the 9
+    remaining r8-era rows plus the stalest 28 r9-era rows fit this
+    round, and no row left outside the sample may be staler than any
+    non-changed green row inside it."""
     from mlops_realtime_data_ingestion_spark.plans.registry import (
-        _CHANGED_R12,
+        _CHANGED_R13,
         _LAST_GREEN,
         all_specs,
     )
@@ -102,13 +103,13 @@ def test_round12_sample_prioritizes_changed_then_stalest():
     names = list(all_specs())
     sample = names[:50]
     # changed rows always re-certify this round
-    assert set(_CHANGED_R12) <= set(sample)
+    assert set(_CHANGED_R13) <= set(sample)
     # the rest of the sample is the stalest prefix of the green
     # backlog: nothing inside (non-changed) is fresher than anything
     # left outside
     in_rank = [
         (_LAST_GREEN[n], n) for n in sample
-        if n not in _CHANGED_R12 and n in _LAST_GREEN
+        if n not in _CHANGED_R13 and n in _LAST_GREEN
     ]
     out_rank = [
         (_LAST_GREEN[n], n) for n in names[50:] if n in _LAST_GREEN
@@ -118,7 +119,6 @@ def test_round12_sample_prioritizes_changed_then_stalest():
         f"backlog ordering broken: {max(in_rank)} sampled after "
         f"{min(out_rank)} was left out"
     )
-    # every backlog slot this round goes to the r8-era tier (13
-    # changed + 37 of the 46 r8-era rows; the 9 spillover r8 rows
-    # lead the r13 sample)
-    assert max(r for r, _ in in_rank) <= 8
+    # after this round's sample nothing green predates round 9: the
+    # 9 r8-era spillover rows all fit (13 changed + 9 r8 + 28 r9)
+    assert max(r for r, _ in in_rank) <= 9

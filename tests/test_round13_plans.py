@@ -216,3 +216,26 @@ def test_index_update_appends_wide_codes(spark, sf_dir, tmp_path):
     assert set(codes.columns) == {"vec_id", "codes"}
     assert codes.count() == codes.select("vec_id").distinct().count() == emb.count()
     assert codes.filter(F.size("codes") != 4).count() == 0
+
+
+# ---------------------------------------------------------------
+# ADVICE r12: the fused backtest's max(when(rn == n-k, value)) picks
+# read a NULL events.value as "row absent", silently dropping
+# (p50, target) pairs relative to the composed plan. The invariant
+# (events.value is never NULL) was verified but unenforced — enforce
+# it loudly at every fixture SF so a generator change fails here
+# instead of shifting the metric.
+# ---------------------------------------------------------------
+
+def test_events_value_never_null(spark):
+    from mlops_realtime_data_ingestion_spark.sources.batch import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        ev = load_table(spark, sf, "events")
+        n_null = ev.filter(F.col("value").isNull()).count()
+        assert n_null == 0, (
+            f"{sf}/events has {n_null} NULL value rows — the fused "
+            f"forecast_backtest_rmse_wql plan assumes value is never "
+            f"NULL (see plans/timeseries_queries.py)"
+        )
